@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would set
+per-executor; see DESIGN.md §6 for why each knob matters at 10^12-row scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark_prov",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None -> local[*]. Shuffle partitions default to the core count:
+    at cluster scale this would be ~2-3x total cores, set by the submitter.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # contents are fat; cap Arrow batches so pandas-UDF workers stay bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # idempotent per-partition re-runs for checkpoint/resume (DESIGN.md §6.9)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
