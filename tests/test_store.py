@@ -1,0 +1,105 @@
+"""Store layer: partitioned sink/scan, resume manifest, RDF serialization."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from git_prov_spark.pipeline.build import build_triples
+from git_prov_spark.store import (
+    completed_buckets,
+    list_repos,
+    materialize_resumable,
+    ntriples_lines,
+    read_repo,
+    turtle_text,
+    write_triples,
+)
+
+
+@pytest.fixture(scope="module")
+def store_dir(tmp_path_factory, triples_df):
+    d = str(tmp_path_factory.mktemp("triples_store"))
+    write_triples(triples_df, d, n_buckets=8)
+    return d
+
+
+def test_roundtrip_and_pruned_repo_read(spark, store_dir, triples_df):
+    total = spark.read.parquet(store_dir).count()
+    assert total == triples_df.count()
+    one = read_repo(spark, store_dir, "org1/alpha", n_buckets=8)
+    assert one.count() == triples_df.where(F.col("repo") == "org1/alpha").count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "repo_bucket" in plan
+
+
+def test_list_repos(spark, store_dir):
+    repos = {r.repo for r in list_repos(spark.read.parquet(store_dir)).collect()}
+    assert repos == {"org0/hot", "org1/alpha", "org2/beta"}
+
+
+def test_ntriples_wellformed(triples_df):
+    lines = ntriples_lines(triples_df)
+    assert lines.count() == triples_df.count()
+    pat = re.compile(r'^<[^>]+> <[^>]+> (<[^>]+>|"(\\.|[^"\\])*"(\^\^<[^>]+>)?) \.$')
+    sample = lines.take(300)
+    bad = [r.line for r in sample if not pat.match(r.line)]
+    assert not bad, bad[:5]
+    # multi-line literal must be escaped into one physical line
+    multi = [r.line for r in lines.collect() if "multi" in r.line and "line message" in r.line]
+    assert multi and all("\n" not in line and "\\n" in line for line in multi)
+
+
+def test_turtle_single_repo(triples_df):
+    ttl = turtle_text(triples_df, "org2/beta")
+    assert "@prefix gitprov: <gitprov://org2/beta#> ." in ttl
+    assert "prov:wasGeneratedBy" in ttl
+
+
+def test_resumable_materialize(spark, spark_tables, tmp_path):
+    files, commits, contributors = spark_tables
+    out = str(tmp_path / "kg")
+    n_buckets, group_size = 8, 3
+
+    runs: list[list[int]] = []
+    stats = materialize_resumable(
+        build_triples, files, commits, contributors, out,
+        n_buckets=n_buckets, group_size=group_size,
+        on_group_done=lambda g, m: runs.append(g),
+    )
+    assert completed_buckets(out) == set(range(n_buckets))
+    full = spark.read.parquet(out).drop("repo_bucket")
+    expected = build_triples(files, commits, contributors)
+    assert full.count() == expected.count()
+    assert full.select(*expected.columns).exceptAll(expected).isEmpty()
+
+    # resume: nothing pending -> no groups run
+    runs.clear()
+    stats2 = materialize_resumable(
+        build_triples, files, commits, contributors, out,
+        n_buckets=n_buckets, group_size=group_size,
+        on_group_done=lambda g, m: runs.append(g),
+    )
+    assert runs == [] and stats2["resumed_skipped"] == list(range(n_buckets))
+
+    # simulate a crash that lost one group's manifest -> only that group re-runs
+    import os
+
+    done_dir = os.path.join(out, "_done")
+    victim = sorted(os.listdir(done_dir))[0]
+    os.remove(os.path.join(done_dir, victim))
+    lost = completed_buckets(out)
+    missing = sorted(set(range(n_buckets)) - lost)
+    runs.clear()
+    materialize_resumable(
+        build_triples, files, commits, contributors, out,
+        n_buckets=n_buckets, group_size=group_size,
+        on_group_done=lambda g, m: runs.append(g),
+    )
+    assert runs == [missing]
+    # output still exactly correct after the partial re-run (idempotent overwrite)
+    full2 = spark.read.parquet(out).drop("repo_bucket")
+    assert full2.count() == expected.count()
+    assert full2.select(*expected.columns).exceptAll(expected).isEmpty()
