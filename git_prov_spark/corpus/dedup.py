@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB story for each):
+
+* **exact** — one hash-aggregate on sha2(text); map-side partial agg, AQE
+  coalesces. The only full-corpus shuffle is on the 32-byte digest, never the
+  text itself.
+* **n-gram Jaccard** — explode distinct shingles → self-join on shingle →
+  count. Pair explosion is bounded by per-shingle document frequency; at
+  production scale a `HAVING df(shingle) < cap` filter (standard "stopword
+  shingle" cut) bounds the join; implemented via `max_df`.
+* **MinHash+LSH** — 16 permutations min-aggregated in ONE groupBy (no
+  16-pass scan), banded into 4 buckets; candidate pairs come from equi-joins
+  on (band, signature) — never an all-pairs product. This is the linear-ish
+  scale path for near-dedup.
+* **SimHash** — 16 bit-sums in one aggregate; equal-hash grouping finds
+  near-dups at hamming 0; a banded variant (split hash into halves) would
+  extend to hamming ≤ k.
+* **embedding cosine** — brute-force all-pairs is the correctness baseline
+  (quadratic — small inputs only); the scale path is LSH bucketing in
+  `similarity.py` (bucket-join instead of cross-join).
+
+All hashes are the portable md5-based family (`hashing.py`) so the DuckDB
+oracle reproduces values bit-for-bit; all thresholds are integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    MINHASH_PERMS,
+    SIMHASH_BITS,
+    perm_expr,
+    spark_h64,
+    spark_hmod,
+)
+from .text import with_tokens
+
+
+def exact_dupes(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup groups: (content_sha, canonical_doc_id=min id, n_copies)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle). 1-based
+    element_at keeps the expr portable to the DuckDB oracle's list_extract."""
+    parts = ", ".join(f"element_at(tokens, i + {j})" for j in range(n))
+    # guard: sequence(1, 0) in Spark is [1, 0] (descending), not empty
+    expr = (
+        f"case when size(tokens) >= {n} then "
+        f"transform(sequence(1, size(tokens) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) "
+        f"else cast(array() as array<string>) end"
+    )
+    return (
+        with_tokens(df)
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 4,
+    min_pct: int = 60,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ min_pct% (integer-exact compare:
+    100*|A∩B| >= min_pct*|A∪B|). `max_df` drops shingles appearing in more
+    than that many docs (bounds the self-join at scale)."""
+    sh = shingles(df, n=n, id_col=id_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_df).select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sz1, "d1").join(sz2, "d2")
+        .withColumn("n_union", F.col("n1") + F.col("n2") - F.col("n_inter"))
+        .where(F.col("n_inter") * 100 >= F.lit(min_pct) * F.col("n_union"))
+        .select("d1", "d2", "n_inter", "n_union")
+    )
+
+
+def minhash_signatures(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, mh0..mh15): one groupBy computing all 16 permutation minima
+    over the shingle hashes — single shuffle, map-side partial min."""
+    sh = shingles(df, n=n, id_col=id_col).withColumn(
+        "h", F.expr(spark_hmod("shingle"))
+    )
+    aggs = [
+        F.min(F.expr(perm_expr("h", a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing ≥1 of the 4 banded
+    signatures. Output (d1, d2, n_shared_bands) with d1 < d2."""
+    sigs = minhash_signatures(df, n=n, id_col=id_col)
+    band_cols = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+            .alias(f"band{band}")
+        )
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("sig"))
+                for i in range(LSH_BANDS)
+            ])
+        ).alias("bs"),
+    ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = stacked.select(F.col(id_col).alias("d1"), "band", "sig")
+    b = stacked.select(F.col(id_col).alias("d2"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over token hashes. Bit j is set when
+    the majority of tokens have bit j set in their portable hash (sum of ±1)."""
+    tok = (
+        with_tokens(df)
+        .select(F.col(id_col), F.explode("tokens").alias("tok"))
+        .withColumn("h", F.expr(spark_h64("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_dupe_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs at hamming distance 0 (equal SimHash)."""
+    s = simhash(df, id_col=id_col)
+    a = s.select(F.col(id_col).alias("d1"), "simhash")
+    b = s.select(F.col(id_col).alias("d2"), "simhash")
+    return a.join(b, "simhash").where(F.col("d1") < F.col("d2")).select(
+        "d1", "d2", "simhash"
+    )
+
+
+def cosine_expr(col_a: str, col_b: str) -> str:
+    """Sequential-fold cosine similarity between two array<float> columns,
+    computed in double. Same fold order as the DuckDB oracle's list_reduce →
+    bit-identical doubles."""
+    dot = (
+        f"aggregate(zip_with({col_a}, {col_b},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"aggregate({col_a}, cast(0.0 as double),"
+        f" (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    nb = (
+        f"aggregate({col_b}, cast(0.0 as double),"
+        f" (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def embedding_dupe_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (correctness baseline; quadratic —
+    use similarity.lsh_buckets + in-bucket join at scale)."""
+    a = emb.select(F.col(id_col).alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col(id_col).alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos", F.expr(cosine_expr("e1", "e2")))
+        .where(F.col("cos") >= threshold)
+        .select("v1", "v2", F.round("cos", 4).alias("cos_r"))
+    )

@@ -1,0 +1,67 @@
+"""Portable (Spark ≡ DuckDB) deterministic hashing for dedup/LSH operators.
+
+All near-dup operators (MinHash, SimHash, LSH bucketing, fingerprints) need a
+string→int64 hash that both engines compute identically so the driver's
+DuckDB oracle can value-hash-compare results. xxhash64/murmur differ between
+engines; md5 does not:
+
+    H(s)  = int64 of the first 15 hex chars of md5(s)        (60 bits, ≥ 0)
+    Spark : conv(substring(md5(s), 1, 15), 16, 10) :: bigint
+    DuckDB: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+
+Permutations for MinHash are the classic (a*h + b) mod p family with
+p = 2^31 - 1 (Mersenne). h is first reduced mod p so a*h never overflows
+int64 (a < 2^31, h' < 2^31 → product < 2^62).
+
+Constants are fixed (seeded once, hardcoded) — determinism across runs and
+across parallelism levels is a north_rule requirement.
+"""
+
+from __future__ import annotations
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# 16 fixed (a, b) permutation pairs, odd multipliers, generated once with
+# random.Random(42); hardcoded so Spark exprs and DuckDB SQL share them.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1303377493, 243548399), (1948126061, 1423722703), (514968155, 1051889721),
+    (1668118397, 976709927), (1239103397, 1024718857), (181856861, 275249505),
+    (1060638127, 681083523), (850319071, 459756869), (1494547629, 753893097),
+    (1118843021, 2043941029), (654455459, 1655226761), (1807697719, 696974022),
+    (954277147, 1366832623), (972445191, 273622567), (1479068815, 1200692207),
+    (717642139, 1706922499),
+]
+
+N_MINHASH = len(MINHASH_PERMS)
+LSH_BANDS = 4          # 4 bands × 4 rows over the 16-sig
+LSH_ROWS = N_MINHASH // LSH_BANDS
+
+SIMHASH_BITS = 16
+
+# Random-hyperplane LSH for embeddings: weight(plane, dim) derived from the
+# portable hash so both engines mint identical hyperplanes.
+ANN_PLANES = 4         # → 16 buckets
+EMBED_DIM = 64
+
+
+def spark_h64(expr: str) -> str:
+    """Spark SQL expr: portable 60-bit hash of a string expression."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def duck_h64(expr: str) -> str:
+    """DuckDB SQL: identical value to :func:`spark_h64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def spark_hmod(expr: str) -> str:
+    return f"({spark_h64(expr)} % {MERSENNE_P})"
+
+
+def duck_hmod(expr: str) -> str:
+    return f"({duck_h64(expr)} % {MERSENNE_P})"
+
+
+def perm_expr(h_expr: str, a: int, b: int) -> str:
+    """(a*h' + b) mod p — same source text works in both dialects."""
+    return f"(({a} * {h_expr} + {b}) % {MERSENNE_P})"

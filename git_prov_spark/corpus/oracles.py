@@ -1,0 +1,295 @@
+"""DuckDB oracle SQL for every corpus operator.
+
+Each builder returns ANSI-ish SQL (DuckDB dialect) computing EXACTLY the same
+result — same column names, same types (integers as BIGINT), bit-identical
+hashes/doubles — as the Spark implementation in this package. Shared
+constants (`hashing.py`) guarantee hash parity; identical left-to-right fold
+order guarantees double parity.
+
+The driver registers the parquet tables as views named `documents`,
+`embeddings`, …; `src` parameters default to those names.
+"""
+
+from __future__ import annotations
+
+from .hashing import (
+    ANN_PLANES,
+    EMBED_DIM,
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    MINHASH_PERMS,
+    SIMHASH_BITS,
+    duck_h64,
+    duck_hmod,
+    perm_expr,
+)
+from .text import EN_STOPWORDS, FP_BASE
+
+P = MERSENNE_P
+
+
+def toks_cte(src: str = "documents") -> str:
+    return (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END AS tokens, text "
+        f"FROM {src}"
+    )
+
+
+def _stop_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def sql_token_counts(src: str = "documents") -> str:
+    return (
+        f"WITH toks AS ({toks_cte(src)}) "
+        "SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_actual FROM toks"
+    )
+
+
+def sql_lang_id(src: str = "documents") -> str:
+    hits = f"len(list_filter(tokens, t -> list_contains({_stop_list()}, t)))"
+    return (
+        f"WITH toks AS ({toks_cte(src)}) "
+        f"SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        f"CAST({hits} AS BIGINT) AS n_stop_hits, "
+        f"CASE WHEN len(tokens) > 0 AND {hits} * 20 >= len(tokens) "
+        "THEN 'en' ELSE 'other' END AS lang_pred FROM toks"
+    )
+
+
+def sql_quality(src: str = "documents") -> str:
+    n_stop = f"len(list_filter(tokens, t -> list_contains({_stop_list()}, t)))"
+    # keep the punct class in sync with text.PUNCT_REGEX
+    n_punct = (
+        "length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))"
+    )
+    sum_len = "list_sum(list_transform(tokens, t -> CAST(length(t) AS BIGINT)))"
+    return (
+        f"WITH toks AS ({toks_cte(src)}) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        f"CAST({n_stop} AS BIGINT) AS n_stop, "
+        f"CAST({n_punct} AS BIGINT) AS n_punct, "
+        f"CASE WHEN len(tokens) > 0 THEN round(CAST(COALESCE({sum_len}, 0) AS DOUBLE)"
+        " / len(tokens), 4) ELSE 0.0 END AS avg_token_len FROM toks"
+    )
+
+
+def sql_fingerprints(src: str = "documents") -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(tokens, t -> {duck_hmod('t')})), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {P})"
+    )
+    return (
+        f"WITH toks AS ({toks_cte(src)}) "
+        f"SELECT doc_id, {fold} AS fingerprint FROM toks"
+    )
+
+
+def sql_exact_dupes(src: str = "documents") -> str:
+    return (
+        f"SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_doc_id, "
+        f"count(*) AS n_copies FROM {src} GROUP BY 1"
+    )
+
+
+def shingles_cte(n: int = 4) -> str:
+    """Expects a `toks` CTE in scope; yields distinct (doc_id, shingle)."""
+    parts = ", ".join(f"tokens[i + {j}]" for j in range(n))
+    return (
+        "SELECT DISTINCT doc_id, shingle FROM ("
+        f"SELECT doc_id, unnest(CASE WHEN len(tokens) >= {n} THEN "
+        f"list_transform(generate_series(1, len(tokens) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE CAST([] AS VARCHAR[]) END) AS shingle "
+        "FROM toks) s"
+    )
+
+
+def sql_ngram_jaccard(src: str = "documents", n: int = 4, min_pct: int = 60,
+                      max_df: int | None = None) -> str:
+    df_filter = (
+        f", rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {max_df}), "
+        "shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle))"
+        if max_df is not None else ", shf AS (SELECT * FROM sh)"
+    )
+    return (
+        f"WITH toks AS ({toks_cte(src)}), sh AS ({shingles_cte(n)}){df_filter}, "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter "
+        "FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT d1, d2, n_inter, s1.n_sh + s2.n_sh - n_inter AS n_union "
+        "FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2 "
+        f"WHERE n_inter * 100 >= {min_pct} * (s1.n_sh + s2.n_sh - n_inter)"
+    )
+
+
+def _minhash_sig_cte(n: int = 4) -> str:
+    """Expects `toks`; yields sig(doc_id, mh0..mh15)."""
+    mins = ", ".join(
+        f"min({perm_expr('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return (
+        f"WITH_SH sh AS ({shingles_cte(n)}), "
+        f"hs AS (SELECT doc_id, {duck_hmod('shingle')} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)"
+    )
+
+
+def sql_minhash_lsh(src: str = "documents", n: int = 4) -> str:
+    band_rows = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{band * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS sig_h FROM sig"
+        )
+    stacked = " UNION ALL ".join(band_rows)
+    sig_cte = _minhash_sig_cte(n).replace("WITH_SH ", "")
+    return (
+        f"WITH toks AS ({toks_cte(src)}), {sig_cte}, "
+        f"stacked AS ({stacked}) "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands "
+        "FROM stacked a JOIN stacked b "
+        "ON a.band = b.band AND a.sig_h = b.sig_h AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
+    )
+
+
+def sql_simhash_pairs(src: str = "documents") -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks), "
+        f"hs AS (SELECT doc_id, {duck_h64('t')} AS h FROM tok), "
+        f"agg AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg) "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash "
+        "FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id"
+    )
+
+
+def duck_cosine(a: str, b: str) -> str:
+    """Sequential-fold cosine — fold order identical to dedup.cosine_expr."""
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+    def norm(c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({c}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+            "(acc, v) -> acc + v)"
+        )
+
+    return f"({dot}) / (sqrt({norm(a)}) * sqrt({norm(b)}))"
+
+
+def sql_embedding_dupes(src: str = "embeddings", threshold: float = 0.3) -> str:
+    cos = duck_cosine("a.embedding", "b.embedding")
+    return (
+        f"SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos}, 4) AS cos_r "
+        f"FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold}"
+    )
+
+
+def duck_lsh_bucket(emb_col: str, n_planes: int = ANN_PLANES,
+                    dim: int = EMBED_DIM) -> str:
+    bits = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"CAST(list_extract({emb_col}, {i + 1}) AS DOUBLE) * "
+            f"(({duck_hmod(chr(39) + f'{p}_{i}' + chr(39))} % 2001 - 1000) / 1000.0)"
+            for i in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def sql_lsh_buckets(src: str = "embeddings") -> str:
+    return (
+        f"SELECT vec_id, CAST({duck_lsh_bucket('embedding')} AS INTEGER) AS bucket "
+        f"FROM {src}"
+    )
+
+
+def sql_topk_bruteforce(src: str = "embeddings", n_queries: int = 10, k: int = 5) -> str:
+    cos = duck_cosine("q.embedding", "c.embedding")
+    return (
+        f"WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"{cos} AS cos FROM {src} q JOIN {src} c ON q.vec_id < {n_queries} "
+        "AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def sql_topk_lsh(src: str = "embeddings", n_queries: int = 10, k: int = 5) -> str:
+    cos = duck_cosine("q.embedding", "c.embedding")
+    return (
+        f"WITH b AS ({sql_lsh_buckets(src)}), "
+        f"e AS (SELECT s.vec_id, s.embedding, b.bucket FROM {src} s "
+        "JOIN b ON b.vec_id = s.vec_id), "
+        f"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos "
+        f"FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < {n_queries} "
+        "AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def sql_media_features(src: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        f"sha256(text) AS media_sha FROM {src}"
+    )
+
+
+def sql_frame_samples(src: str = "documents", n_frames: int = 4,
+                      frame_hex: int = 64) -> str:
+    return (
+        f"WITH hx AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS h FROM {src}), "
+        f"frames AS (SELECT doc_id, unnest(generate_series(0, {n_frames - 1})) AS f, h "
+        "FROM hx) "
+        "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, "
+        f"md5(substr(h, f * {frame_hex} + 1, {frame_hex})) AS frame_sha "
+        f"FROM frames WHERE substr(h, f * {frame_hex} + 1, {frame_hex}) <> ''"
+    )
+
+
+def sql_diffstats(src: str = "documents") -> str:
+    """Multiset token diff between consecutive doc_ids — the SQL twin of the
+    pipeline's Arrow-batched diff_stats_udf (pipeline/diffstats.py)."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "tc AS (SELECT doc_id, t, count(*) AS n FROM "
+        "(SELECT doc_id, unnest(tokens) AS t FROM toks) u GROUP BY 1, 2), "
+        f"pairs AS (SELECT a.doc_id AS d_old, b.doc_id AS d_new FROM {src} a "
+        f"JOIN {src} b ON b.doc_id = a.doc_id + 1), "
+        "deltas AS (SELECT p.d_old, p.d_new, t.t, "
+        "sum(CASE WHEN t.doc_id = p.d_new THEN t.n ELSE -t.n END) AS delta "
+        "FROM pairs p JOIN tc t ON t.doc_id IN (p.d_old, p.d_new) GROUP BY 1, 2, 3) "
+        "SELECT d_old, d_new, CAST(sum(greatest(delta, 0)) AS INTEGER) AS additions, "
+        "CAST(sum(greatest(-delta, 0)) AS INTEGER) AS deletions, "
+        "CAST(sum(greatest(delta, 0)) + sum(greatest(-delta, 0)) AS INTEGER) AS changes "
+        "FROM deltas GROUP BY 1, 2"
+    )

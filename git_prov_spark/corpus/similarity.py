@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+* `topk_bruteforce` — exact cosine top-k per query vector: broadcast the
+  (small) query set against the full corpus, window-rank. The correctness
+  baseline; cost = |queries| × |corpus| dot products, all JVM-side codegen.
+* `lsh_buckets` / `topk_lsh` — random-hyperplane LSH: each vector gets a
+  P-bit bucket from the signs of ⟨v, w_p⟩ against P deterministic
+  hyperplanes; search only joins within a bucket. This is the 100 TB path:
+  the cross product becomes an equi-join on bucket, and bucket cardinality
+  (2^P) is a tunable shuffle-key fan-out. Hyperplane weights are minted from
+  the portable hash (hashing.py) so the DuckDB oracle reproduces them.
+* `topk_pandas` — the same brute-force scored with a vectorized pandas UDF
+  (numpy matmul per Arrow batch) — the pattern to swap in when the metric
+  outgrows SQL expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+from .hashing import ANN_PLANES, EMBED_DIM, duck_hmod, spark_hmod
+
+
+def _weight_terms(plane: int, dim: int, hmod) -> str:
+    """±weight in [-1, 1] for (plane, dim): (H('p_d') % 2001 - 1000) / 1000."""
+    lit = "'" + f"{plane}_{dim}" + "'"
+    return f"(({hmod(lit)} % 2001 - 1000) / 1000.0)"
+
+
+def lsh_bucket_expr(emb_col: str, n_planes: int = ANN_PLANES, dim: int = EMBED_DIM,
+                    dialect: str = "spark") -> str:
+    """SQL expr (valid in BOTH dialects modulo element access) for the LSH
+    bucket id: bit p = sign(Σ_i emb[i] * w(p, i)) ≥ 0."""
+    hmod = spark_hmod if dialect == "spark" else duck_hmod
+    elem = (lambda i: f"element_at({emb_col}, {i + 1})") if dialect == "spark" else (
+        lambda i: f"list_extract({emb_col}, {i + 1})"
+    )
+    bits = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"cast({elem(i)} as double) * {_weight_terms(p, i, hmod)}"
+            for i in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
+                n_planes: int = ANN_PLANES, dim: int = EMBED_DIM) -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane signature bucketing."""
+    return emb.select(
+        F.col(id_col),
+        F.expr(lsh_bucket_expr("embedding", n_planes, dim)).cast("int").alias("bucket"),
+    )
+
+
+def topk_bruteforce(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (id < n_queries).
+    Query side is tiny → broadcast; rank ties broken by neighbor id."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def topk_lsh(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id",
+    n_planes: int = ANN_PLANES, dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket —
+    the scale path (equi-join on bucket instead of a cross product)."""
+    with_b = emb.join(lsh_buckets(emb, id_col, n_planes, dim), id_col)
+    q = with_b.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def topk_pandas(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force top-k with a vectorized pandas scorer: queries are
+    collected once (tiny), broadcast as numpy, and each Arrow batch of the
+    corpus is scored with one matmul. Same output contract as
+    `topk_bruteforce` (modulo float-sum order)."""
+    import numpy as np
+
+    q_rows = (
+        emb.where(F.col(id_col) < n_queries)
+        .select(id_col, "embedding")
+        .orderBy(id_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_norm @ c_norm.T  # (Q, B)
+            qq, cc = np.meshgrid(np.arange(len(q_ids)), np.arange(len(c_ids)),
+                                 indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qq.ravel()],
+                    "neighbor_id": c_ids[cc.ravel()],
+                    "cos": sims.ravel(),
+                }
+            )
+
+    scored = emb.select(id_col, "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

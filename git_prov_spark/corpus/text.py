@@ -1,0 +1,99 @@
+"""Text-analysis operators over a document corpus (documents table).
+
+Language-ID (stopword n-gram heuristic), quality signals, token counting,
+and document fingerprinting (polynomial rolling hash) — all with Spark
+built-ins (whole-stage codegen; zero Python in the hot path). Thresholds use
+integer arithmetic (``n_hits * 20 >= n_tokens`` instead of ``ratio >= 0.05``)
+so the DuckDB oracle comparison is exact, never float-boundary-dependent.
+
+At 100 TB these are narrow map-side transforms: no shuffle, no UDF — they
+scan, project, and keep whatever filter the caller adds pushed to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, spark_hmod
+
+# fixed English stopword sample for the stopword-ratio language heuristic
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+    "with", "as", "at", "by", "it", "be", "or", "are", "was", "this",
+]
+
+PUNCT_REGEX = r"[^.,;:!?'\"()\-]"  # negated: strip non-punct, count remainder
+
+FP_BASE = 1_000_003  # polynomial rolling-hash base
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization; empty/blank text → empty array (not [''])."""
+    return F.when(F.trim(F.col(text)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text)), r"\s+")
+    )
+
+
+def with_tokens(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(text))
+
+
+def _n_stop() -> Column:
+    return F.size(F.filter(F.col("tokens"), lambda t: t.isin(*EN_STOPWORDS)))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_actual) — whitespace + regex tokenizer."""
+    return with_tokens(df).select(
+        F.col(id_col),
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic: ≥5% English stopwords → 'en'.
+
+    Integer-exact threshold: 20*hits >= n_tokens (n_tokens > 0).
+    """
+    toks = with_tokens(df)
+    hits = _n_stop()
+    return toks.select(
+        F.col(id_col),
+        F.size("tokens").alias("n_tokens"),
+        hits.alias("n_stop_hits"),
+        F.when(
+            (F.size("tokens") > 0) & (hits * 20 >= F.size("tokens")), F.lit("en")
+        ).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def quality_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length quality signals."""
+    toks = with_tokens(df)
+    n_tokens = F.size("tokens")
+    n_punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
+    sum_tok_len = F.aggregate(
+        F.col("tokens"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return toks.select(
+        F.col(id_col),
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        _n_stop().alias("n_stop"),
+        n_punct.alias("n_punct"),
+        F.when(n_tokens > 0, F.round(sum_tok_len / n_tokens, 4))
+        .otherwise(F.lit(0.0)).alias("avg_token_len"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: left-fold polynomial rolling hash
+    of the portable token hashes, mod 2^31-1. Two docs share a fingerprint iff
+    their token sequences match (mod collisions)."""
+    fold_expr = (
+        f"aggregate(tokens, cast(0 as bigint), "
+        f"(acc, t) -> (acc * {FP_BASE} + {spark_hmod('t')}) % {MERSENNE_P})"
+    )
+    return with_tokens(df).select(F.col(id_col), F.expr(fold_expr).alias("fingerprint"))
