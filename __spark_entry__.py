@@ -31,12 +31,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # entry(): flagship — full KG construction over a documents-derived repo table
 # ---------------------------------------------------------------------------
 
-def _docs_as_repo_tables(spark: SparkSession, sf_dir: str):
+def _docs_as_repo_tables(spark: SparkSession, sf_dir: str, replicate: int = 1):
     """Adapt the documents table into (files, commits, contributors) of the
     exact BASELINE.json input_hint shape: repo = source, two commits per repo
     (half the docs added at c0, the rest at c1, every 4th doc modified at c1)
-    so the change-log/version/agent stages all exercise."""
+    so the change-log/version/agent stages all exercise.
+
+    replicate>1 fans the corpus out to `replicate` deterministic repo copies
+    (repo = source_rK) — used by bench.py to size the KG input so throughput
+    measures steady-state work, not fixed stage overhead."""
     docs = _t(spark, sf_dir, "documents")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(reps)).withColumn(
+            "source", F.concat_ws("_r", F.col("source"), F.col("rep").cast("string"))
+        ).drop("rep")
     c0 = F.concat(F.lit("c0000"), F.md5(F.col("source")))
     c1 = F.concat(F.lit("c0001"), F.md5(F.concat(F.col("source"), F.lit("/1"))))
     path = F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))

@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is the KG-construction pipeline (files/commits/
+contributors → PROV triples), reported as wall seconds plus triples/sec;
+the rest are the headline operator queries from __spark_entry__.py, each
+timed to completion (count() — no driver collect).
+
+Quadratic correctness-baselines (brute-force cosine all-pairs) are
+deliberately NOT in the bench set; their scale-path variants (LSH) are.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from git_prov_spark.pipeline.build import build_triples  # noqa: E402
+from git_prov_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "scan_filter",
+    "agg_count",
+    "join_broadcast",
+    "window_lag",
+    "dedup_first",
+    "agg_collect",
+    "union_all",
+    "udf_diffstats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_lsh",
+    "ann_topk_pandas",
+    "text_quality",
+    "text_fingerprint",
+    "mm_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(
+        "bench", cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    # flagship: full KG construction over the documents-derived repo tables,
+    # replicated so throughput reflects steady-state work, not stage overhead
+    replicate = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "8"))
+    t0 = time.time()
+    files, commits, contributors = entry._docs_as_repo_tables(
+        spark, sf_dir, replicate=replicate
+    )
+    n_triples = build_triples(files, commits, contributors).count()
+    kg_sec = time.time() - t0
+    timings["kg_build_triples"] = round(kg_sec, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,17 @@ def duck_hmod(expr: str) -> str:
 def perm_expr(h_expr: str, a: int, b: int) -> str:
     """(a*h' + b) mod p — same source text works in both dialects."""
     return f"(({a} * {h_expr} + {b}) % {MERSENNE_P})"
+
+
+def py_h64(s: str) -> int:
+    """Python twin of spark_h64/duck_h64 — used to pre-fold constants
+    (e.g. LSH hyperplane weights) into literals at plan-build time instead
+    of shipping md5() calls into the expression tree."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def lsh_weight_int(plane: int, dim: int) -> int:
+    """Integer numerator of the hyperplane weight: weight = w/1000 ∈ [-1, 1]."""
+    return (py_h64(f"{plane}_{dim}") % MERSENNE_P) % 2001 - 1000

@@ -210,15 +210,9 @@ def sql_embedding_dupes(src: str = "embeddings", threshold: float = 0.3) -> str:
 
 def duck_lsh_bucket(emb_col: str, n_planes: int = ANN_PLANES,
                     dim: int = EMBED_DIM) -> str:
-    bits = []
-    for p in range(n_planes):
-        dot = " + ".join(
-            f"CAST(list_extract({emb_col}, {i + 1}) AS DOUBLE) * "
-            f"(({duck_hmod(chr(39) + f'{p}_{i}' + chr(39))} % 2001 - 1000) / 1000.0)"
-            for i in range(dim)
-        )
-        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+    from .similarity import lsh_bucket_expr
+
+    return lsh_bucket_expr(emb_col, n_planes, dim, dialect="duckdb")
 
 
 def sql_lsh_buckets(src: str = "embeddings") -> str:

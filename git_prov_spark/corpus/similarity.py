@@ -23,27 +23,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine_expr
-from .hashing import ANN_PLANES, EMBED_DIM, duck_hmod, spark_hmod
-
-
-def _weight_terms(plane: int, dim: int, hmod) -> str:
-    """±weight in [-1, 1] for (plane, dim): (H('p_d') % 2001 - 1000) / 1000."""
-    lit = "'" + f"{plane}_{dim}" + "'"
-    return f"(({hmod(lit)} % 2001 - 1000) / 1000.0)"
+from .hashing import ANN_PLANES, EMBED_DIM, lsh_weight_int
 
 
 def lsh_bucket_expr(emb_col: str, n_planes: int = ANN_PLANES, dim: int = EMBED_DIM,
                     dialect: str = "spark") -> str:
     """SQL expr (valid in BOTH dialects modulo element access) for the LSH
-    bucket id: bit p = sign(Σ_i emb[i] * w(p, i)) ≥ 0."""
-    hmod = spark_hmod if dialect == "spark" else duck_hmod
+    bucket id: bit p = sign(Σ_i emb[i] * w(p, i)) ≥ 0. Hyperplane weights are
+    pre-folded to rational literals (w/1000.0) at plan-build time — same md5
+    derivation, but the expression tree stays small enough for fast codegen."""
     elem = (lambda i: f"element_at({emb_col}, {i + 1})") if dialect == "spark" else (
         lambda i: f"list_extract({emb_col}, {i + 1})"
     )
     bits = []
     for p in range(n_planes):
         dot = " + ".join(
-            f"cast({elem(i)} as double) * {_weight_terms(p, i, hmod)}"
+            f"cast({elem(i)} as double) * ({lsh_weight_int(p, i)} / 1000.0)"
             for i in range(dim)
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")

@@ -50,7 +50,12 @@ def build_triples(
 
     events = with_version_chain(change_events(files, commits))
     if persist_events:
+        # eager materialization: the statement builders below become
+        # concurrent stages of one job, and a lazily-persisted plan would be
+        # recomputed by each of them before any populates the cache (Spark
+        # dedupes cached partitions only once blocks are written)
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        events.count()
 
     events_ts = events.join(
         commits.select("repo", "commit", "authored_at"), ["repo", "commit"]
