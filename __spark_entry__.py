@@ -46,6 +46,10 @@ def _docs_as_repo_tables(spark: SparkSession, sf_dir: str, replicate: int = 1):
         docs = docs.crossJoin(F.broadcast(reps)).withColumn(
             "source", F.concat_ws("_r", F.col("source"), F.col("rep").cast("string"))
         ).drop("rep")
+        # the parquet scan of one small file yields 1-2 partitions; the
+        # crossJoin inherits them, serializing every map-side stage — spread
+        # the replicated rows before the fat columns fan out
+        docs = docs.repartition(F.col("source"))
     c0 = F.concat(F.lit("c0000"), F.md5(F.col("source")))
     c1 = F.concat(F.lit("c0001"), F.md5(F.concat(F.col("source"), F.lit("/1"))))
     path = F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))

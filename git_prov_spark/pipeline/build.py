@@ -32,6 +32,7 @@ from .statements import (
     base_entity_triples,
     communication_triples,
     derivation_triples,
+    enrich_with_ids,
     entity_triples,
     generation_triples,
     invalidation_triples,
@@ -56,6 +57,9 @@ def build_triples(
         # dedupes cached partitions only once blocks are written)
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
         events.count()
+    # id minting AFTER the persist: slim rows in cache; the escaped-id
+    # columns are cheap translate/concat exprs recomputed per branch
+    events = enrich_with_ids(events)
 
     events_ts = events.join(
         commits.select("repo", "commit", "authored_at"), ["repo", "commit"]

@@ -45,23 +45,31 @@ def diff_stats_udf(old: pd.Series, new: pd.Series) -> pd.DataFrame:
 
 
 def with_diff_stats(modified_events: DataFrame, blob_df: DataFrame) -> DataFrame:
-    """Join modified change events to the deduped blob store on both shas, then
-    compute stats. Only the modified subset (≪ snapshot rows) shuffles here."""
+    """Diff stats per DISTINCT (new_sha, old_sha) pair, joined back to events.
+
+    The UDF cost scales with distinct content-version pairs, not with event
+    rows — identical edits (forks, replicated repos, cherry-picks) are diffed
+    once. Content strings only flow through the tiny distinct-pair join; the
+    event-side join carries just shas + three ints."""
+    pairs = modified_events.select("content_sha", "prev_content_sha").distinct()
     new_blobs = blob_df.select(
-        F.col("content_sha").alias("content_sha"), F.col("content").alias("new_content")
+        "content_sha", F.col("content").alias("new_content")
     )
     old_blobs = blob_df.select(
         F.col("content_sha").alias("prev_content_sha"),
         F.col("content").alias("old_content"),
     )
-    joined = modified_events.join(new_blobs, "content_sha").join(
-        old_blobs, "prev_content_sha"
+    pair_stats = (
+        pairs.join(new_blobs, "content_sha")
+        .join(old_blobs, "prev_content_sha")
+        .withColumn("diff", diff_stats_udf(F.col("old_content"), F.col("new_content")))
+        .select(
+            "content_sha", "prev_content_sha",
+            F.col("diff.additions").alias("additions"),
+            F.col("diff.deletions").alias("deletions"),
+            F.col("diff.changes").alias("changes"),
+        )
     )
-    return joined.withColumn(
-        "diff", diff_stats_udf(F.col("old_content"), F.col("new_content"))
-    ).select(
-        *modified_events.columns,
-        F.col("diff.additions").alias("additions"),
-        F.col("diff.deletions").alias("deletions"),
-        F.col("diff.changes").alias("changes"),
-    )
+    # no broadcast hint: pair_stats is tiny when edits repeat (AQE broadcasts
+    # it at runtime) but can be |modifications|-sized in the worst case
+    return modified_events.join(pair_stats, ["content_sha", "prev_content_sha"])

@@ -36,8 +36,13 @@ def _t(subj: Column, pred: str, obj: Column | str, obj_type: str) -> Column:
 
 
 def _emit(df: DataFrame, triples: list[Column]) -> DataFrame:
-    arr = F.filter(F.array(*triples), lambda x: x["obj"].isNotNull())
-    return df.select("repo", F.inline(arr))
+    # null-conditional attributes are dropped AFTER inline: a row-level filter
+    # stays inside whole-stage codegen, whereas an array-level higher-order
+    # F.filter is CodegenFallback and forces the whole projection into
+    # interpreted mode (~10x slower at bench scale)
+    return df.select("repo", F.inline(F.array(*triples))).where(
+        F.col("obj").isNotNull()
+    )
 
 
 def xsd_ts(c: Column) -> Column:
@@ -52,6 +57,38 @@ def _san_escaped(path: Column) -> Column:
 
 def _spec_escaped(path: Column, sha: Column) -> Column:
     return escape_local_name(F.translate(spec(path, sha), " ", "-"))
+
+
+def enrich_with_ids(events: DataFrame) -> DataFrame:
+    """Mint the path/sha-derived id primitives ONCE per change event, before
+    the events are persisted and fanned out to the statement builders.
+
+    The escape is a per-char substitution, so escape(A+B) == escape(A) +
+    escape(B): every composite id (entity, spec, generation, usage,
+    derivation) is a concat of these primitives — builders never re-run
+    sanitization over millions of emitted triples (it was the pipeline's
+    hottest expression by far).
+
+    Columns added: san_esc, entity_id, base_id, parent_entity_id (null when
+    no parent version), commit_id.
+    """
+    san_esc = _san_escaped(F.col("path"))
+    sha_esc = escape_local_name(F.translate(F.col("commit"), " ", "-"))
+    parent_esc = escape_local_name(F.translate(F.col("parent_commit"), " ", "-"))
+    spec_esc = F.concat(san_esc, F.lit("_commit-"), sha_esc)
+    return events.withColumns(
+        {
+            "san_esc": san_esc,
+            "spec_esc": spec_esc,
+            "entity_id": F.concat(F.lit("gitprov:"), spec_esc),
+            "base_id": F.concat(F.lit("gitprov:"), san_esc),
+            # concat is null if any input is null — root versions get null
+            "parent_entity_id": F.concat(
+                F.lit("gitprov:"), san_esc, F.lit("_commit-"), parent_esc
+            ),
+            "commit_id": F.concat(F.lit("gitprov:commit-"), F.col("commit")),
+        }
+    )
 
 
 # --------------------------------------------------------------------------
@@ -144,8 +181,8 @@ def communication_triples(commits: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entity_triples(events: DataFrame) -> DataFrame:
-    E = entity_curie(F.col("path"), F.col("commit"))
-    B = base_entity_curie(F.col("path"))
+    E = F.col("entity_id")
+    B = F.col("base_id")
     return _emit(
         events,
         [
@@ -158,7 +195,7 @@ def entity_triples(events: DataFrame) -> DataFrame:
 
 def base_entity_triples(events: DataFrame) -> DataFrame:
     df = events.where(F.col("is_first_version"))  # once per path (W3, quirk §5.3.4)
-    B = base_entity_curie(F.col("path"))
+    B = F.col("base_id")
     return _emit(
         df,
         [
@@ -174,10 +211,10 @@ def base_entity_triples(events: DataFrame) -> DataFrame:
 
 def generation_triples(events_ts: DataFrame) -> DataFrame:
     df = events_ts.where(F.col("status").isin("added", "modified"))
-    E = entity_curie(F.col("path"), F.col("commit"))
-    C = commit_curie(F.col("commit"))
+    E = F.col("entity_id")
+    C = F.col("commit_id")
     G = F.concat(
-        F.lit("gitprov:generation-"), _san_escaped(F.col("path")),
+        F.lit("gitprov:generation-"), F.col("san_esc"),
         F.lit("-"), F.col("commit"),
     )
     ts = xsd_ts(F.col("authored_at"))
@@ -195,10 +232,10 @@ def generation_triples(events_ts: DataFrame) -> DataFrame:
 
 def invalidation_triples(events_ts: DataFrame) -> DataFrame:
     df = events_ts.where(F.col("status") == "removed")
-    E = entity_curie(F.col("path"), F.col("commit"))
-    C = commit_curie(F.col("commit"))
+    E = F.col("entity_id")
+    C = F.col("commit_id")
     I = F.concat(
-        F.lit("gitprov:invalidation-"), _san_escaped(F.col("path")),
+        F.lit("gitprov:invalidation-"), F.col("san_esc"),
         F.lit("-"), F.col("commit"),
     )
     ts = xsd_ts(F.col("authored_at"))
@@ -218,10 +255,10 @@ def usage_triples(events_ts: DataFrame) -> DataFrame:
     df = events_ts.where(
         (F.col("status") == "modified") & F.col("parent_commit").isNotNull()
     )
-    C = commit_curie(F.col("commit"))
-    PE = entity_curie(F.col("path"), F.col("parent_commit"))
+    C = F.col("commit_id")
+    PE = F.col("parent_entity_id")
     U = F.concat(
-        F.lit("gitprov:usage-"), _san_escaped(F.col("path")),
+        F.lit("gitprov:usage-"), F.col("san_esc"),
         F.lit("-"), F.col("commit"), F.lit("-"), F.col("parent_commit"),
     )
     ts = xsd_ts(F.col("authored_at"))
@@ -243,11 +280,11 @@ def usage_triples(events_ts: DataFrame) -> DataFrame:
 
 def derivation_triples(modified_with_stats: DataFrame) -> DataFrame:
     df = modified_with_stats.where(F.col("parent_commit").isNotNull())
-    E = entity_curie(F.col("path"), F.col("commit"))
-    PE = entity_curie(F.col("path"), F.col("parent_commit"))
-    C = commit_curie(F.col("commit"))
+    E = F.col("entity_id")
+    PE = F.col("parent_entity_id")
+    C = F.col("commit_id")
     D = F.concat(
-        F.lit("gitprov:derivation-"), _spec_escaped(F.col("path"), F.col("commit")),
+        F.lit("gitprov:derivation-"), F.col("spec_esc"),
         F.lit("-"), F.col("parent_commit"),
     )
     # quirk §5.3.5: hadGeneration/hadUsage reference ids that were never emitted

@@ -39,6 +39,11 @@ def write_triples(
 ) -> None:
     (
         triples.withColumn("repo_bucket", repo_bucket(n_buckets))
+        # shuffle on the partition keys first: every (repo_bucket, pred)
+        # directory is then written by exactly ONE task — without this, each
+        # of the T write tasks opens a writer per directory (T x buckets x
+        # preds small files + fs contention that worsens with parallelism)
+        .repartition(F.col("repo_bucket"), F.col("pred"))
         .write.mode(mode)
         .partitionBy("repo_bucket", "pred")
         .parquet(path)
