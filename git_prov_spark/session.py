@@ -16,21 +16,34 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores=None -> local[*]. Shuffle partitions default to the core count:
     at cluster scale this would be ~2-3x total cores, set by the submitter.
+
+    master overrides the local[N] default; "local-cluster[N,C,M]" spawns N
+    real executor JVMs with C cores / M MB each — the sandbox stand-in for a
+    multi-executor cluster (one shared driver JVM at local[N] serializes GC,
+    python-worker forks, and allocation bandwidth; separate executor JVMs
+    scale like separate hosts). Executor python workers import this package
+    via spark.executorEnv.PYTHONPATH.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0
-    master = f"local[{cores}]" if cores else "local[*]"
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if master.startswith("local-cluster"):
+        os.environ.setdefault("SPARK_HOME", _pyspark_home())
 
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -50,3 +63,9 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _pyspark_home() -> str:
+    import pyspark
+
+    return pyspark.__path__[0]

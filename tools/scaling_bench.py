@@ -1,11 +1,17 @@
 """Two-cluster-size scaling evidence (north_rule): run the identical full KG
-job (extract → link → triples → partitioned sink) at local[8] and local[32]
-on the same input, alternating best-of-N to suppress shared-host noise, and
+job (extract → link → triples → partitioned sink) at N and 4N executors on
+the same input, alternating best-of-N to suppress shared-host noise, and
 report throughput at both levels + scaling efficiency.
 
-    python tools/scaling_bench.py [n_rounds] [replicate]
+    python tools/scaling_bench.py [n_rounds] [replicate] [specA] [specB]
 
-Writes BENCH.md section data to stdout (one JSON line) for pasting.
+Default specs: "1x8" vs "4x8" — local-cluster mode with 1 vs 4 real executor
+JVMs of 8 cores each, the faithful sandbox stand-in for N vs 4N executors
+(a single shared JVM at local[32] serializes GC / python forks / allocation
+bandwidth in ways a real cluster does not). Plain ints ("8", "32") select
+local[N] threads instead.
+
+Writes BENCH/BASELINE.md section data to stdout (one JSON line).
 """
 
 from __future__ import annotations
@@ -15,38 +21,42 @@ import subprocess
 import sys
 
 
-def run(cores: int, replicate: int) -> dict:
+def run(spec: str, replicate: int) -> dict:
     r = subprocess.run(
-        [sys.executable, "tools/kg_job.py", str(cores), str(replicate)],
+        [sys.executable, "tools/kg_job.py", spec, str(replicate)],
         capture_output=True, text=True, cwd="/root/repo",
     )
-    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"kg_job {spec} produced no result:\n{r.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    spec_a = sys.argv[3] if len(sys.argv) > 3 else "1x8"
+    spec_b = sys.argv[4] if len(sys.argv) > 4 else "4x8"
+    runs: dict[str, list[dict]] = {spec_a: [], spec_b: []}
     for i in range(n_rounds):
-        for cores in (8, 32):
-            res = run(cores, replicate)
-            runs[cores].append(res)
-            print(f"# round {i} cores={cores}: {res['wall_sec']}s "
+        for spec in (spec_a, spec_b):
+            res = run(spec, replicate)
+            runs[spec].append(res)
+            print(f"# round {i} spec={spec}: {res['wall_sec']}s "
                   f"{res['tps']} t/s", file=sys.stderr)
-    best8 = min(runs[8], key=lambda r: r["wall_sec"])
-    best32 = min(runs[32], key=lambda r: r["wall_sec"])
-    eff = best32["tps"] / (4 * best8["tps"])
+    best_a = min(runs[spec_a], key=lambda r: r["wall_sec"])
+    best_b = min(runs[spec_b], key=lambda r: r["wall_sec"])
+    eff = best_b["tps"] / (4 * best_a["tps"])
     print(json.dumps({
         "metric": "kg_scaling_efficiency",
         "n_rounds": n_rounds,
         "replicate": replicate,
-        "triples": best32["triples"],
-        "local8": {"wall_sec": best8["wall_sec"], "tps": best8["tps"]},
-        "local32": {"wall_sec": best32["wall_sec"], "tps": best32["tps"]},
-        "speedup_8_to_32": round(best8["wall_sec"] / best32["wall_sec"], 3),
+        "triples": best_b["triples"],
+        spec_a: {"wall_sec": best_a["wall_sec"], "tps": best_a["tps"]},
+        spec_b: {"wall_sec": best_b["wall_sec"], "tps": best_b["tps"]},
+        "speedup_NtoN4": round(best_a["wall_sec"] / best_b["wall_sec"], 3),
         "scaling_efficiency": round(eff, 3),
-        "all_runs": {str(k): [r["wall_sec"] for r in v] for k, v in runs.items()},
+        "all_runs": {k: [r["wall_sec"] for r in v] for k, v in runs.items()},
     }))
 
 
