@@ -35,15 +35,20 @@ def repo_bucket(n_buckets: int = DEFAULT_BUCKETS):
 
 def write_triples(
     triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
-    mode: str = "overwrite",
+    mode: str = "overwrite", salt_files: int = 4,
 ) -> None:
+    # Shuffle on the partition keys first so each (repo_bucket, pred)
+    # directory is written by few tasks — without this, each of the T write
+    # tasks opens a writer per directory (T x buckets x preds small files +
+    # fs contention that worsens with parallelism). Keys alone skew, though:
+    # rdf:type is ~1/4 of all triples, so one task per (bucket, rdf:type)
+    # becomes the stage straggler (observed: a 56s task in a 57s stage).
+    # A bounded salt splits every directory across salt_files tasks — file
+    # count stays <= buckets x preds x salt_files, straggler ~1/salt_files.
+    salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(salt_files))
     (
         triples.withColumn("repo_bucket", repo_bucket(n_buckets))
-        # shuffle on the partition keys first: every (repo_bucket, pred)
-        # directory is then written by exactly ONE task — without this, each
-        # of the T write tasks opens a writer per directory (T x buckets x
-        # preds small files + fs contention that worsens with parallelism)
-        .repartition(F.col("repo_bucket"), F.col("pred"))
+        .repartition(F.col("repo_bucket"), F.col("pred"), salt)
         .write.mode(mode)
         .partitionBy("repo_bucket", "pred")
         .parquet(path)

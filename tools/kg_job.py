@@ -2,7 +2,14 @@
 at a given parallelism level — the unit run for the two-cluster-size scaling
 evidence. Prints one JSON line {cores, replicate, wall_sec, triples, tps}.
 
-Usage: python tools/kg_job.py <cores> [replicate] [sf_dir]
+Usage: python tools/kg_job.py <spec> [replicate] [sf_dir]
+
+The input (files/commits/contributors of the BASELINE.json input_hint shape)
+is materialized to parquet ONCE per replicate level and reused across runs —
+the pipeline's contract input is a stored table (Iceberg in production), so
+the timed region is scan → build → sink, not fixture synthesis. Without
+this, every stage that scans `files` re-runs the crossJoin replication from
+a 2-row-group parquet file, a serial stub that caps scaling (Amdahl).
 """
 
 from __future__ import annotations
@@ -21,8 +28,29 @@ from git_prov_spark.session import get_spark  # noqa: E402
 from git_prov_spark.store import write_triples  # noqa: E402
 
 
+def materialize_input(spark, sf_dir: str, replicate: int, base: str) -> str:
+    """Write the replicated input tables once; reused by every later run."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    in_dir = os.path.join(base, f"kg_input_{tag}_rep{replicate}")
+    marker = os.path.join(in_dir, "_READY")
+    if os.path.exists(marker):
+        return in_dir
+    shutil.rmtree(in_dir, ignore_errors=True)
+    files, commits, contributors = entry._docs_as_repo_tables(
+        spark, sf_dir, replicate=replicate
+    )
+    # 64 files per table: any later scan parallelizes regardless of level
+    files.repartition(64).write.parquet(os.path.join(in_dir, "files"))
+    commits.repartition(8).write.parquet(os.path.join(in_dir, "commits"))
+    contributors.repartition(8).write.parquet(
+        os.path.join(in_dir, "contributors")
+    )
+    open(marker, "w").close()
+    return in_dir
+
+
 def main() -> None:
-    # <cores spec>: "8"/"32" -> local[N] (threads in one JVM);
+    # <spec>: "8"/"32" -> local[N] (threads in one JVM);
     # "NxC" e.g. "1x8", "4x8" -> local-cluster[N,C,mem] (N real executor
     # JVMs x C cores — the faithful N-vs-4N-executors stand-in)
     spec = sys.argv[1] if len(sys.argv) > 1 else "32"
@@ -51,10 +79,12 @@ def main() -> None:
         extra_conf=conf,
     )
 
+    in_dir = materialize_input(spark, sf_dir, replicate, "/tmp")
+    files = spark.read.parquet(os.path.join(in_dir, "files"))
+    commits = spark.read.parquet(os.path.join(in_dir, "commits"))
+    contributors = spark.read.parquet(os.path.join(in_dir, "contributors"))
+
     t0 = time.time()
-    files, commits, contributors = entry._docs_as_repo_tables(
-        spark, sf_dir, replicate=replicate
-    )
     triples = build_triples(files, commits, contributors)
     write_triples(triples, out)
     wall = time.time() - t0
@@ -62,6 +92,7 @@ def main() -> None:
 
     print(json.dumps({
         "cores": spec, "replicate": replicate, "sf_dir": sf_dir,
+        "input_dir": in_dir,
         "wall_sec": round(wall, 2), "triples": n,
         "tps": round(n / wall, 1),
     }))
