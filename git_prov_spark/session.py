@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # contents are fat; cap Arrow batches so pandas-UDF workers stay bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # this pipeline's per-byte compute is high (sha2 + window + line
+        # explode per scan byte): 128 MB packed splits leave cores idle on
+        # medium inputs (a 900 MB table -> 7 tasks); 32 MB keeps scan
+        # parallelism >= cluster width without small-file pressure
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # idempotent per-partition re-runs for checkpoint/resume (DESIGN.md §6.9)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
