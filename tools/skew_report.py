@@ -75,6 +75,7 @@ def hot_repo_tables(spark, sf_dir: str, replicate: int, hot_factor: int):
 def stage_skew(ev_dir: str) -> list[dict]:
     fs = [p for p in glob.glob(ev_dir + "/*/events_*") if "appstatus" not in p]
     rows: dict[int, list[float]] = {}
+    names: dict[int, str] = {}
     for line in open(fs[0]):
         try:
             e = json.loads(line)
@@ -82,23 +83,48 @@ def stage_skew(ev_dir: str) -> list[dict]:
             continue
         if e.get("Event") == "SparkListenerTaskEnd":
             m = e.get("Task Metrics") or {}
+            srm = m.get("Shuffle Read Metrics") or {}
+            recs = srm.get("Total Records Read", 0) or (
+                (m.get("Input Metrics") or {}).get("Records Read", 0)
+            )
             rows.setdefault(e["Stage ID"], []).append(
-                m.get("Executor Run Time", 0) / 1000
+                (m.get("Executor Run Time", 0) / 1000, recs)
+            )
+        elif e.get("Event") == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            # RDD scope names give a readable operator hint
+            ops = [r["Name"] for r in si.get("RDD Info", [])
+                   if r.get("Scope")]
+            scopes = []
+            for r in si.get("RDD Info", []):
+                try:
+                    scopes.append(json.loads(r["Scope"])["name"])
+                except (KeyError, json.JSONDecodeError, TypeError):
+                    pass
+            names[si["Stage ID"]] = ",".join(dict.fromkeys(scopes))[:60] or (
+                ",".join(ops)[:60]
             )
     out = []
-    for sid, ts in rows.items():
-        if len(ts) < 4:  # ratio meaningless for 1-task stages
+    for sid, pairs in rows.items():
+        if len(pairs) < 4:  # ratio meaningless for 1-task stages
             continue
+        ts = [p[0] for p in pairs]
+        rec = [p[1] for p in pairs]
         med = statistics.median(ts)
-        if med < 0.2:  # trivial stages: absolute times in scheduler noise
+        # sub-second medians: max/median is scheduler + co-tenant noise, not
+        # data skew — the data-skew signal for those is the record ratio
+        if med < 1.0:
             continue
+        med_r = statistics.median(rec)
         out.append(
             {
                 "stage": sid,
-                "tasks": len(ts),
+                "op": names.get(sid, ""),
+                "tasks": len(pairs),
                 "median_s": round(med, 2),
                 "max_s": round(max(ts), 2),
                 "ratio": round(max(ts) / med, 2),
+                "record_ratio": round(max(rec) / med_r, 2) if med_r else None,
             }
         )
     return sorted(out, key=lambda r: -r["ratio"])
