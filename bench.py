@@ -62,7 +62,10 @@ def main() -> None:
 
     # flagship: full KG construction over the documents-derived repo tables,
     # replicated so throughput reflects steady-state work, not stage overhead
-    replicate = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "8"))
+    # 128 -> ~10M triples at sf0.1: large enough that throughput reflects
+    # steady-state work (at 8 the 19s run was ~90% plan/stage overhead and
+    # under-reported triples/sec by ~10x), small enough to finish in ~30s
+    replicate = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "128"))
     t0 = time.time()
     files, commits, contributors = entry._docs_as_repo_tables(
         spark, sf_dir, replicate=replicate
