@@ -127,11 +127,6 @@ def materialize_resumable(
     pending = [b for b in range(n_buckets) if b not in done]
     stats = {"resumed_skipped": sorted(done), "groups": []}
 
-    first_write = not os.path.isdir(out_dir) or not any(
-        n.startswith("repo_bucket=") for n in
-        (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-    )
-
     for i in range(0, len(pending), group_size):
         group = pending[i : i + group_size]
         t0 = time.time()
@@ -142,10 +137,16 @@ def materialize_resumable(
         triples = build_fn(f_g, c_g, k_g).withColumn(
             "repo_bucket", repo_bucket(n_buckets)
         )
-        # dynamic overwrite replaces only this group's partitions
-        mode = "overwrite" if first_write else "overwrite"
-        triples.write.mode(mode).partitionBy("repo_bucket", "pred").parquet(out_dir)
-        first_write = False
+        # dynamic partition overwrite MUST be write-scoped, not assumed from
+        # session conf: under spark-submit's default (STATIC) an overwrite
+        # here would delete the whole store — every earlier group AND the
+        # _done manifest — before writing this group's partitions
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo_bucket", "pred")
+            .parquet(out_dir)
+        )
         elapsed = time.time() - t0
         meta = {"seconds": round(elapsed, 3)}
         _mark_done(out_dir, group, meta)

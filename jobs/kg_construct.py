@@ -1,0 +1,79 @@
+"""Production entry point: KG construction via spark-submit.
+
+    spark-submit --py-files git_prov_spark.zip jobs/kg_construct.py \
+        --files <dir> --commits <dir> --contributors <dir> --out <dir> \
+        [--buckets 16] [--resume] [--metrics <path>]
+
+Reads the source tables (parquet here; Iceberg `spark.table(...)` names
+work the same — pass table identifiers with --format table), builds the
+PROV triple graph, and materializes the partitioned store. With --resume,
+work proceeds in per-bucket-group checkpoints (store.materialize_resumable)
+so a killed run restarts where it left off; per-group lineage + metrics go
+to the manifest and, with --metrics, to a JSON file.
+
+The SparkSession is created plain (no master hardcoded): cluster master,
+executor count/memory, AQE and shuffle-partition sizing come from
+spark-submit --conf, as on any real cluster. session.get_spark is only the
+local/test convenience factory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+from git_prov_spark.metrics import StageMetrics
+from git_prov_spark.pipeline.build import build_triples
+from git_prov_spark.store import materialize_resumable, write_triples
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--files", required=True)
+    p.add_argument("--commits", required=True)
+    p.add_argument("--contributors", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--format", choices=["parquet", "table"], default="parquet")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics", default=None)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("kg_construct").getOrCreate()
+    read = (
+        spark.table if args.format == "table"
+        else spark.read.parquet
+    )
+    files = read(args.files)
+    commits = read(args.commits)
+    contributors = read(args.contributors)
+
+    metrics = StageMetrics()
+    t0 = time.time()
+    if args.resume:
+        stats = materialize_resumable(
+            build_triples, files, commits, contributors, args.out,
+            n_buckets=args.buckets,
+            on_group_done=lambda g, m: metrics.record(
+                f"bucket_group_{g[0]}-{g[-1]}", None, m["seconds"]
+            ),
+        )
+        metrics.record("total", None, time.time() - t0,
+                       resumed_skipped=stats["resumed_skipped"])
+    else:
+        triples = build_triples(files, commits, contributors)
+        write_triples(triples, args.out, n_buckets=args.buckets)
+        metrics.record("total", None, time.time() - t0)
+
+    metrics.log()
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            f.write(metrics.to_json())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

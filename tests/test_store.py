@@ -103,3 +103,26 @@ def test_resumable_materialize(spark, spark_tables, tmp_path):
     full2 = spark.read.parquet(out).drop("repo_bucket")
     assert full2.count() == expected.count()
     assert full2.select(*expected.columns).exceptAll(expected).isEmpty()
+
+
+def test_resumable_survives_static_overwrite_session(spark, spark_tables, tmp_path):
+    """Under a plain spark-submit session, partitionOverwriteMode defaults to
+    STATIC — the resumable writer must still only replace its own group's
+    partitions (regression: a session-conf-dependent overwrite deleted the
+    whole store, earlier groups and _done manifest included)."""
+    files, commits, contributors = spark_tables
+    out = str(tmp_path / "kg_static")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        materialize_resumable(
+            build_triples, files, commits, contributors, out,
+            n_buckets=8, group_size=3,
+        )
+        assert completed_buckets(out) == set(range(8))
+        full = spark.read.parquet(out).drop("repo_bucket")
+        expected = build_triples(files, commits, contributors)
+        assert full.count() == expected.count()
+        assert full.select(*expected.columns).exceptAll(expected).isEmpty()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
