@@ -66,3 +66,31 @@ def test_no_event_for_unchanged_snapshots(spark_tables):
     ev = change_events(files, commits)
     n_pairs = ev.groupBy("repo", "path", "commit").count().where(F.col("count") > 1)
     assert n_pairs.isEmpty(), "duplicate change events for one (path, commit)"
+
+
+def test_content_sha256_invariant(spark_tables, fixture_tables):
+    """input_hint / BASELINE.md: per-row content sha256 equality vs the
+    source table — Spark's sha2() minting must match python hashlib on
+    every (repo, path, commit) row, and the blob store must be keyed by
+    exactly those digests."""
+    import hashlib
+
+    from git_prov_spark.pipeline.changelog import blobs, slim_files
+
+    files, _, _ = spark_tables
+    files_pd, _, _ = fixture_tables
+
+    expected = {
+        (r.repo, r.path, r.commit): hashlib.sha256(
+            r.content.encode()
+        ).hexdigest()
+        for r in files_pd.itertuples()
+    }
+    got = {
+        (r.repo, r.path, r.commit): r.content_sha
+        for r in slim_files(files).collect()
+    }
+    assert got == expected  # 100%, not approximate
+
+    for r in blobs(files).collect():
+        assert hashlib.sha256(r.content.encode()).hexdigest() == r.content_sha
