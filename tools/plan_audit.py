@@ -1,0 +1,113 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+    python tools/plan_audit.py [sf_dir]
+
+Checks, over the driver testdata:
+  - scan_filter: predicate + projection reach the parquet scan
+    (PushedFilters non-empty, ReadSchema pruned to the selected columns)
+  - join_broadcast: small dim joins as BroadcastHashJoin (no SMJ shuffle)
+  - KG pipeline: no CartesianProduct/BroadcastNestedLoopJoin anywhere in
+    the triple-construction plan; the events scan is read once per branch
+    from the InMemoryRelation (cache), not re-derived
+  - corpus text ops: single-stage WholeStageCodegen (no row-at-a-time
+    python in the hot path)
+Exits non-zero listing any violated invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from git_prov_spark.pipeline.build import build_triples  # noqa: E402
+from git_prov_spark.session import get_spark  # noqa: E402
+
+FAIL: list[str] = []
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(("OK  " if ok else "FAIL") + f" {name}" + (f": {detail}" if detail else ""))
+    if not ok:
+        FAIL.append(name)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit", cores=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = entry.queries()
+
+    # -- pushdown & pruning ------------------------------------------------
+    p = formatted(qs["scan_filter"](spark, sf_dir))
+    check("scan_filter pushes predicate",
+          "PushedFilters: [" in p and "PushedFilters: []" not in p)
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    check("scan_filter prunes columns",
+          bool(rs) and "l_comment" not in rs[0],
+          rs[0].strip()[:120] if rs else "no ReadSchema")
+
+    # -- broadcast joins ---------------------------------------------------
+    p = plan_of(qs["join_broadcast"](spark, sf_dir))
+    check("join_broadcast uses BroadcastHashJoin",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p)
+
+    # -- KG pipeline plan hygiene -----------------------------------------
+    # replicate=1: no crossJoin replicator in the adapter — the audit is of
+    # the PIPELINE's joins (with replicate>1 the adapter's deliberate
+    # broadcast-range fan-out shows up as BNLJ in every scan branch)
+    files, commits, contributors = entry._docs_as_repo_tables(
+        spark, sf_dir, replicate=1
+    )
+    triples = build_triples(files, commits, contributors)
+    p = plan_of(triples)
+    check("kg plan has no cartesian product", "CartesianProduct" not in p)
+    check("kg plan joins are hash/broadcast",
+          p.count("BroadcastNestedLoopJoin") == 0,
+          f"BNLJ x{p.count('BroadcastNestedLoopJoin')}")
+    check("kg plan reuses the events cache", "InMemoryTableScan" in p)
+    # under AQE the unexecuted plan shows no codegen spans (isFinalPlan=
+    # false); toggle AQE off just to render the static physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t2 = build_triples(files, commits, contributors,
+                           persist_events=False)
+        ps = t2._sc._jvm.PythonSQLUtils.explainString(
+            t2._jdf.queryExecution(), "simple"
+        )
+        # simple mode prints codegen'd operators as "*(id) Node"
+        n_codegen = ps.count("*(")
+        n_nodes = sum(1 for ln in ps.splitlines() if "- " in ln)
+        check("kg plan stays in codegen",
+              n_codegen >= 10,
+              f"{n_codegen} codegen ops / ~{n_nodes} plan nodes")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # -- corpus hot paths are JVM-side ------------------------------------
+    for q in ("text_quality", "text_tokens", "dedup_exact"):
+        p = plan_of(qs[q](spark, sf_dir))
+        check(f"{q} has no python row UDF",
+              "BatchEvalPython" not in p and "PythonUDF" not in p)
+
+    print()
+    if FAIL:
+        print("VIOLATIONS:", FAIL)
+        sys.exit(1)
+    print("all plan invariants hold")
+
+
+if __name__ == "__main__":
+    main()
