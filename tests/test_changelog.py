@@ -94,3 +94,80 @@ def test_content_sha256_invariant(spark_tables, fixture_tables):
 
     for r in blobs(files).collect():
         assert hashlib.sha256(r.content.encode()).hexdigest() == r.content_sha
+
+
+def test_changelog_property_random(spark):
+    """Randomized equivalence: the window-based change_events formulation ==
+    a brute-force consecutive-snapshot diff, over arbitrary per-path
+    presence/content patterns (gaps, re-adds, tail removals, sha-equal
+    no-ops)."""
+    import random
+
+    rng = random.Random(20260817)
+    n_commits = 7
+    repos = ["rA", "rB"]
+    rows = []  # (repo, path, commit, content)
+    commit_rows = []
+    for repo in repos:
+        for s in range(n_commits):
+            commit_rows.append((repo, f"{repo}_c{s}", s))
+        for p in range(8):
+            path = f"f{p}.txt"
+            version = 0
+            present_prev = False
+            content = None
+            for s in range(n_commits):
+                action = rng.random()
+                if not present_prev:
+                    present = action < 0.55
+                    if present:
+                        version += 1
+                        content = f"{path} v{version}"
+                else:
+                    if action < 0.2:
+                        present = False
+                    else:
+                        present = True
+                        if action < 0.6:  # modify
+                            version += 1
+                            content = f"{path} v{version}"
+                        # else keep identical content (sha-equal no-op)
+                if present:
+                    rows.append((repo, path, f"{repo}_c{s}", content))
+                present_prev = present
+
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    commits = spark.createDataFrame(
+        commit_rows, "repo string, commit string, commit_seq int"
+    )
+
+    got = {
+        (r.repo, r.path, r.commit_seq, r.status)
+        for r in change_events(files, commits).collect()
+    }
+
+    # brute-force oracle: diff consecutive snapshots per repo
+    snap = {}  # (repo, seq) -> {path: content}
+    for repo, path, commit, content in rows:
+        seq = int(commit.rsplit("c", 1)[1])
+        snap.setdefault((repo, seq), {})[path] = content
+    expected = set()
+    for repo in repos:
+        prev = {}
+        for s in range(n_commits):
+            cur = snap.get((repo, s), {})
+            for path, content in cur.items():
+                if path not in prev:
+                    expected.add((repo, path, s, "added"))
+                elif prev[path] != content:
+                    expected.add((repo, path, s, "modified"))
+            for path in prev:
+                if path not in cur:
+                    expected.add((repo, path, s, "removed"))
+            prev = cur
+
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:10]} extra={sorted(got - expected)[:10]}"
+    )
