@@ -53,3 +53,34 @@ def test_spark_python_mirrors_agree(spark):
         assert r.e == iri.py_entity_curie(r.path, "sha1234")
         assert r.b == iri.py_base_entity_curie(r.path)
         assert r.a == iri.py_agent_curie(r.path)
+
+
+def test_mirrors_agree_fuzz_unicode(spark):
+    """Fuzz the translate-fast-path/regexp-fallback split in
+    escape_local_name: for arbitrary unicode (ASCII-only rows take
+    translate, others the regex engine) the Spark expression must equal the
+    python mirror char-for-char."""
+    import random
+
+    rng = random.Random(99)
+    alphabets = [
+        "abcXYZ019._-", "/\\. ", "!@#$%^&*()+=[]{};:'\",<>?|`~",
+        "éüß中文ру", "\U0001f600\U0001f680",
+        "\t\n\r", "a b c",
+    ]
+    cases = set()
+    for _ in range(300):
+        k = rng.randrange(0, 12)
+        s = "".join(rng.choice(rng.choice(alphabets)) for _ in range(k))
+        if "\n" not in s and "\r" not in s:  # parquet/NT-safe inputs
+            cases.add(s)
+    cases = sorted(cases)
+    df = spark.createDataFrame([(c,) for c in cases], "path string")
+    rows = df.select(
+        "path",
+        iri.escape_local_name(F.col("path")).alias("esc"),
+        iri.san(F.col("path")).alias("san"),
+    ).collect()
+    for r in rows:
+        assert r.esc == iri.py_escape_local_name(r.path), repr(r.path)
+        assert r.san == iri.py_san(r.path), repr(r.path)
