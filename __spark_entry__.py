@@ -568,7 +568,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "udf_diffstats": oracles.sql_diffstats("documents"),
         "dedup_exact": oracles.sql_exact_dupes(aug_exact),
-        "dedup_ngram_jaccard": oracles.sql_ngram_jaccard(aug_near, n=4, min_pct=60),
+        "dedup_ngram_jaccard": oracles.sql_ngram_jaccard(
+            aug_near, n=4, min_pct=60, max_df=dedup.DEFAULT_NGRAM_MAX_DF
+        ),
         "dedup_minhash_lsh": oracles.sql_minhash_lsh(aug_near, n=4),
         "dedup_simhash": oracles.sql_simhash_pairs(aug_exact),
         "dedup_embedding_cosine": oracles.sql_embedding_dupes("embeddings", 0.3),

@@ -73,16 +73,26 @@ def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Shingles appearing in more docs than this are dropped before the pair
+# self-join (the standard "stopword shingle" cut). A shingle shared by D docs
+# contributes D^2 candidate rows — unbounded, the hottest shingle dominates
+# the join at corpus scale. The default is far above any real near-dup
+# signal's df and far below corpus size; callers wanting the unbounded exact
+# semantics must opt in with max_df=None.
+DEFAULT_NGRAM_MAX_DF = 100_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 4,
     min_pct: int = 60,
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ min_pct% (integer-exact compare:
     100*|A∩B| >= min_pct*|A∪B|). `max_df` drops shingles appearing in more
-    than that many docs (bounds the self-join at scale)."""
+    than that many docs (bounds the self-join at scale); None disables the
+    cap (exact, unbounded join — small inputs only)."""
     sh = shingles(df, n=n, id_col=id_col)
     if max_df is not None:
         rare = (

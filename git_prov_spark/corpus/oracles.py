@@ -128,32 +128,35 @@ def sql_ngram_jaccard(src: str = "documents", n: int = 4, min_pct: int = 60,
     )
 
 
-def _minhash_sig_cte(n: int = 4) -> str:
-    """Expects `toks`; yields sig(doc_id, mh0..mh15)."""
+def _minhash_sig_cte(n: int = 4, perms: list[tuple[int, int]] | None = None) -> str:
+    """CTE clauses (comma-joined fragment, NO 'WITH' prologue — the caller
+    composes it after its own leading CTEs); yields sig(doc_id, mh0..mhK)."""
+    perms = MINHASH_PERMS if perms is None else perms
     mins = ", ".join(
         f"min({perm_expr('h', a, b)}) AS mh{i}"
-        for i, (a, b) in enumerate(MINHASH_PERMS)
+        for i, (a, b) in enumerate(perms)
     )
     return (
-        f"WITH_SH sh AS ({shingles_cte(n)}), "
+        f"sh AS ({shingles_cte(n)}), "
         f"hs AS (SELECT doc_id, {duck_hmod('shingle')} AS h FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)"
     )
 
 
-def sql_minhash_lsh(src: str = "documents", n: int = 4) -> str:
+def sql_minhash_lsh(src: str = "documents", n: int = 4,
+                    perms: list[tuple[int, int]] | None = None,
+                    bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     band_rows = []
-    for band in range(LSH_BANDS):
+    for band in range(bands):
         cols = ", ".join(
-            f"CAST(mh{band * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            f"CAST(mh{band * rows + r} AS VARCHAR)" for r in range(rows)
         )
         band_rows.append(
             f"SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS sig_h FROM sig"
         )
     stacked = " UNION ALL ".join(band_rows)
-    sig_cte = _minhash_sig_cte(n).replace("WITH_SH ", "")
     return (
-        f"WITH toks AS ({toks_cte(src)}), {sig_cte}, "
+        f"WITH toks AS ({toks_cte(src)}), {_minhash_sig_cte(n, perms)}, "
         f"stacked AS ({stacked}) "
         "SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands "
         "FROM stacked a JOIN stacked b "
@@ -272,11 +275,19 @@ def sql_frame_samples(src: str = "documents", n_frames: int = 4,
 
 def sql_diffstats(src: str = "documents") -> str:
     """Multiset token diff between consecutive doc_ids — the SQL twin of the
-    pipeline's Arrow-batched diff_stats_udf (pipeline/diffstats.py)."""
+    pipeline's Arrow-batched diff_stats_udf (pipeline/diffstats.py).
+
+    Zero-token docs: the Spark side array_joins an empty token list into '',
+    which the UDF counts as ONE empty line (pipeline semantics: '' is a
+    line — see tests/test_diffstats.py goldens). The tc CTE mirrors that
+    with a synthetic ('', 1) row per empty doc, so single- and double-empty
+    pairs agree instead of vanishing from the inner join."""
     return (
         f"WITH toks AS ({toks_cte(src)}), "
         "tc AS (SELECT doc_id, t, count(*) AS n FROM "
-        "(SELECT doc_id, unnest(tokens) AS t FROM toks) u GROUP BY 1, 2), "
+        "(SELECT doc_id, unnest(tokens) AS t FROM toks) u GROUP BY 1, 2 "
+        "UNION ALL SELECT doc_id, '' AS t, 1 AS n FROM toks "
+        "WHERE len(tokens) = 0), "
         f"pairs AS (SELECT a.doc_id AS d_old, b.doc_id AS d_new FROM {src} a "
         f"JOIN {src} b ON b.doc_id = a.doc_id + 1), "
         "deltas AS (SELECT p.d_old, p.d_new, t.t, "

@@ -24,11 +24,13 @@ from pyspark.sql import functions as F
 _SAN_RE = r"[/\\. ]"
 _ESCAPE_RE = r"[^A-Za-z0-9._-]"
 
-# every ASCII char (0x01-0x7F) outside [A-Za-z0-9._-] — the translate()
+# every ASCII char (0x00-0x7F) outside [A-Za-z0-9._-] — the translate()
 # fast path for escape_local_name (char-class regexps in Spark 4 run ~35x
-# slower than translate; see tests/test_iri.py mirror checks)
+# slower than translate; see tests/test_iri.py mirror checks). NUL is
+# included: a string containing \x00 is still pure-ASCII (octet_length ==
+# length) so it takes this path and must escape like the regexp does.
 _ILLEGAL_ASCII = "".join(
-    c for c in map(chr, range(1, 128))
+    c for c in map(chr, range(0, 128))
     if not (c.isascii() and c.isalnum()) and c not in "._-"
 )
 _SAN_CHARS = "/\\. "

@@ -36,6 +36,7 @@ def repo_bucket(n_buckets: int = DEFAULT_BUCKETS):
 def write_triples(
     triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "overwrite", salt_files: int = 4,
+    expected_preds: int = 32, max_write_partitions: int = 2048,
 ) -> None:
     # Shuffle on the partition keys first so each (repo_bucket, pred)
     # directory is written by few tasks — without this, each of the T write
@@ -45,10 +46,16 @@ def write_triples(
     # becomes the stage straggler (observed: a 56s task in a 57s stage).
     # A bounded salt splits every directory across salt_files tasks — file
     # count stays <= buckets x preds x salt_files, straggler ~1/salt_files.
+    #
+    # numPartitions is explicit: with the session default (e.g. 32 shuffle
+    # partitions) the ~2000 distinct (bucket, pred, salt) keys would hash-
+    # collide many directories into one task, partially re-introducing the
+    # straggler the salt exists to fix.
+    n_parts = min(max_write_partitions, n_buckets * salt_files * expected_preds)
     salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(salt_files))
     (
         triples.withColumn("repo_bucket", repo_bucket(n_buckets))
-        .repartition(F.col("repo_bucket"), F.col("pred"), salt)
+        .repartition(n_parts, F.col("repo_bucket"), F.col("pred"), salt)
         .write.mode(mode)
         .partitionBy("repo_bucket", "pred")
         .parquet(path)

@@ -66,7 +66,7 @@ def test_mirrors_agree_fuzz_unicode(spark):
     alphabets = [
         "abcXYZ019._-", "/\\. ", "!@#$%^&*()+=[]{};:'\",<>?|`~",
         "éüß中文ру", "\U0001f600\U0001f680",
-        "\t\n\r", "a b c",
+        "\t\n\r", "a b c", "\x00a\x00",  # NUL stays on the ASCII fast path
     ]
     cases = set()
     for _ in range(300):
