@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from git_prov_spark.corpus import dedup, multimodal, oracles, similarity
 from git_prov_spark.corpus import text as ctext
+from git_prov_spark.operators import global_row_number
 from git_prov_spark.pipeline.build import build_triples
 from git_prov_spark.pipeline.diffstats import diff_stats_udf
 
@@ -165,9 +166,13 @@ def q_scan_filter(spark, sf_dir):
 
 
 def q_sort_commits(spark, sf_dir):
+    """Global chronological sequence (SURVEY §2.6 O1) — range-partitioned
+    sort + per-partition offsets (operators.global_row_number), NOT a
+    partition-less window: no stage funnels all rows through one task."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.asc("ts"), F.asc("event_id"))
-    return ev.select("event_id", F.row_number().over(w).cast("long").alias("global_seq"))
+    return global_row_number(ev, ["ts", "event_id"], "global_seq").select(
+        "event_id", "global_seq"
+    )
 
 
 def q_distinct_repos(spark, sf_dir):

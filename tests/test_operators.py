@@ -1,0 +1,52 @@
+"""global_row_number: value parity with the naive global window + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from git_prov_spark.operators import global_row_number
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, ts long, id long")
+
+
+def test_matches_naive_global_window(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"k{i % 7}", rng.randrange(0, 50), i) for i in range(500)]
+    df = _mk(spark, rows)
+
+    got = {
+        (r.id): r.seq
+        for r in global_row_number(df, ["ts", "id"], "seq").collect()
+    }
+    w = Window.orderBy("ts", "id")
+    want = {
+        r.id: r.seq
+        for r in df.select("id", F.row_number().over(w).cast("long").alias("seq")).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [("a", i % 13, i) for i in range(300)]
+    a = global_row_number(_mk(spark, rows).repartition(3), ["ts", "id"]).collect()
+    b = global_row_number(_mk(spark, rows).repartition(11), ["ts", "id"], num_partitions=5).collect()
+    assert {(r.id, r.seq) for r in a} == {(r.id, r.seq) for r in b}
+
+
+def test_empty_input(spark):
+    df = _mk(spark, []).where(F.lit(False))
+    assert global_row_number(df, ["ts", "id"]).count() == 0
+
+
+def test_no_single_partition_window(spark):
+    df = _mk(spark, [("a", i, i) for i in range(64)])
+    out = global_row_number(df, ["ts", "id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -102,6 +102,16 @@ def main() -> None:
         check(f"{q} has no python row UDF",
               "BatchEvalPython" not in p and "PythonUDF" not in p)
 
+    # -- no partition-less windows anywhere (the single-task scale-killer) --
+    # A Window over an un-partitioned spec plans as Exchange SinglePartition
+    # -> every row through ONE task. Queries that rank within a key partition
+    # (query_id, user_id, ...) never produce that exchange.
+    for q, fn in qs.items():
+        p = plan_of(fn(spark, sf_dir))
+        if "Window" in p:
+            check(f"{q} has no global (single-partition) window",
+                  "Exchange SinglePartition" not in p)
+
     print()
     if FAIL:
         print("VIOLATIONS:", FAIL)
