@@ -369,8 +369,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_aug_near_df(spark, sf_dir), n=4)
 
 
-def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_dupe_pairs(_aug_exact_df(spark, sf_dir))
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit banded SimHash near-dup pairs (hamming ≤ 3) over a corpus with
+    planted exact copies AND planted one-token-dropped near-copies."""
+    return dedup.simhash64_near_pairs(_aug_near_df(spark, sf_dir))
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -471,7 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -577,7 +579,7 @@ def oracle_sql() -> dict[str, str]:
             aug_near, n=4, min_pct=60, max_df=dedup.DEFAULT_NGRAM_MAX_DF
         ),
         "dedup_minhash_lsh": oracles.sql_minhash_lsh(aug_near, n=4),
-        "dedup_simhash": oracles.sql_simhash_pairs(aug_exact),
+        "dedup_simhash64": oracles.sql_simhash64_pairs(aug_near),
         "dedup_embedding_cosine": oracles.sql_embedding_dupes("embeddings", 0.3),
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),

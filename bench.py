@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "udf_diffstats",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_pandas",
     "text_quality",

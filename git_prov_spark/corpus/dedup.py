@@ -14,9 +14,12 @@ Scale notes (the 100 TB story for each):
   16-pass scan), banded into 4 buckets; candidate pairs come from equi-joins
   on (band, signature) — never an all-pairs product. This is the linear-ish
   scale path for near-dedup.
-* **SimHash** — 16 bit-sums in one aggregate; equal-hash grouping finds
-  near-dups at hamming 0; a banded variant (split hash into halves) would
-  extend to hamming ≤ k.
+* **SimHash** — 64-bit signature (64 bit-sums in ONE aggregate), banded
+  into 4×16 bits: candidate pairs from an equi-join on any shared band
+  (perfect recall for hamming ≤ 3 by pigeonhole), exact hamming verified
+  with bit_count(xor). Never an all-pairs product; 64 bits keep unrelated
+  docs from colliding at corpus scale (a 16-bit hash has only 65,536
+  values — birthday-saturated by any real corpus).
 * **embedding cosine** — brute-force all-pairs is the correctness baseline
   (quadratic — small inputs only); the scale path is LSH bucketing in
   `similarity.py` (bucket-join instead of cross-join).
@@ -35,7 +38,10 @@ from .hashing import (
     LSH_ROWS,
     MERSENNE_P,
     MINHASH_PERMS,
-    SIMHASH_BITS,
+    SIMHASH64_BAND_BITS,
+    SIMHASH64_BANDS,
+    SIMHASH64_BITS,
+    SIMHASH_HI_SUFFIX,
     perm_expr,
     spark_h64,
     spark_hmod,
@@ -165,35 +171,95 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over token hashes. Bit j is set when
-    the majority of tokens have bit j set in their portable hash (sum of ±1)."""
+def simhash64_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, b0..b3): 64-bit SimHash split into four 16-bit bands.
+
+    Bit j is set when the majority of the doc's tokens have bit j set in
+    their portable hash (sum of ±1 > 0). Bits 0-31 come from the base token
+    hash, 32-63 from a suffixed re-hash — both md5-derived so the DuckDB
+    oracle reproduces them bit-for-bit. All 64 bit-sums run in ONE groupBy
+    (map-side partial agg, single shuffle of the token explosion).
+    """
     tok = (
         with_tokens(df)
         .select(F.col(id_col), F.explode("tokens").alias("tok"))
-        .withColumn("h", F.expr(spark_h64("tok")))
+        .withColumn("hlo", F.expr(spark_h64("tok")))
+        .withColumn(
+            "hhi", F.expr(spark_h64(f"concat(tok, '{SIMHASH_HI_SUFFIX}')"))
+        )
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+    bit_sums = []
+    for j in range(SIMHASH64_BITS):
+        src, shift = ("hlo", j) if j < 32 else ("hhi", j - 32)
+        bit_sums.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+        )
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    band_cols = []
+    for b in range(SIMHASH64_BANDS):
+        band = None
+        for r in range(SIMHASH64_BAND_BITS):
+            j = b * SIMHASH64_BAND_BITS + r
+            bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            band = bit if band is None else band + bit
+        band_cols.append(band.cast("long").alias(f"b{b}"))
+    return agg.select(F.col(id_col), *band_cols)
 
 
-def simhash_dupe_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs at hamming distance 0 (equal SimHash)."""
-    s = simhash(df, id_col=id_col)
-    a = s.select(F.col(id_col).alias("d1"), "simhash")
-    b = s.select(F.col(id_col).alias("d2"), "simhash")
-    return a.join(b, "simhash").where(F.col("d1") < F.col("d2")).select(
-        "d1", "d2", "simhash"
+def simhash64_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs at SimHash hamming distance ≤ max_hamming.
+
+    Candidates come from an equi-join on any shared 16-bit band — never an
+    all-pairs product; with 4 bands, recall is EXACT for hamming ≤ 3
+    (pigeonhole: ≤3 flipped bits leave ≥1 band intact). max_hamming > 3
+    would need more/wider bands for full recall. Exact hamming is then
+    verified with bit_count(xor) over the four bands.
+    Output: (d1, d2, hamming), d1 < d2.
+    """
+    bands = simhash64_bands(df, id_col=id_col)
+    stacked = bands.select(
+        F.col(id_col),
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"b{b}").alias("val")
+                )
+                for b in range(SIMHASH64_BANDS)
+            ])
+        ),
+    )
+    a = stacked.select(F.col(id_col).alias("d1"), "band", "val")
+    b = stacked.select(F.col(id_col).alias("d2"), "band", "val")
+    cands = (
+        a.join(b, ["band", "val"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    b1 = bands.select(
+        F.col(id_col).alias("d1"),
+        *[F.col(f"b{i}").alias(f"x{i}") for i in range(SIMHASH64_BANDS)],
+    )
+    b2 = bands.select(
+        F.col(id_col).alias("d2"),
+        *[F.col(f"b{i}").alias(f"y{i}") for i in range(SIMHASH64_BANDS)],
+    )
+    hamming = None
+    for i in range(SIMHASH64_BANDS):
+        h = F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cands.join(b1, "d1")
+        .join(b2, "d2")
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
     )
 
 

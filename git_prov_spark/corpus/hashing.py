@@ -36,7 +36,15 @@ N_MINHASH = len(MINHASH_PERMS)
 LSH_BANDS = 4          # 4 bands × 4 rows over the 16-sig
 LSH_ROWS = N_MINHASH // LSH_BANDS
 
-SIMHASH_BITS = 16
+# 64-bit SimHash: 32 bits from the token's base hash, 32 from a suffixed
+# re-hash ('#hi' contains a space, which whitespace tokens never do, so the
+# two hash families can't collide on crafted inputs). Banded into 4x16 bits:
+# any pair at hamming <= SIMHASH64_BANDS-1 = 3 shares at least one intact
+# band (pigeonhole), so the banded equi-join has perfect recall at <=3.
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS
+SIMHASH_HI_SUFFIX = " #hi"
 
 # Random-hyperplane LSH for embeddings: weight(plane, dim) derived from the
 # portable hash so both engines mint identical hyperplanes.

@@ -19,7 +19,10 @@ from .hashing import (
     LSH_ROWS,
     MERSENNE_P,
     MINHASH_PERMS,
-    SIMHASH_BITS,
+    SIMHASH64_BAND_BITS,
+    SIMHASH64_BANDS,
+    SIMHASH64_BITS,
+    SIMHASH_HI_SUFFIX,
     duck_h64,
     duck_hmod,
     perm_expr,
@@ -165,22 +168,44 @@ def sql_minhash_lsh(src: str = "documents", n: int = 4,
     )
 
 
-def sql_simhash_pairs(src: str = "documents") -> str:
+def sql_simhash64_pairs(src: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash64_near_pairs: 64-bit banded SimHash,
+    band equi-join candidates, exact hamming via bit_count(xor)."""
     sums = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        f"sum(CASE WHEN ({'hlo' if j < 32 else 'hhi'} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH64_BITS)
     )
-    bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    band_exprs = []
+    for b in range(SIMHASH64_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN s{b * SIMHASH64_BAND_BITS + r} > 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(SIMHASH64_BAND_BITS)
+        )
+        band_exprs.append(f"CAST({bits} AS BIGINT) AS b{b}")
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS val FROM bands"
+        for b in range(SIMHASH64_BANDS)
     )
+    hamming = " + ".join(
+        f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(SIMHASH64_BANDS)
+    )
+    hi_hash = duck_h64(f"t || '{SIMHASH_HI_SUFFIX}'")
     return (
         f"WITH toks AS ({toks_cte(src)}), "
         "tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks), "
-        f"hs AS (SELECT doc_id, {duck_h64('t')} AS h FROM tok), "
+        f"hs AS (SELECT doc_id, {duck_h64('t')} AS hlo, "
+        f"{hi_hash} AS hhi FROM tok), "
         f"agg AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id), "
-        f"sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg) "
-        "SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash "
-        "FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id"
+        f"bands AS (SELECT doc_id, {', '.join(band_exprs)} FROM agg), "
+        f"stacked AS ({stacked}), "
+        "cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM stacked a JOIN stacked b "
+        "ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id) "
+        f"SELECT d1, d2, CAST({hamming} AS BIGINT) AS hamming "
+        "FROM cands JOIN bands x ON x.doc_id = d1 JOIN bands y ON y.doc_id = d2 "
+        f"WHERE {hamming} <= {max_hamming}"
     )
 
 
