@@ -436,6 +436,44 @@ def q_mm_frames(spark, sf_dir):
     return multimodal.frame_samples(media)
 
 
+def q_sparql_select(spark, sf_dir):
+    """SPARQL SELECT string frontend (SURVEY §2.11 Q1) over a triples view
+    derived from events: click/purchase edges per user. The raw query string
+    parses, compiles to BGP self-joins, and applies the inequality FILTER."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        PREFIX ev: <http://example.org/ev#>
+        SELECT ?u ?c ?p WHERE {
+          ?u ev:did_click ?c .
+          ?u ev:did_purchase ?p .
+          FILTER(?u != "user-1")
+        }
+        """,
+    )
+
+
+SPARQL_SELECT_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj FROM events) "
+    "SELECT DISTINCT a.subj AS u, a.obj AS c, b.obj AS p "
+    "FROM t a JOIN t b ON a.subj = b.subj "
+    "AND a.pred = 'ev:did_click' AND b.pred = 'ev:did_purchase' "
+    "WHERE a.subj <> 'user-1'"
+)
+
+
 def q_kg_pred_counts(spark, sf_dir):
     """Flagship KG pipeline, reduced to per-predicate triple counts
     (rows-only driver check; full triple-set parity is gated in pytest)."""
@@ -485,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "sparql_select": q_sparql_select,
         "kg_pred_counts": q_kg_pred_counts,
     }
 
@@ -592,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "mm_frames": oracles.sql_frame_samples("documents"),
+        "sparql_select": SPARQL_SELECT_ORACLE,
         # kg_pred_counts: full-pipeline SQL twin is the pytest oracle's job →
         # rows-only here
     }

@@ -1,0 +1,284 @@
+"""SPARQL SELECT (subset) frontend — raw query strings over the triples table.
+
+The reference accepts arbitrary SPARQL text and answers it with Jena ARQ over
+the stored per-repo model (services/SparqlService.java:16-31,
+controllers/SparqlController.java:33-43). This module closes the string gap
+on top of the existing BGP compiler (queries.bgp): it parses a practical
+SELECT subset and compiles it to the same Catalyst self-join plan — Catalyst
+is the optimizer/executor, exactly as ARQ is for the reference.
+
+Supported subset (documented, validated — anything else raises SparqlError):
+
+    PREFIX foo: <iri>                           -- any number
+    SELECT [DISTINCT] ?a ?b | *                 -- projection
+    WHERE { s p o . s p o . FILTER(?v = term) } -- BGP + equality filters
+    ORDER BY [ASC|DESC](?v) ...                 -- optional
+    LIMIT n                                     -- optional
+
+Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
+the lexical form), and the keyword `a` (rdf:type). Full IRIs are reverse-
+mapped onto the store's CURIE vocabulary (iri.NAMESPACES + the per-repo
+gitprov namespace when `repo` is passed). Bindings follow the BGP compiler's
+set semantics (SELECT behaves as SELECT DISTINCT — the store is a triple SET,
+so patterns cannot produce duplicate bindings anyway).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .iri import NAMESPACES, gitprov_ns
+from .queries import Pattern, bgp
+
+
+class SparqlError(ValueError):
+    """Query text outside the supported SELECT subset."""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)                      # whitespace / comment
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<iri><[^<>"{}|^`\\\s]*>)
+  | (?P<lit>"(?:[^"\\]|\\.)*")
+  | (?P<dtype>\^\^)
+  | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
+  | (?P<word>[A-Za-z][A-Za-z0-9_]*)
+  | (?P<num>[0-9]+)
+  | (?P<punct>[{}().=!,*])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError(f"unexpected character at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            tokens.append((kind, m.group()))
+    return tokens
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+@dataclass
+class Filter:
+    var: str          # variable name (no '?')
+    op: str           # '=' or '!='
+    value: str        # resolved constant (CURIE or literal lexical form)
+
+
+@dataclass
+class SelectQuery:
+    prefixes: dict[str, str] = field(default_factory=dict)
+    distinct: bool = False
+    variables: list[str] | None = None      # None = SELECT *
+    patterns: list[Pattern] = field(default_factory=list)
+    filters: list[Filter] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], repo: str | None):
+        self.toks = tokens
+        self.i = 0
+        self.q = SelectQuery()
+        # reverse map full IRI prefix -> CURIE prefix for constant resolution
+        self.ns = dict(NAMESPACES)
+        if repo is not None:
+            self.ns["gitprov"] = gitprov_ns(repo)
+
+    # -- token helpers ----------------------------------------------------
+    def _peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def _next(self) -> tuple[str, str]:
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, value: str) -> None:
+        kind, tok = self._next()
+        if tok.upper() != value.upper():
+            raise SparqlError(f"expected {value!r}, got {tok!r}")
+
+    def _kw(self, value: str) -> bool:
+        kind, tok = self._peek()
+        if kind == "word" and tok.upper() == value.upper():
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> SelectQuery:
+        while self._kw("PREFIX"):
+            kind, pname = self._next()
+            if kind != "pname" or not pname.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {pname!r}")
+            kind, iri = self._next()
+            if kind != "iri":
+                raise SparqlError(f"bad PREFIX iri {iri!r}")
+            self.q.prefixes[pname[:-1]] = iri[1:-1]
+        self._expect("SELECT")
+        self.q.distinct = self._kw("DISTINCT")
+        self._parse_projection()
+        self._expect("WHERE")
+        self._expect("{")
+        self._parse_group()
+        self._parse_modifiers()
+        if self._peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self._peek()[1]!r}")
+        return self.q
+
+    def _parse_projection(self) -> None:
+        kind, tok = self._peek()
+        if tok == "*":
+            self.i += 1
+            self.q.variables = None
+            return
+        out = []
+        while self._peek()[0] == "var":
+            out.append(self._next()[1][1:])
+        if not out:
+            raise SparqlError("SELECT needs ?vars or *")
+        self.q.variables = out
+
+    def _parse_group(self) -> None:
+        while True:
+            kind, tok = self._peek()
+            if tok == "}":
+                self.i += 1
+                return
+            if kind == "word" and tok.upper() == "FILTER":
+                self.i += 1
+                self._parse_filter()
+            else:
+                s = self._term(as_pattern=True)
+                p = self._term(as_pattern=True, predicate=True)
+                o = self._term(as_pattern=True)
+                self.q.patterns.append((s, p, o))
+            if self._peek()[1] == ".":
+                self.i += 1
+
+    def _parse_filter(self) -> None:
+        self._expect("(")
+        kind, var = self._next()
+        if kind != "var":
+            raise SparqlError("FILTER supports ?var (=|!=) constant")
+        op = self._next()[1]
+        if op == "!":
+            self._expect("=")
+            op = "!="
+        elif op != "=":
+            raise SparqlError(f"FILTER operator {op!r} unsupported (= or !=)")
+        value = self._term(as_pattern=False)
+        if value.startswith("?"):
+            raise SparqlError("FILTER right side must be a constant")
+        self._expect(")")
+        self.q.filters.append(Filter(var[1:], op, value))
+
+    def _parse_modifiers(self) -> None:
+        if self._kw("ORDER"):
+            self._expect("BY")
+            while True:
+                kind, tok = self._peek()
+                if kind == "var":
+                    self.i += 1
+                    self.q.order_by.append((tok[1:], True))
+                elif kind == "word" and tok.upper() in ("ASC", "DESC"):
+                    asc = tok.upper() == "ASC"
+                    self.i += 1
+                    self._expect("(")
+                    kind, v = self._next()
+                    if kind != "var":
+                        raise SparqlError("ORDER BY ASC/DESC needs a ?var")
+                    self._expect(")")
+                    self.q.order_by.append((v[1:], asc))
+                else:
+                    break
+            if not self.q.order_by:
+                raise SparqlError("empty ORDER BY")
+        if self._kw("LIMIT"):
+            kind, n = self._next()
+            if kind != "num":
+                raise SparqlError("LIMIT needs an integer")
+            self.q.limit = int(n)
+
+    # -- terms ------------------------------------------------------------
+    def _term(self, as_pattern: bool, predicate: bool = False) -> str:
+        kind, tok = self._next()
+        if kind == "var":
+            return tok
+        if kind == "word" and tok == "a" and predicate:
+            return "rdf:type"
+        if kind == "pname":
+            return tok  # CURIE, the store's native vocabulary
+        if kind == "iri":
+            return self._curie_of(tok[1:-1])
+        if kind == "lit":
+            value = re.sub(r"\\(.)", r"\1", tok[1:-1])
+            if self._peek()[0] == "dtype":   # "lex"^^type — match lexical form
+                self.i += 1
+                self._next()                 # consume (and ignore) the type
+            return value
+        raise SparqlError(f"unsupported term {tok!r}")
+
+    def _curie_of(self, iri: str) -> str:
+        namespaces = {**self.ns, **self.q.prefixes}
+        for prefix, ns in namespaces.items():
+            if iri.startswith(ns):
+                return f"{prefix}:{iri[len(ns):]}"
+        return iri  # unknown namespace: matched verbatim (usually matches nothing)
+
+
+def parse(query: str, repo: str | None = None) -> SelectQuery:
+    return _Parser(_tokenize(query), repo).parse()
+
+
+# --------------------------------------------------------------------------
+# Compile + execute
+# --------------------------------------------------------------------------
+
+def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+    """Run a SPARQL SELECT (subset) string over the triples DataFrame.
+
+    `repo` prunes to one named graph (the reference's per-repo model) and
+    binds the gitprov: namespace for full-IRI constants.
+    """
+    q = parse(query, repo=repo)
+    if not q.patterns:
+        raise SparqlError("WHERE contains no triple patterns")
+    df = bgp(triples, q.patterns, repo=repo)
+    for flt in q.filters:
+        if flt.var not in df.columns:
+            raise SparqlError(f"FILTER on unbound variable ?{flt.var}")
+        cond = F.col(flt.var) == flt.value
+        df = df.where(cond if flt.op == "=" else ~cond)
+    if q.variables is not None:
+        missing = [v for v in q.variables if v not in df.columns]
+        if missing:
+            raise SparqlError(f"SELECT of unbound variables: {missing}")
+        df = df.select(*q.variables).distinct()  # set semantics (see module doc)
+    if q.order_by:
+        df = df.orderBy(*[
+            F.asc(v) if asc else F.desc(v) for v, asc in q.order_by
+        ])
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

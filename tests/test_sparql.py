@@ -1,0 +1,149 @@
+"""SPARQL SELECT (subset) frontend: parse goldens, execution vs the oracle
+triple set, equivalence of CURIE / full-IRI / `a` spellings, filters,
+modifiers, and rejection of out-of-subset queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from git_prov_spark.sparql import SparqlError, execute, parse
+
+HOT = "org0/hot"
+
+
+def _expected(oracle_set, repo, pred):
+    return {(s, o) for r, s, p, o, _ in oracle_set if r == repo and p == pred}
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+def test_parse_golden():
+    q = parse(
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT DISTINCT ?c ?label
+        WHERE {
+          ?c a prov:Activity .
+          ?c <http://www.w3.org/2000/01/rdf-schema#label> ?label .
+          FILTER(?label = "Initial commit")
+        }
+        ORDER BY DESC(?c) LIMIT 10
+        """
+    )
+    assert q.distinct and q.variables == ["c", "label"]
+    assert q.patterns == [
+        ("?c", "rdf:type", "prov:Activity"),
+        ("?c", "rdfs:label", "?label"),
+    ]
+    assert [(f.var, f.op, f.value) for f in q.filters] == [
+        ("label", "=", "Initial commit")
+    ]
+    assert q.order_by == [("c", False)] and q.limit == 10
+
+
+def test_parse_star_and_user_prefix():
+    q = parse(
+        'PREFIX ex: <http://example.org/x#> '
+        'SELECT * WHERE { ?s ex:knows ?o . ?o <http://example.org/x#age> "7"^^ex:int }'
+    )
+    assert q.variables is None
+    assert q.patterns == [("?s", "ex:knows", "?o"), ("?o", "ex:age", "7")]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ASK { ?s ?p ?o }",                            # not SELECT
+        "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }",  # non-equality filter
+        "SELECT WHERE { ?s ?p ?o }",                   # no projection
+        "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",        # bad limit
+        "SELECT ?s WHERE { ?s ?p ?o } garbage",        # trailing input
+    ],
+)
+def test_parse_rejects_out_of_subset(bad):
+    with pytest.raises(SparqlError):
+        parse(bad)
+
+
+# --------------------------------------------------------------------------
+# Execution over the fixture graph (vs the independent python oracle)
+# --------------------------------------------------------------------------
+
+def test_execute_activities_with_labels(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?c ?label WHERE { ?c a prov:Activity . ?c rdfs:label ?label }
+        """,
+        repo=HOT,
+    )
+    types = _expected(oracle_set, HOT, "rdf:type")
+    labels = _expected(oracle_set, HOT, "rdfs:label")
+    activities = {s for s, o in types if o == "prov:Activity"}
+    expected = {(c, lbl) for c, lbl in labels if c in activities}
+    assert {(r.c, r.label) for r in got.collect()} == expected
+    assert len(expected) > 0
+
+
+def test_execute_full_iri_equals_curie(triples_df):
+    curie = execute(
+        triples_df,
+        "SELECT ?c ?p WHERE { ?c prov:wasInformedBy ?p }",
+        repo=HOT,
+    )
+    full = execute(
+        triples_df,
+        "SELECT ?c ?p WHERE { ?c <http://www.w3.org/ns/prov#wasInformedBy> ?p }",
+        repo=HOT,
+    )
+    assert {tuple(r) for r in curie.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_execute_filter_and_projection(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        SELECT ?e WHERE {
+          ?e prov:wasGeneratedBy ?c .
+          FILTER(?c != "gitprov:commit-nonexistent")
+        }
+        """,
+        repo=HOT,
+    )
+    gen = _expected(oracle_set, HOT, "prov:wasGeneratedBy")
+    assert {r.e for r in got.collect()} == {e for e, _ in gen}
+
+
+def test_execute_gitprov_full_iri(triples_df, oracle_set):
+    """Per-repo gitprov namespace resolves in full-IRI constants."""
+    gen = _expected(oracle_set, HOT, "prov:wasGeneratedBy")
+    some_commit = sorted(c for _, c in gen)[0]  # e.g. gitprov:commit-<sha>
+    local = some_commit.split(":", 1)[1]
+    got = execute(
+        triples_df,
+        f"SELECT ?e WHERE {{ ?e prov:wasGeneratedBy <gitprov://{HOT}#{local}> }}",
+        repo=HOT,
+    )
+    expected = {e for e, c in gen if c == some_commit}
+    assert {r.e for r in got.collect()} == expected
+    assert len(expected) > 0
+
+
+def test_execute_order_by_limit(triples_df):
+    got = execute(
+        triples_df,
+        "SELECT ?c WHERE { ?c a prov:Activity } ORDER BY ASC(?c) LIMIT 3",
+        repo=HOT,
+    ).collect()
+    vals = [r.c for r in got]
+    assert len(vals) == 3 and vals == sorted(vals)
+
+
+def test_execute_unbound_select_raises(triples_df):
+    with pytest.raises(SparqlError):
+        execute(triples_df, "SELECT ?nope WHERE { ?c a prov:Activity }", repo=HOT)
