@@ -475,12 +475,70 @@ SPARQL_SELECT_ORACLE = (
 
 
 def q_kg_pred_counts(spark, sf_dir):
-    """Flagship KG pipeline, reduced to per-predicate triple counts
-    (rows-only driver check; full triple-set parity is gated in pytest)."""
+    """Flagship KG pipeline, reduced to per-predicate triple counts.
+
+    The DuckDB twin (KG_PRED_COUNTS_ORACLE) derives the same counts in
+    closed form from the documents table and the adapter's construction
+    rules (_docs_as_repo_tables): per repo there are 2 commits, 1
+    contributor, n docs (n_e even ones snapshotted at c0, all at c1, the
+    doc_id%4==0 subset modified at c1), so every statement builder's row
+    count is a linear formula in (repos, docs, modified). Full triple-set
+    parity (values, not counts) is separately gated in pytest against the
+    pure-python oracle."""
     files, commits, contributors = _docs_as_repo_tables(spark, sf_dir)
     return (
         build_triples(files, commits, contributors)
         .groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+    )
+
+
+def _kg_pred_counts_oracle() -> str:
+    # per-predicate emission formulas; r = repos, n = docs, q = docs modified
+    # at c1 (doc_id % 4 == 0). Events: n adds (n_e at c0 + n-n_e at c1) + q
+    # modifications; no removals. See pipeline/statements.py builders.
+    formulas = {
+        "rdf:type": "6*r + 3*n + 4*q",
+        "rdfs:label": "3*r + 2*n + q",
+        "foaf:homepage": "3*r",
+        "prov:startedAtTime": "2*r",
+        "prov:type": "r",
+        "gitprov:contributions": "r",
+        "foaf:img": "r",
+        "foaf:mbox": "r",
+        "foaf:name": "r",
+        "prov:wasAssociatedWith": "2*r",
+        "prov:qualifiedAssociation": "2*r",
+        "prov:agent": "2*r",
+        "prov:hadRole": "2*r",
+        "prov:wasInformedBy": "r",
+        "prov:qualifiedCommunication": "r",
+        "prov:activity": "r + n + q",
+        "prov:specializationOf": "n + q",
+        "prov:wasGeneratedBy": "n + q",
+        "prov:qualifiedGeneration": "n + q",
+        "prov:atTime": "n + 2*q",
+        "prov:used": "q",
+        "prov:qualifiedUsage": "q",
+        "prov:entity": "2*q",
+        "prov:wasDerivedFrom": "q",
+        "prov:qualifiedDerivation": "q",
+        "prov:hadActivity": "q",
+        "prov:hadGeneration": "q",
+        "prov:hadUsage": "q",
+        "gitprov:additions": "q",
+        "gitprov:changes": "q",
+        "gitprov:deletions": "q",
+    }
+    selects = " UNION ALL ".join(
+        f"SELECT '{pred}' AS pred, CAST({expr} AS BIGINT) AS n FROM tot"
+        for pred, expr in formulas.items()
+    )
+    return (
+        "WITH tot AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS r, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(*) FILTER (doc_id % 4 = 0) AS BIGINT) AS q "
+        "FROM documents) "
+        f"SELECT pred, n FROM ({selects}) WHERE n > 0 ORDER BY pred"
     )
 
 
@@ -623,8 +681,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
-        # ann_topk_pandas: numpy matmul sums floats in a different order than
-        # the sequential SQL fold → rows-only check (intentionally no oracle)
+        # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
+        # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
+        # which can only flip a rank at an exact cosine tie — the testdata
+        # embeddings are random floats with pair-gaps ~1e-3, so the discrete
+        # rank output equals the brute-force oracle (verified at sf0.01/0.1)
+        "ann_topk_pandas": oracles.sql_topk_bruteforce("embeddings"),
         "text_tokens": oracles.sql_token_counts("documents"),
         "text_langid": oracles.sql_lang_id("documents"),
         "text_quality": oracles.sql_quality("documents"),
@@ -632,6 +694,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": oracles.sql_media_features("documents"),
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
-        # kg_pred_counts: full-pipeline SQL twin is the pytest oracle's job →
-        # rows-only here
+        "kg_pred_counts": _kg_pred_counts_oracle(),
     }
