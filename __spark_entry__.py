@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from git_prov_spark.corpus import dedup, multimodal, oracles, similarity
+from git_prov_spark.corpus import dedup, hashing, multimodal, oracles, similarity
 from git_prov_spark.corpus import text as ctext
 from git_prov_spark.operators import global_row_number
 from git_prov_spark.pipeline.build import build_triples
@@ -369,6 +369,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_aug_near_df(spark, sf_dir), n=4)
 
 
+def q_dedup_minhash_lsh_wide(spark, sf_dir):
+    """Production-size MinHash-LSH (128 perms, 16x8 bands) — same banded
+    equi-join shape, sharper S-curve; the 16-perm variant stays as the
+    compact demo."""
+    return dedup.lsh_candidate_pairs_wide(_aug_near_df(spark, sf_dir), n=4)
+
+
 def q_dedup_simhash64(spark, sf_dir):
     """64-bit banded SimHash near-dup pairs (hamming ≤ 3) over a corpus with
     planted exact copies AND planted one-token-dropped near-copies."""
@@ -389,6 +396,15 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 def q_ann_topk_lsh(spark, sf_dir):
     return similarity.topk_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """16-plane (65,536-bucket) ANN with hamming-1 multi-probe — production
+    bucket granularity; see similarity.topk_lsh_multiprobe. On the RANDOM
+    testdata embeddings most probes are empty (corpus << bucket count), so
+    the result is sparse by design; recall on clustered/near-dup data is
+    the real contract, asserted in tests/test_wide_lsh.py."""
+    return similarity.topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"))
 
 
 def q_ann_topk_pandas(spark, sf_dir):
@@ -569,11 +585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_wide": q_dedup_minhash_lsh_wide,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_multiprobe": q_ann_topk_multiprobe,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -676,11 +694,16 @@ def oracle_sql() -> dict[str, str]:
             aug_near, n=4, min_pct=60, max_df=dedup.DEFAULT_NGRAM_MAX_DF
         ),
         "dedup_minhash_lsh": oracles.sql_minhash_lsh(aug_near, n=4),
+        "dedup_minhash_lsh_wide": oracles.sql_minhash_lsh(
+            aug_near, n=4, perms=hashing.MINHASH_PERMS_WIDE,
+            bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
+        ),
         "dedup_simhash64": oracles.sql_simhash64_pairs(aug_near),
         "dedup_embedding_cosine": oracles.sql_embedding_dupes("embeddings", 0.3),
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
+        "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
         # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
         # which can only flip a rank at an exact cosine tie — the testdata

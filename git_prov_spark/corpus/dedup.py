@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 
 from .hashing import (
     LSH_BANDS,
+    LSH_BANDS_WIDE,
     LSH_ROWS,
+    LSH_ROWS_WIDE,
     MERSENNE_P,
     MINHASH_PERMS,
+    MINHASH_PERMS_WIDE,
     SIMHASH64_BAND_BITS,
     SIMHASH64_BANDS,
     SIMHASH64_BITS,
@@ -125,28 +128,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, mh0..mh15): one groupBy computing all 16 permutation minima
-    over the shingle hashes — single shuffle, map-side partial min."""
+def minhash_signatures(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id",
+    perms: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(doc_id, mh0..mhK): one groupBy computing ALL permutation minima over
+    the shingle hashes — single shuffle, map-side partial min, regardless of
+    how many permutations (16 compact / 128 wide)."""
+    perms = MINHASH_PERMS if perms is None else perms
     sh = shingles(df, n=n, id_col=id_col).withColumn(
         "h", F.expr(spark_hmod("shingle"))
     )
     aggs = [
         F.min(F.expr(perm_expr("h", a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
+        for i, (a, b) in enumerate(perms)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, n: int = 4, id_col: str = "doc_id"
+    df: DataFrame, n: int = 4, id_col: str = "doc_id",
+    perms: list[tuple[int, int]] | None = None,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing ≥1 of the 4 banded
-    signatures. Output (d1, d2, n_shared_bands) with d1 < d2."""
-    sigs = minhash_signatures(df, n=n, id_col=id_col)
+    """MinHash-LSH near-dup candidates: docs sharing ≥1 banded signature.
+    Output (d1, d2, n_shared_bands) with d1 < d2. Candidates come from
+    equi-joins on (band, signature) — never an all-pairs product."""
+    sigs = minhash_signatures(df, n=n, id_col=id_col, perms=perms)
     band_cols = []
-    for band in range(LSH_BANDS):
-        cols = [f"mh{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+    for band in range(bands):
+        cols = [f"mh{band * rows + r}" for r in range(rows)]
         band_cols.append(
             F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
             .alias(f"band{band}")
@@ -157,7 +168,7 @@ def lsh_candidate_pairs(
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("sig"))
-                for i in range(LSH_BANDS)
+                for i in range(bands)
             ])
         ).alias("bs"),
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -168,6 +179,18 @@ def lsh_candidate_pairs(
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def lsh_candidate_pairs_wide(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Production-size MinHash-LSH: 128 permutations banded 16×8 — the
+    S-curve P = 1-(1-s^8)^16 gives sharp selectivity around Jaccard ≈ 0.72
+    (the 16-perm config is kept as the compact oracle-parity demo)."""
+    return lsh_candidate_pairs(
+        df, n=n, id_col=id_col, perms=MINHASH_PERMS_WIDE,
+        bands=LSH_BANDS_WIDE, rows=LSH_ROWS_WIDE,
     )
 
 

@@ -36,6 +36,15 @@ N_MINHASH = len(MINHASH_PERMS)
 LSH_BANDS = 4          # 4 bands × 4 rows over the 16-sig
 LSH_ROWS = N_MINHASH // LSH_BANDS
 
+# Production-size MinHash: 128 permutations banded 16×8. The S-curve
+# P(candidate) = 1-(1-s^8)^16 crosses 0.5 near s≈0.72 — a real near-dup
+# threshold, unlike the oracle-parity 16-perm config above (kept as the
+# compact demo). Pairs are hash-derived (not RNG) so both engines and any
+# re-run mint identical constants.
+LSH_BANDS_WIDE = 16
+LSH_ROWS_WIDE = 8
+N_MINHASH_WIDE = LSH_BANDS_WIDE * LSH_ROWS_WIDE  # 128
+
 # 64-bit SimHash: 32 bits from the token's base hash, 32 from a suffixed
 # re-hash ('#hi' contains a space, which whitespace tokens never do, so the
 # two hash families can't collide on crafted inputs). Banded into 4x16 bits:
@@ -48,7 +57,11 @@ SIMHASH_HI_SUFFIX = " #hi"
 
 # Random-hyperplane LSH for embeddings: weight(plane, dim) derived from the
 # portable hash so both engines mint identical hyperplanes.
-ANN_PLANES = 4         # → 16 buckets
+ANN_PLANES = 4         # → 16 buckets (compact demo; in-bucket join is 1/16)
+ANN_PLANES_WIDE = 16   # → 65,536 buckets: the production default — in-bucket
+                       # candidate mass is ~1/65536 of the corpus; recall is
+                       # recovered by multi-probing the hamming-1 neighborhood
+                       # (17 probes) instead of coarser buckets
 EMBED_DIM = 64
 
 
@@ -87,3 +100,15 @@ def py_h64(s: str) -> int:
 def lsh_weight_int(plane: int, dim: int) -> int:
     """Integer numerator of the hyperplane weight: weight = w/1000 ∈ [-1, 1]."""
     return (py_h64(f"{plane}_{dim}") % MERSENNE_P) % 2001 - 1000
+
+
+def _wide_perm(i: int) -> tuple[int, int]:
+    """Hash-derived (a, b) permutation pair: a ∈ [1, p-1], b ∈ [0, p-1]."""
+    a = py_h64(f"minhash_wide_a_{i}") % (MERSENNE_P - 1) + 1
+    b = py_h64(f"minhash_wide_b_{i}") % MERSENNE_P
+    return a, b
+
+
+MINHASH_PERMS_WIDE: list[tuple[int, int]] = [
+    _wide_perm(i) for i in range(N_MINHASH_WIDE)
+]

@@ -263,6 +263,32 @@ def sql_topk_bruteforce(src: str = "embeddings", n_queries: int = 10, k: int = 5
     )
 
 
+def sql_topk_lsh_multiprobe(src: str = "embeddings", n_queries: int = 10,
+                            k: int = 5, n_planes: int = None) -> str:
+    from .hashing import ANN_PLANES_WIDE
+    from .similarity import lsh_bucket_expr, probe_masks
+
+    n_planes = ANN_PLANES_WIDE if n_planes is None else n_planes
+    bucket = lsh_bucket_expr("embedding", n_planes, EMBED_DIM, dialect="duckdb")
+    masks = ", ".join(str(m) for m in probe_masks(n_planes))
+    cos = duck_cosine("q.embedding", "c.embedding")
+    return (
+        f"WITH b AS (SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM {src}), "
+        f"e AS (SELECT s.vec_id, s.embedding, b.bucket FROM {src} s "
+        "JOIN b ON b.vec_id = s.vec_id), "
+        f"probes AS (SELECT vec_id, embedding, "
+        f"CAST(xor(bucket, m) AS INTEGER) AS bucket "
+        f"FROM e, unnest([{masks}]) AS t(m) WHERE vec_id < {n_queries}), "
+        f"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos "
+        "FROM probes q JOIN e c ON q.bucket = c.bucket "
+        "AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
 def sql_topk_lsh(src: str = "embeddings", n_queries: int = 10, k: int = 5) -> str:
     cos = duck_cosine("q.embedding", "c.embedding")
     return (
