@@ -251,3 +251,184 @@ def turtle_text(triples: DataFrame, repo: str) -> str:
 
 def write_jsonlines(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     triples.write.mode(mode).json(path)
+
+
+# --------------------------------------------------------------------------
+# RDF/XML + TriG (reference formats: ProvenanceService.java:216-250 writes
+# RDFXML and TRIG among its 11; both are DATA formats users round-trip
+# through other stores, unlike the PDF/SVG presentation outputs).
+# --------------------------------------------------------------------------
+
+def _xml_escape(c: F.Column) -> F.Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    return F.regexp_replace(c, '"', "&quot;")
+
+
+def rdfxml_description_lines(triples: DataFrame) -> DataFrame:
+    """One <rdf:Description> element per triple (column `line`).
+
+    Flat description-per-triple is valid RDF/XML (grouping by subject is a
+    readability nicety, not a conformance requirement). Predicates in the
+    per-repo gitprov namespace carry an inline xmlns declaration — element
+    QName prefixes can't vary per row otherwise. Everything is built from
+    string built-ins: distributed, codegen'd, no driver involvement.
+    """
+    subj = _xml_escape(_expand(F.col("subj")))
+    pred_prefix = F.substring_index(F.col("pred"), ":", 1)
+    pred_local = F.split(F.col("pred"), ":", 2).getItem(1)
+    # gitprov preds get an inline per-repo namespace; others use the header's
+    inline_ns = F.when(
+        pred_prefix == "gitprov",
+        F.concat(
+            F.lit(' xmlns:gitprov="gitprov://'),
+            _xml_escape(F.col("repo")), F.lit('#"'),
+        ),
+    ).otherwise(F.lit(""))
+    qname = F.concat(pred_prefix, F.lit(":"), pred_local)
+    obj_iri = _xml_escape(_expand(F.col("obj")))
+    obj_lit = _xml_escape(F.col("obj"))
+    body = F.when(
+        F.col("obj_type") == "iri",
+        F.concat(F.lit('<'), qname, inline_ns,
+                 F.lit(' rdf:resource="'), obj_iri, F.lit('"/>')),
+    ).when(
+        F.col("obj_type") == "xsd:string",
+        F.concat(F.lit('<'), qname, inline_ns, F.lit('>'), obj_lit,
+                 F.lit('</'), qname, F.lit('>')),
+    ).otherwise(
+        F.concat(
+            F.lit('<'), qname, inline_ns,
+            F.lit(' rdf:datatype="'), F.lit(NAMESPACES["xsd"]),
+            F.split(F.col("obj_type"), ":", 2).getItem(1), F.lit('">'),
+            obj_lit, F.lit('</'), qname, F.lit('>'),
+        )
+    )
+    return triples.select(
+        F.concat(
+            F.lit('  <rdf:Description rdf:about="'), subj, F.lit('">'),
+            body, F.lit("</rdf:Description>"),
+        ).alias("line")
+    )
+
+
+def _rdfxml_header() -> str:
+    xmlns = "".join(f' xmlns:{p}="{ns}"' for p, ns in NAMESPACES.items())
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF{xmlns}>'
+
+
+RDFXML_FOOTER = "</rdf:RDF>"
+
+
+def rdfxml_text(triples: DataFrame, repo: str) -> str:
+    """Single-repo RDF/XML document string (driver-side assembly — the
+    per-repo export analog of turtle_text; bulk path is write_rdfxml)."""
+    lines = (
+        rdfxml_description_lines(triples.where(F.col("repo") == repo))
+        .orderBy("line")
+        .collect()
+    )
+    return "\n".join([_rdfxml_header()] + [r.line for r in lines] + [RDFXML_FOOTER])
+
+
+def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed sharded RDF/XML export: every part file is a complete,
+    well-formed document (header + descriptions + footer added per
+    partition) — the standard shape for bulk RDF interchange."""
+    header, footer = _rdfxml_header(), RDFXML_FOOTER
+    lines = rdfxml_description_lines(triples)
+
+    def wrap(it):
+        yielded = False
+        for row in it:
+            if not yielded:
+                yield header
+                yielded = True
+            yield row.line
+        if yielded:
+            yield footer
+
+    if mode == "overwrite":
+        spark = triples.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path, True)
+    lines.rdd.mapPartitions(wrap).saveAsTextFile(path)
+
+
+def trig_lines(triples: DataFrame) -> DataFrame:
+    """One TriG statement per triple: `GRAPH <iri> { s p o . }`.
+
+    TriG allows the same graph to be opened any number of times, so a flat
+    line-per-triple form is valid and fully distributed — no per-graph
+    grouping pass. Graph IRI = the per-repo namespace (the analog of the
+    reference's one-named-model-per-repo store, StoreService.java:38-44).
+    """
+    g = F.concat(F.lit("gitprov://"), F.col("repo"))
+    s = F.concat(F.lit("<"), _expand(F.col("subj")), F.lit(">"))
+    p = F.concat(F.lit("<"), _expand(F.col("pred")), F.lit(">"))
+    o = F.when(
+        F.col("obj_type") == "iri",
+        F.concat(F.lit("<"), _expand(F.col("obj")), F.lit(">")),
+    ).when(
+        F.col("obj_type") == "xsd:string",
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
+    ).otherwise(
+        F.concat(
+            F.lit('"'), _lit_escape(F.col("obj")), F.lit('"^^<'),
+            F.lit(NAMESPACES["xsd"]),
+            F.split(F.col("obj_type"), ":", 2).getItem(1), F.lit(">"),
+        )
+    )
+    return triples.select(
+        F.concat(
+            F.lit("GRAPH <"), g, F.lit("> { "),
+            F.concat_ws(" ", s, p, o), F.lit(" . }"),
+        ).alias("line")
+    )
+
+
+def write_trig(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    trig_lines(triples).write.mode(mode).text(path)
+
+
+# --------------------------------------------------------------------------
+# Repo discovery / search (S5 full; GithubService.java:60-92 delegates to the
+# GitHub search API — here it's a filter over repo metadata derived from the
+# files table, entirely partition-prunable).
+# --------------------------------------------------------------------------
+
+def repo_metadata(files: DataFrame) -> DataFrame:
+    """(repo, owner, name, languages, n_files) per distinct repo."""
+    return (
+        files.groupBy("repo")
+        .agg(
+            F.collect_set("lang").alias("languages"),
+            F.count("*").alias("n_files"),
+        )
+        .withColumn("owner", F.split(F.col("repo"), "/").getItem(0))
+        .withColumn("name", F.split(F.col("repo"), "/").getItem(1))
+    )
+
+
+def search_repos(
+    meta: DataFrame,
+    query: str | None = None,
+    owner: str | None = None,
+    language: str | None = None,
+) -> DataFrame:
+    """Filter repo metadata the way the reference's search params do
+    (query substring on the name, user/org = owner equality, language
+    membership). At least one param is required — the reference 400s on an
+    empty search (ProvController.java:52-54)."""
+    if query is None and owner is None and language is None:
+        raise ValueError("search needs at least one of query/owner/language")
+    df = meta
+    if query is not None:
+        df = df.where(F.col("name").contains(query))
+    if owner is not None:
+        df = df.where(F.col("owner") == owner)
+    if language is not None:
+        df = df.where(F.array_contains(F.col("languages"), language))
+    return df
