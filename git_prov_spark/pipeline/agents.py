@@ -86,6 +86,48 @@ def contributions(resolved_commits: DataFrame, contributors: DataFrame) -> DataF
 # Alias canonicalization (north_star extra; DESIGN.md §7)
 # --------------------------------------------------------------------------
 
+def canonicalize_logins(resolved_commits: DataFrame, alias_map: DataFrame) -> DataFrame:
+    """Rewrite resolved_login through the alias component map (left join +
+    coalesce: logins outside any component keep themselves). alias_map is
+    component-count-sized — AQE broadcasts it."""
+    return (
+        resolved_commits.join(
+            alias_map.select(
+                "repo",
+                F.col("login").alias("resolved_login"),
+                "canonical_login",
+            ),
+            ["repo", "resolved_login"],
+            "left",
+        )
+        .withColumn(
+            "resolved_login",
+            F.coalesce(F.col("canonical_login"), F.col("resolved_login")),
+        )
+        .drop("canonical_login")
+    )
+
+
+def canonicalize_contributors(contributors: DataFrame, alias_map: DataFrame) -> DataFrame:
+    """One contributor row per alias component: every login rewrites to its
+    canonical, then the component keeps its min-original-login row's
+    attributes (deterministic representative). Logins outside any component
+    pass through unchanged."""
+    j = (
+        contributors.join(alias_map.select("repo", "login", "canonical_login"),
+                          ["repo", "login"], "left")
+        .withColumn("canonical_login",
+                    F.coalesce(F.col("canonical_login"), F.col("login")))
+    )
+    w = Window.partitionBy("repo", "canonical_login").orderBy("login")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "login")
+        .withColumnRenamed("canonical_login", "login")
+    )
+
+
 def alias_components(commits: DataFrame, contributors: DataFrame,
                      max_iters: int = 12) -> DataFrame:
     """Connected components over the login↔email bipartite graph.

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .agents import contributions, resolve_authors
+from .agents import (
+    alias_components,
+    canonicalize_contributors,
+    canonicalize_logins,
+    contributions,
+    resolve_authors,
+)
 from .changelog import blobs, change_events
 from .diffstats import with_diff_stats
 from .statements import (
@@ -46,7 +52,16 @@ def build_triples(
     commits: DataFrame,
     contributors: DataFrame,
     persist_events: bool = True,
+    canonicalize_agents: bool = False,
 ) -> DataFrame:
+    """files/commits/contributors → PROV triples.
+
+    canonicalize_agents=True inserts the alias-merge stage (north_star:
+    entity linking + connected-components union-find): login↔email
+    components collapse to one canonical agent — associations rewrite to
+    the canonical CURIE, one agent row carries the component's attributes,
+    contributions roll up. Default off: output is byte-identical to the
+    reference semantics (tests/test_agents.py asserts both)."""
     commits = ensure_commit_seq(commits)
 
     events = with_version_chain(change_events(files, commits))
@@ -68,6 +83,10 @@ def build_triples(
     modified_stats = with_diff_stats(modified, blobs(files))
 
     resolved = resolve_authors(commits, contributors)
+    if canonicalize_agents:
+        alias_map = alias_components(commits, contributors)
+        resolved = canonicalize_logins(resolved, alias_map)
+        contributors = canonicalize_contributors(contributors, alias_map)
     contribs = contributions(resolved, contributors)
 
     parts = [

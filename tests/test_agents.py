@@ -74,3 +74,52 @@ def test_alias_components_merge_shared_email(spark_tables):
     assert rows[("org0/hot", "dan")] == rows[("org0/hot", "dave")] == "dan"
     # alice stays alone
     assert rows[("org0/hot", "alice")] == "alice"
+
+
+def test_canonicalize_wiring_merges_agents(spark_tables):
+    """build_triples(canonicalize_agents=True): dan/dave (shared email)
+    collapse to one canonical agent; associations rewrite; contributions
+    roll up to the component."""
+    from git_prov_spark.pipeline.build import build_triples
+
+    files, commits, contributors = spark_tables
+    t = build_triples(files, commits, contributors, canonicalize_agents=True)
+    hot = t.where(F.col("repo") == "org0/hot")
+    agents = {
+        r.subj
+        for r in hot.where(
+            (F.col("pred") == "rdf:type") & (F.col("obj") == "prov:Agent")
+        ).collect()
+    }
+    assert "gitprov:dan" in agents and "gitprov:dave" not in agents
+    assoc = {r.obj for r in hot.where(
+        F.col("pred") == "prov:wasAssociatedWith").collect()}
+    assert "gitprov:dave" not in assoc
+    # contributions of the merged agent = dan's + dave's resolved commits
+    plain = build_triples(files, commits, contributors)
+    def contrib(df, who):
+        rows = df.where(
+            (F.col("repo") == "org0/hot")
+            & (F.col("pred") == "gitprov:contributions")
+            & (F.col("subj") == who)
+        ).collect()
+        return sum(int(r.obj) for r in rows)
+    assert contrib(t, "gitprov:dan") == (
+        contrib(plain, "gitprov:dan") + contrib(plain, "gitprov:dave")
+    )
+
+
+def test_canonicalize_default_off_is_identical(spark_tables):
+    """The default-off path must stay byte-identical to the reference
+    semantics (same triple set with and without the flag present)."""
+    from git_prov_spark.pipeline.build import build_triples
+
+    files, commits, contributors = spark_tables
+    a = {tuple(r) for r in build_triples(files, commits, contributors).collect()}
+    b = {
+        tuple(r)
+        for r in build_triples(
+            files, commits, contributors, canonicalize_agents=False
+        ).collect()
+    }
+    assert a == b
