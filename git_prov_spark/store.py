@@ -62,6 +62,66 @@ def write_triples(
     )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_triples_table(
+    triples: DataFrame,
+    spark: SparkSession,
+    table: str = "kg.triples",
+    path: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    replace: bool = False,
+) -> str:
+    """Production sink: Iceberg table partitioned by (bucket(B, repo), pred)
+    when the runtime jar is present; otherwise the parquet layout with the
+    IDENTICAL pruning keys (repo_bucket=*/pred=* directories — the same
+    partition transform Iceberg's spec would apply, so a per-repo or
+    per-predicate scan prunes equally in both branches; the contract test in
+    tests/test_store.py asserts the equivalence on whichever branch this
+    environment has).
+
+    Returns "iceberg" or "parquet" (the branch taken). Non-replace writes
+    overwrite only the partitions present in `triples` — the idempotent
+    resume semantics (S9) in both branches.
+    """
+    if iceberg_available(spark):
+        writer = triples.writeTo(table).using("iceberg").partitionedBy(
+            F.bucket(n_buckets, F.col("repo")), F.col("pred")
+        )
+        if replace:
+            writer.createOrReplace()
+        else:
+            try:
+                writer.overwritePartitions()
+            except Exception:  # first write: table does not exist yet
+                writer.create()
+        return "iceberg"
+    if path is None:
+        raise ValueError("parquet fallback needs an explicit path")
+    if replace:
+        write_triples(triples, path, n_buckets=n_buckets, mode="overwrite")
+    else:
+        salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(4))
+        (
+            triples.withColumn("repo_bucket", repo_bucket(n_buckets))
+            .repartition(F.col("repo_bucket"), F.col("pred"), salt)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo_bucket", "pred")
+            .parquet(path)
+        )
+    return "parquet"
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -126,3 +126,59 @@ def test_resumable_survives_static_overwrite_session(spark, spark_tables, tmp_pa
         assert full.select(*expected.columns).exceptAll(expected).isEmpty()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_table_sink_contract(spark, triples_df, tmp_path):
+    """write_triples_table: whichever branch this environment has (Iceberg
+    runtime present -> partitioned table; absent -> parquet fallback) must
+    expose the SAME pruning keys — bucket(repo) and pred — and prune
+    per-repo/per-pred scans at the source."""
+    import os
+
+    from git_prov_spark.store import (
+        iceberg_available,
+        read_repo,
+        write_triples_table,
+    )
+
+    out = str(tmp_path / "kg_table")
+    branch = write_triples_table(
+        triples_df, spark, path=out, n_buckets=8, replace=True
+    )
+    if iceberg_available(spark):
+        assert branch == "iceberg"
+        scanned = spark.table("kg.triples").where(
+            (F.col("repo") == "org1/alpha") & (F.col("pred") == "rdf:type")
+        )
+        plan = scanned._jdf.queryExecution().executedPlan().toString()
+        assert "pred" in plan  # iceberg scan carries the partition filter
+    else:
+        assert branch == "parquet"
+        # layout contract: exactly the two partition key levels, both named
+        top = {d.split("=")[0] for d in os.listdir(out) if "=" in d}
+        assert top == {"repo_bucket"}
+        one_bucket = next(d for d in os.listdir(out) if d.startswith("repo_bucket="))
+        second = {
+            d.split("=")[0]
+            for d in os.listdir(os.path.join(out, one_bucket))
+            if "=" in d
+        }
+        assert second == {"pred"}
+        # pruning contract: per-repo read hits only its bucket + pred dirs
+        scanned = read_repo(spark, out, "org1/alpha", n_buckets=8).where(
+            F.col("pred") == "rdf:type"
+        )
+        plan = scanned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "repo_bucket" in plan and "pred" in plan
+        expected = triples_df.where(
+            (F.col("repo") == "org1/alpha") & (F.col("pred") == "rdf:type")
+        ).count()
+        assert scanned.count() == expected
+
+    # incremental (non-replace) write of ONE repo must leave others intact
+    one_repo = triples_df.where(F.col("repo") == "org2/beta")
+    write_triples_table(one_repo, spark, path=out, n_buckets=8, replace=False)
+    if not iceberg_available(spark):
+        total = spark.read.parquet(out).count()
+        assert total == triples_df.count()  # idempotent partition overwrite
