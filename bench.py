@@ -37,9 +37,13 @@ BENCH_QUERIES = [
     "udf_diffstats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_wide",
     "dedup_simhash64",
     "ann_topk_lsh",
+    "ann_topk_multiprobe",
     "ann_topk_pandas",
+    "sort_commits",
+    "sparql_select",
     "text_quality",
     "text_fingerprint",
     "mm_features",
