@@ -1,0 +1,310 @@
+"""Per-repo PROV document exporters: PROV-N, PROV-JSON, PROV-XML, DOT.
+
+Completes the reference's document formats (ProvenanceService.java:216-250):
+with store.py's Turtle / RDF/XML / TriG / N-Triples / JSON-lines, every DATA
+format of the 11 is covered — only the image/PDF renders (PDF, SVG, PNG,
+JPEG) stay out of scope as presentation.
+
+These are one-repo document exports (like store.turtle_text): the graph for
+one repo is collected to the driver and assembled into the record-oriented
+document shapes — PROV-N statements, the PROV-JSON object layout, PROV-XML
+elements. The bulk path for whole-corpus interchange remains the distributed
+line-oriented sinks (write_ntriples / write_trig / write_rdfxml).
+
+Fidelity notes (simplified but valid documents):
+* element attributes come from the element subject's literal triples
+  (rdfs:label → prov:label, foaf:*, gitprov:* carried with their types);
+* activity start time from prov:startedAtTime;
+* generation/invalidation/usage times are pulled from the qualified nodes
+  (prov:qualifiedGeneration/... → prov:atTime) and inlined into the
+  first-class statements;
+* derivations carry activity + the reference's (deliberately mismatched,
+  quirk SURVEY §5.3.5) generation/usage ids and the diff-stat attributes.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape, quoteattr
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .iri import NAMESPACES, gitprov_ns
+
+_ELEMENT_TYPES = {"prov:Entity": "entity", "prov:Activity": "activity",
+                  "prov:Agent": "agent"}
+
+_ATTR_PRED_MAP = {"rdfs:label": "prov:label"}  # PROV-N's conventional name
+
+
+class _Graph:
+    """Driver-side index of one repo's triples."""
+
+    def __init__(self, rows):
+        self.types: dict[str, str] = {}
+        self.attrs: dict[str, list[tuple[str, str, str]]] = {}
+        self.edges: dict[str, list[tuple[str, str]]] = {}
+        self.obj_of: dict[tuple[str, str], str] = {}
+        for r in rows:
+            if r.pred == "rdf:type":
+                self.types.setdefault(r.subj, r.obj)
+            elif r.obj_type == "iri":
+                self.edges.setdefault(r.pred, []).append((r.subj, r.obj))
+            else:
+                self.attrs.setdefault(r.subj, []).append(
+                    (r.pred, r.obj, r.obj_type)
+                )
+            self.obj_of[(r.subj, r.pred)] = r.obj
+
+    def attr(self, subj: str, pred: str) -> str | None:
+        return self.obj_of.get((subj, pred))
+
+    def elements(self, kind: str) -> list[str]:
+        return sorted(s for s, t in self.types.items()
+                      if _ELEMENT_TYPES.get(t) == kind)
+
+    def qualified_time(self, qual_pred: str) -> dict[str, str]:
+        """subject → atTime, via its qualified node."""
+        out = {}
+        for s, q in self.edges.get(qual_pred, []):
+            t = self.attr(q, "prov:atTime")
+            if t is not None:
+                out[s] = t
+        return out
+
+
+def _collect_graph(triples: DataFrame, repo: str) -> _Graph:
+    return _Graph(
+        triples.where(F.col("repo") == repo)
+        .select("subj", "pred", "obj", "obj_type")
+        .collect()
+    )
+
+
+def _attr_pairs(g: _Graph, subj: str, skip: set[str] = frozenset()):
+    out = []
+    for pred, obj, obj_type in sorted(g.attrs.get(subj, [])):
+        if pred in skip:
+            continue
+        out.append((_ATTR_PRED_MAP.get(pred, pred), obj, obj_type))
+    return out
+
+
+# --------------------------------------------------------------------------
+# PROV-N
+# --------------------------------------------------------------------------
+
+def _provn_literal(value: str, obj_type: str) -> str:
+    quoted = '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if obj_type in ("xsd:string",):
+        return quoted
+    return f"{quoted} %% {obj_type}"
+
+
+def _provn_attr_block(pairs) -> str:
+    if not pairs:
+        return ""
+    inner = ", ".join(
+        f"{p}={_provn_literal(v, t)}" for p, v, t in pairs
+    )
+    return f", [{inner}]"
+
+
+def provn_text(triples: DataFrame, repo: str) -> str:
+    g = _collect_graph(triples, repo)
+    lines = ["document"]
+    for p, ns in NAMESPACES.items():
+        lines.append(f"prefix {p} <{ns}>")
+    lines.append(f"prefix gitprov <{gitprov_ns(repo)}>")
+    lines.append("")
+    for e in g.elements("entity"):
+        lines.append(f"entity({e}{_provn_attr_block(_attr_pairs(g, e))})")
+    for a in g.elements("activity"):
+        start = g.attr(a, "prov:startedAtTime") or "-"
+        pairs = _attr_pairs(g, a, skip={"prov:startedAtTime"})
+        lines.append(f"activity({a}, {start}, -{_provn_attr_block(pairs)})")
+    for ag in g.elements("agent"):
+        lines.append(f"agent({ag}{_provn_attr_block(_attr_pairs(g, ag))})")
+    gen_t = g.qualified_time("prov:qualifiedGeneration")
+    for e, c in sorted(g.edges.get("prov:wasGeneratedBy", [])):
+        lines.append(f"wasGeneratedBy({e}, {c}, {gen_t.get(e, '-')})")
+    inv_t = g.qualified_time("prov:qualifiedInvalidation")
+    for e, c in sorted(g.edges.get("prov:wasInvalidatedBy", [])):
+        lines.append(f"wasInvalidatedBy({e}, {c}, {inv_t.get(e, '-')})")
+    use_t = g.qualified_time("prov:qualifiedUsage")
+    for c, e in sorted(g.edges.get("prov:used", [])):
+        lines.append(f"used({c}, {e}, {use_t.get(c, '-')})")
+    for c, a in sorted(g.edges.get("prov:wasAssociatedWith", [])):
+        q = g.attr(c, "prov:qualifiedAssociation")
+        role = g.attr(q, "prov:hadRole") if q else None
+        block = f', [prov:role="{role}"]' if role else ""
+        lines.append(f"wasAssociatedWith({c}, {a}, -{block})")
+    for c2, c1 in sorted(g.edges.get("prov:wasInformedBy", [])):
+        lines.append(f"wasInformedBy({c2}, {c1})")
+    for e, b in sorted(g.edges.get("prov:specializationOf", [])):
+        lines.append(f"specializationOf({e}, {b})")
+    for e2, e1 in sorted(g.edges.get("prov:wasDerivedFrom", [])):
+        d = g.attr(e2, "prov:qualifiedDerivation")
+        act = g.attr(d, "prov:hadActivity") if d else None
+        gen = g.attr(d, "prov:hadGeneration") if d else None
+        use = g.attr(d, "prov:hadUsage") if d else None
+        pairs = _attr_pairs(g, d, skip=set()) if d else []
+        if act:
+            lines.append(
+                f"wasDerivedFrom({e2}, {e1}, {act}, {gen or '-'}, "
+                f"{use or '-'}{_provn_attr_block(pairs)})"
+            )
+        else:
+            lines.append(f"wasDerivedFrom({e2}, {e1})")
+    lines.append("endDocument")
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# PROV-JSON (W3C PROV-JSON member submission layout)
+# --------------------------------------------------------------------------
+
+def _json_attr_value(value: str, obj_type: str):
+    if obj_type == "xsd:string":
+        return value
+    return {"$": value, "type": obj_type}
+
+
+def provjson_text(triples: DataFrame, repo: str) -> str:
+    g = _collect_graph(triples, repo)
+    doc: dict = {"prefix": {**NAMESPACES, "gitprov": gitprov_ns(repo)}}
+
+    def element_block(kind: str) -> dict:
+        out = {}
+        for el in g.elements(kind):
+            attrs: dict = {}
+            for p, v, t in _attr_pairs(g, el):
+                attrs.setdefault(p, []).append(_json_attr_value(v, t))
+            out[el] = attrs
+        return out
+
+    for kind in ("entity", "activity", "agent"):
+        block = element_block(kind)
+        if block:
+            doc[kind] = block
+
+    def edge_block(pred: str, key: str, s_name: str, o_name: str,
+                   time_pred: str | None = None) -> None:
+        edges = sorted(g.edges.get(pred, []))
+        if not edges:
+            return
+        times = g.qualified_time(time_pred) if time_pred else {}
+        block = {}
+        for i, (s, o) in enumerate(edges):
+            rec = {s_name: s, o_name: o}
+            if s in times:
+                rec["prov:time"] = times[s]
+            block[f"_:{key}{i}"] = rec
+        doc[key] = block
+
+    edge_block("prov:wasGeneratedBy", "wasGeneratedBy",
+               "prov:entity", "prov:activity", "prov:qualifiedGeneration")
+    edge_block("prov:wasInvalidatedBy", "wasInvalidatedBy",
+               "prov:entity", "prov:activity", "prov:qualifiedInvalidation")
+    edge_block("prov:used", "used",
+               "prov:activity", "prov:entity", "prov:qualifiedUsage")
+    edge_block("prov:wasAssociatedWith", "wasAssociatedWith",
+               "prov:activity", "prov:agent")
+    edge_block("prov:wasInformedBy", "wasInformedBy",
+               "prov:informed", "prov:informant")
+    edge_block("prov:specializationOf", "specializationOf",
+               "prov:specificEntity", "prov:generalEntity")
+    edge_block("prov:wasDerivedFrom", "wasDerivedFrom",
+               "prov:generatedEntity", "prov:usedEntity")
+    return json.dumps(doc, indent=1, sort_keys=True)
+
+
+# --------------------------------------------------------------------------
+# PROV-XML (simplified: elements + references, one prov:document)
+# --------------------------------------------------------------------------
+
+def provxml_text(triples: DataFrame, repo: str) -> str:
+    g = _collect_graph(triples, repo)
+    xmlns = "".join(f' xmlns:{p}="{ns}"' for p, ns in NAMESPACES.items())
+    xmlns += f' xmlns:gitprov="{escape(gitprov_ns(repo))}"'
+    out = [f'<?xml version="1.0" encoding="UTF-8"?>\n<prov:document{xmlns}>']
+
+    def attr_elems(subj: str, skip: set[str] = frozenset()) -> list[str]:
+        elems = []
+        for p, v, t in _attr_pairs(g, subj, skip):
+            if p == "prov:label":
+                elems.append(f"  <prov:label>{escape(v)}</prov:label>")
+            else:
+                elems.append(
+                    f'  <prov:other prov:name={quoteattr(p)} '
+                    f'prov:type={quoteattr(t)}>{escape(v)}</prov:other>'
+                )
+        return elems
+
+    for kind, tag in (("entity", "prov:entity"), ("activity", "prov:activity"),
+                      ("agent", "prov:agent")):
+        for el in g.elements(kind):
+            out.append(f' <{tag} prov:id={quoteattr(el)}>')
+            if kind == "activity":
+                start = g.attr(el, "prov:startedAtTime")
+                if start:
+                    out.append(f"  <prov:startTime>{escape(start)}</prov:startTime>")
+                out.extend(attr_elems(el, skip={"prov:startedAtTime"}))
+            else:
+                out.extend(attr_elems(el))
+            out.append(f" </{tag}>")
+
+    def edge_elems(pred: str, tag: str, s_tag: str, o_tag: str,
+                   time_pred: str | None = None) -> None:
+        times = g.qualified_time(time_pred) if time_pred else {}
+        for s, o in sorted(g.edges.get(pred, [])):
+            out.append(f" <{tag}>")
+            out.append(f'  <{s_tag} prov:ref={quoteattr(s)}/>')
+            out.append(f'  <{o_tag} prov:ref={quoteattr(o)}/>')
+            if s in times:
+                out.append(f"  <prov:time>{escape(times[s])}</prov:time>")
+            out.append(f" </{tag}>")
+
+    edge_elems("prov:wasGeneratedBy", "prov:wasGeneratedBy",
+               "prov:entity", "prov:activity", "prov:qualifiedGeneration")
+    edge_elems("prov:wasInvalidatedBy", "prov:wasInvalidatedBy",
+               "prov:entity", "prov:activity", "prov:qualifiedInvalidation")
+    edge_elems("prov:used", "prov:used",
+               "prov:activity", "prov:entity", "prov:qualifiedUsage")
+    edge_elems("prov:wasAssociatedWith", "prov:wasAssociatedWith",
+               "prov:activity", "prov:agent")
+    edge_elems("prov:wasInformedBy", "prov:wasInformedBy",
+               "prov:informed", "prov:informant")
+    edge_elems("prov:specializationOf", "prov:specializationOf",
+               "prov:specificEntity", "prov:generalEntity")
+    edge_elems("prov:wasDerivedFrom", "prov:wasDerivedFrom",
+               "prov:generatedEntity", "prov:usedEntity")
+    out.append("</prov:document>")
+    return "\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# DOT (graph description — the reference maps application/msword to DOT)
+# --------------------------------------------------------------------------
+
+def dot_text(triples: DataFrame, repo: str, max_edges: int = 50_000) -> str:
+    """Directed graph of the repo's IRI-valued edges, predicate-labeled."""
+    rows = (
+        triples.where((F.col("repo") == repo) & (F.col("obj_type") == "iri")
+                      & (F.col("pred") != "rdf:type"))
+        .select("subj", "pred", "obj")
+        .limit(max_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_edges:
+        raise ValueError(f"graph exceeds max_edges={max_edges}; export a subset")
+
+    def q(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    lines = [f"digraph {q(repo)} {{"]
+    for r in sorted(rows):
+        lines.append(f"  {q(r.subj)} -> {q(r.obj)} [label={q(r.pred)}];")
+    lines.append("}")
+    return "\n".join(lines)

@@ -40,6 +40,11 @@ def main() -> None:
     p.add_argument("--format", choices=["parquet", "table"], default="parquet")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics", default=None)
+    p.add_argument(
+        "--canonicalize-agents", action="store_true",
+        help="merge agent aliases (login/email connected components) into "
+             "one canonical agent per component before emission",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("kg_construct").getOrCreate()
@@ -51,11 +56,16 @@ def main() -> None:
     commits = read(args.commits)
     contributors = read(args.contributors)
 
+    def build(f, c, k):
+        return build_triples(
+            f, c, k, canonicalize_agents=args.canonicalize_agents
+        )
+
     metrics = StageMetrics()
     t0 = time.time()
     if args.resume:
         stats = materialize_resumable(
-            build_triples, files, commits, contributors, args.out,
+            build, files, commits, contributors, args.out,
             n_buckets=args.buckets,
             on_group_done=lambda g, m: metrics.record(
                 f"bucket_group_{g[0]}-{g[-1]}", None, m["seconds"]
@@ -64,7 +74,7 @@ def main() -> None:
         metrics.record("total", None, time.time() - t0,
                        resumed_skipped=stats["resumed_skipped"])
     else:
-        triples = build_triples(files, commits, contributors)
+        triples = build(files, commits, contributors)
         write_triples(triples, args.out, n_buckets=args.buckets)
         metrics.record("total", None, time.time() - t0)
 

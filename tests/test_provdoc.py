@@ -1,0 +1,99 @@
+"""PROV-N / PROV-JSON / PROV-XML / DOT document exporters: structural
+validity + cross-format statement-count consistency against the triple set."""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from git_prov_spark.provdoc import dot_text, provjson_text, provn_text, provxml_text
+
+HOT = "org0/hot"
+
+EDGE_PREDS = [
+    "prov:wasGeneratedBy", "prov:wasInvalidatedBy", "prov:used",
+    "prov:wasAssociatedWith", "prov:wasInformedBy", "prov:specializationOf",
+    "prov:wasDerivedFrom",
+]
+
+
+def _counts(triples_df):
+    hot = triples_df.where(F.col("repo") == HOT)
+    out = {}
+    for p in EDGE_PREDS:
+        out[p] = hot.where(F.col("pred") == p).count()
+    for t in ("prov:Entity", "prov:Activity", "prov:Agent"):
+        out[t] = hot.where(
+            (F.col("pred") == "rdf:type") & (F.col("obj") == t)
+        ).select("subj").distinct().count()
+    return out
+
+
+def test_provn_structure_and_counts(triples_df):
+    text = provn_text(triples_df, HOT)
+    lines = text.splitlines()
+    assert lines[0] == "document" and lines[-1] == "endDocument"
+    assert any(line.startswith("prefix gitprov <gitprov://org0/hot#>")
+               for line in lines)
+    kinds = {}
+    stmt_re = re.compile(r"^(\w+)\(")
+    for line in lines[1:-1]:
+        m = stmt_re.match(line)
+        if m:
+            kinds[m.group(1)] = kinds.get(m.group(1), 0) + 1
+    want = _counts(triples_df)
+    assert kinds["entity"] == want["prov:Entity"]
+    assert kinds["activity"] == want["prov:Activity"]
+    assert kinds["agent"] == want["prov:Agent"]
+    assert kinds["wasGeneratedBy"] == want["prov:wasGeneratedBy"]
+    assert kinds["used"] == want["prov:used"]
+    assert kinds["wasDerivedFrom"] == want["prov:wasDerivedFrom"]
+    assert kinds["specializationOf"] == want["prov:specializationOf"]
+    # generation times inlined from the qualified nodes
+    assert re.search(r"wasGeneratedBy\(\S+, \S+, \d{4}-\d{2}-\d{2}T", text)
+    # derivations carry the diff-stat attributes with their xsd type
+    assert re.search(r"wasDerivedFrom\(.*gitprov:additions=\"\d+\" %% xsd:int", text)
+
+
+def test_provjson_structure_and_counts(triples_df):
+    doc = json.loads(provjson_text(triples_df, HOT))
+    want = _counts(triples_df)
+    assert set(doc["prefix"]) >= {"prov", "xsd", "gitprov"}
+    assert len(doc["entity"]) == want["prov:Entity"]
+    assert len(doc["activity"]) == want["prov:Activity"]
+    assert len(doc["agent"]) == want["prov:Agent"]
+    assert len(doc["wasGeneratedBy"]) == want["prov:wasGeneratedBy"]
+    assert len(doc["wasDerivedFrom"]) == want["prov:wasDerivedFrom"]
+    # typed attribute values keep their xsd type
+    some_agent = next(iter(doc["agent"].values()))
+    contribs = some_agent["gitprov:contributions"][0]
+    assert contribs["type"] == "xsd:int"
+
+
+def test_provxml_parses_and_counts(triples_df):
+    text = provxml_text(triples_df, HOT)
+    root = ET.fromstring(text)
+    prov = "{" + "http://www.w3.org/ns/prov#" + "}"
+    want = _counts(triples_df)
+    assert len(root.findall(f"{prov}entity")) == want["prov:Entity"]
+    assert len(root.findall(f"{prov}activity")) == want["prov:Activity"]
+    assert len(root.findall(f"{prov}agent")) == want["prov:Agent"]
+    assert len(root.findall(f"{prov}wasGeneratedBy")) == want["prov:wasGeneratedBy"]
+    gen = root.find(f"{prov}wasGeneratedBy")
+    refs = [el.attrib["{http://www.w3.org/ns/prov#}ref"] for el in gen
+            if el.tag != f"{prov}time"]
+    assert all(r.startswith("gitprov:") for r in refs)
+
+
+def test_dot_edges(triples_df):
+    text = dot_text(triples_df, HOT)
+    hot = triples_df.where(F.col("repo") == HOT)
+    n_iri_edges = hot.where(
+        (F.col("obj_type") == "iri") & (F.col("pred") != "rdf:type")
+    ).count()
+    edge_lines = [line for line in text.splitlines() if " -> " in line]
+    assert len(edge_lines) == n_iri_edges
+    assert text.startswith('digraph "org0/hot" {') and text.endswith("}")

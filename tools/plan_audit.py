@@ -106,11 +106,20 @@ def main() -> None:
     # A Window over an un-partitioned spec plans as Exchange SinglePartition
     # -> every row through ONE task. Queries that rank within a key partition
     # (query_id, user_id, ...) never produce that exchange.
+    #
+    # -- and no cartesian/nested-loop joins outside the DECLARED quadratic
+    # correctness baselines (brute-force cosine all-pairs; their scale-path
+    # twins are the LSH variants, which must stay equi-join-only).
+    QUADRATIC_BASELINES = {"dedup_embedding_cosine", "ann_topk", "ann_topk_pandas"}
     for q, fn in qs.items():
         p = plan_of(fn(spark, sf_dir))
         if "Window" in p:
             check(f"{q} has no global (single-partition) window",
                   "Exchange SinglePartition" not in p)
+        if q not in QUADRATIC_BASELINES:
+            check(f"{q} has no cartesian/nested-loop join",
+                  "CartesianProduct" not in p
+                  and "BroadcastNestedLoopJoin" not in p)
 
     print()
     if FAIL:
