@@ -407,6 +407,12 @@ def q_ann_topk_multiprobe(spark, sf_dir):
     return similarity.topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN (deterministic seed centroids, 4-probe inverted-list
+    search): the cluster-adaptive alternative to hyperplane LSH."""
+    return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_topk_pandas(spark, sf_dir):
     return similarity.topk_pandas(_t(spark, sf_dir, "embeddings"))
 
@@ -592,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_multiprobe": q_ann_topk_multiprobe,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -704,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
+        "ann_topk_ivf": oracles.sql_topk_ivf("embeddings"),
         # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
         # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
         # which can only flip a rank at an exact cosine tie — the testdata

@@ -305,6 +305,38 @@ def sql_topk_lsh(src: str = "embeddings", n_queries: int = 10, k: int = 5) -> st
     )
 
 
+def sql_topk_ivf(src: str = "embeddings", n_queries: int = 10, k: int = 5,
+                 n_centroids: int = 16, n_probes: int = 4) -> str:
+    """DuckDB twin of similarity.topk_ivf — same deterministic seed
+    centroids (vec_id < n_centroids), same argmax assignment, same
+    n_probes inverted-list search."""
+    a_cos = duck_cosine("e.embedding", "c.embedding")
+    q_cos = duck_cosine("q.embedding", "c.embedding")
+    n_cos = duck_cosine("p.embedding", "n.embedding")
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM {src} "
+        f"WHERE vec_id < {n_centroids}), "
+        f"assign AS (SELECT vec_id, cluster FROM ("
+        f"SELECT e.vec_id, c.cid AS cluster, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {a_cos} DESC, c.cid) AS rn "
+        f"FROM {src} e, cents c) WHERE rn = 1), "
+        f"probes AS (SELECT query_id, embedding, cluster FROM ("
+        f"SELECT q.vec_id AS query_id, q.embedding, c.cid AS cluster, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {q_cos} DESC, c.cid) AS rn "
+        f"FROM {src} q, cents c WHERE q.vec_id < {n_queries}) "
+        f"WHERE rn <= {n_probes}), "
+        f"scored AS (SELECT p.query_id, n.vec_id AS neighbor_id, {n_cos} AS cos "
+        f"FROM probes p JOIN assign a ON a.cluster = p.cluster "
+        f"JOIN {src} n ON n.vec_id = a.vec_id "
+        "WHERE p.query_id <> n.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
 def sql_media_features(src: str = "documents") -> str:
     return (
         f"SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "

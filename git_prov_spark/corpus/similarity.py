@@ -149,6 +149,79 @@ def topk_lsh_multiprobe(
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cluster): IVF coarse quantizer, one-shot deterministic.
+
+    Centroids are the first n_centroids vectors by id — a deterministic
+    seed set both engines can reproduce; production would refine them with
+    offline Lloyd iterations, which changes the centroid VALUES but not
+    this assignment plan (argmax-cosine against a K-row broadcast dim: a
+    K-fan-out per row, linear in the corpus — never pairwise)."""
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = (
+        emb.select(id_col, "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos", F.expr(cosine_expr("embedding", "cemb")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cid").cast("int").alias("cluster"))
+    )
+
+
+def topk_ivf(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id",
+    n_centroids: int = IVF_CENTROIDS, n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query scans only its n_probes
+    nearest centroids' inverted lists — candidates come from an EQUI-join
+    on cluster, touching ~n_probes/n_centroids of the corpus per query.
+    The IVF alternative to the hyperplane-LSH path (topk_lsh*): clusters
+    adapt to the data distribution where hyperplanes are oblivious."""
+    assign = ivf_assign(emb, n_centroids, id_col)
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("embedding").alias("cemb")
+    )
+    q_vecs = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = (
+        F.broadcast(q_vecs)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.expr(cosine_expr("qe", "cemb")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probes)
+        .select("query_id", "qe", F.col("cid").cast("int").alias("cluster"))
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def topk_pandas(
     emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id"
 ) -> DataFrame:

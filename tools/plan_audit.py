@@ -107,16 +107,22 @@ def main() -> None:
     # -> every row through ONE task. Queries that rank within a key partition
     # (query_id, user_id, ...) never produce that exchange.
     #
-    # -- and no cartesian/nested-loop joins outside the DECLARED quadratic
-    # correctness baselines (brute-force cosine all-pairs; their scale-path
-    # twins are the LSH variants, which must stay equi-join-only).
-    QUADRATIC_BASELINES = {"dedup_embedding_cosine", "ann_topk", "ann_topk_pandas"}
+    # -- and no cartesian/nested-loop joins outside DECLARED exceptions:
+    # the brute-force correctness baselines (quadratic by design; their
+    # scale twins are the LSH/IVF variants, which must stay equi-join-only)
+    # and the IVF quantizer's K-row broadcast fan-out (cost K*N, linear).
+    NONEQUI_DECLARED = {
+        "dedup_embedding_cosine": "quadratic baseline (scale twin: minhash/simhash LSH)",
+        "ann_topk": "brute-force baseline (scale twin: ann_topk_lsh/multiprobe)",
+        "ann_topk_pandas": "brute-force baseline (mapInPandas matmul)",
+        "ann_topk_ivf": "K=16-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on cluster",
+    }
     for q, fn in qs.items():
         p = plan_of(fn(spark, sf_dir))
         if "Window" in p:
             check(f"{q} has no global (single-partition) window",
                   "Exchange SinglePartition" not in p)
-        if q not in QUADRATIC_BASELINES:
+        if q not in NONEQUI_DECLARED:
             check(f"{q} has no cartesian/nested-loop join",
                   "CartesianProduct" not in p
                   and "BroadcastNestedLoopJoin" not in p)
