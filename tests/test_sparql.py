@@ -147,3 +147,64 @@ def test_execute_order_by_limit(triples_df):
 def test_execute_unbound_select_raises(triples_df):
     with pytest.raises(SparqlError):
         execute(triples_df, "SELECT ?nope WHERE { ?c a prov:Activity }", repo=HOT)
+
+
+def test_parse_fuzz_grammar_roundtrip():
+    """Property fuzz: queries GENERATED from the supported grammar must
+    parse back to exactly the structures they were generated from."""
+    import random
+
+    rng = random.Random(77)
+    PREFIXES = {"prov": "http://www.w3.org/ns/prov#",
+                "ex": "http://example.org/x#"}
+    VARS = ["s", "p", "o", "x", "y"]
+
+    for trial in range(150):
+        pats_src, pats_want = [], []
+        n_pat = rng.randrange(1, 4)
+        for i in range(n_pat):
+            triple_src, triple_want = [], []
+            for pos in range(3):
+                choice = rng.choice(["var", "curie", "iri", "lit", "a"])
+                if choice == "a" and pos != 1:
+                    choice = "var"
+                if choice == "lit" and pos != 2:
+                    choice = "curie"
+                if choice == "var":
+                    v = rng.choice(VARS)
+                    triple_src.append(f"?{v}")
+                    triple_want.append(f"?{v}")
+                elif choice == "curie":
+                    p = rng.choice(list(PREFIXES))
+                    t = f"{p}:t{rng.randrange(5)}"
+                    triple_src.append(t)
+                    triple_want.append(t)
+                elif choice == "iri":
+                    p = rng.choice(list(PREFIXES))
+                    local = f"t{rng.randrange(5)}"
+                    triple_src.append(f"<{PREFIXES[p]}{local}>")
+                    triple_want.append(f"{p}:{local}")
+                elif choice == "lit":
+                    triple_src.append('"v w"')
+                    triple_want.append("v w")
+                else:  # a
+                    triple_src.append("a")
+                    triple_want.append("rdf:type")
+            pats_src.append(" ".join(triple_src))
+            pats_want.append(tuple(triple_want))
+        sel_vars = sorted({t[1:] for p in pats_want for t in p
+                           if t.startswith("?")})
+        proj = " ".join(f"?{v}" for v in sel_vars) if sel_vars else "*"
+        if proj == "*":
+            sel_vars = None
+        prologue = "".join(
+            f"PREFIX {p}: <{ns}> " for p, ns in PREFIXES.items()
+        )
+        src = (prologue + f"SELECT {proj} WHERE {{ "
+               + " . ".join(pats_src) + " }")
+        q = parse(src)
+        assert q.patterns == pats_want, src
+        if sel_vars is None:
+            assert q.variables is None
+        else:
+            assert q.variables == sel_vars
