@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_multiprobe",
+    "ann_topk_ivf",
     "ann_topk_pandas",
     "sort_commits",
     "sparql_select",

@@ -10,10 +10,12 @@ Scale notes (the 100 TB story for each):
   count. Pair explosion is bounded by per-shingle document frequency; at
   production scale a `HAVING df(shingle) < cap` filter (standard "stopword
   shingle" cut) bounds the join; implemented via `max_df`.
-* **MinHash+LSH** — 16 permutations min-aggregated in ONE groupBy (no
-  16-pass scan), banded into 4 buckets; candidate pairs come from equi-joins
-  on (band, signature) — never an all-pairs product. This is the linear-ish
-  scale path for near-dedup.
+* **MinHash+LSH** — all permutation minima in ONE groupBy (no multi-pass
+  scan), banded; candidate pairs come from equi-joins on (band, signature)
+  — never an all-pairs product. This is the linear-ish scale path for
+  near-dedup. Two configs: compact 16-perm/4×4 (oracle-parity demo) and
+  production 128-perm/16×8 (`lsh_candidate_pairs_wide`, S-curve midpoint
+  at Jaccard ≈ 0.72).
 * **SimHash** — 64-bit signature (64 bit-sums in ONE aggregate), banded
   into 4×16 bits: candidate pairs from an equi-join on any shared band
   (perfect recall for hamming ≤ 3 by pigeonhole), exact hamming verified
