@@ -147,6 +147,27 @@ AUG_NEAR_SQL = (
     "WHERE doc_id % 7 = 0 AND len(tokens) >= 2"
 )
 
+# boilerplate-augmented corpus for the span-dedup demo: every 5th doc gains a
+# shared footer paragraph (the realistic cross-doc exact-span signal)
+BOILER = "BOILERPLATE FOOTER v1 - all rights reserved - unsubscribe here"
+
+
+def _aug_boiler_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n" + BOILER)),
+        ).otherwise(F.col("text")),
+    )
+
+
+AUG_BOILER_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    f"THEN text || chr(10) || '{BOILER}' ELSE text END AS text FROM documents"
+)
+
 
 # ---------------------------------------------------------------------------
 # reference-operator demos (SURVEY.md §2 "Demo query" column)
@@ -424,6 +445,24 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-style pretokenizer counts (letter/digit/punct runs) — the
+    subword-budget estimator; regex verified to match DuckDB's RE2
+    token-for-token on unicode adversarial inputs."""
+    return ctext.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Duplicate-line repetition quality signal (boilerplate/spam)."""
+    return ctext.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Cross-doc exact span dedup over a boilerplate-augmented corpus —
+    the span-level companion of whole-doc exact dedup."""
+    return dedup.span_exact_dupes(_aug_boiler_df(spark, sf_dir))
+
+
 def q_text_langid(spark, sf_dir):
     df = ctext.lang_id(_t(spark, sf_dir, "documents"))
     return df.select(
@@ -601,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "text_repetition": q_text_repetition,
+        "dedup_spans": q_dedup_spans,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -719,6 +761,9 @@ def oracle_sql() -> dict[str, str]:
         # rank output equals the brute-force oracle (verified at sf0.01/0.1)
         "ann_topk_pandas": oracles.sql_topk_bruteforce("embeddings"),
         "text_tokens": oracles.sql_token_counts("documents"),
+        "text_tokens_bpe": oracles.sql_bpe_token_counts("documents"),
+        "text_repetition": oracles.sql_repetition_signals("documents"),
+        "dedup_spans": oracles.sql_span_exact_dupes(f"({AUG_BOILER_SQL})"),
         "text_langid": oracles.sql_lang_id("documents"),
         "text_quality": oracles.sql_quality("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),

@@ -66,6 +66,32 @@ def exact_dupes(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     )
 
 
+def span_exact_dupes(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text",
+    min_len: int = 1, sep: str = "\n",
+) -> DataFrame:
+    """Cross-document exact SPAN dedup (boilerplate/footer detection, the
+    span-level companion of whole-doc exact_dupes): split text into spans
+    on `sep`, hash each span, return spans occurring in more than one doc:
+    (span_sha, n_docs, n_occurrences, canonical_doc_id).
+
+    Scale shape: explode → hash-aggregate on the 64-hex sha (map-side
+    partial agg); the text itself never shuffles. min_len drops trivial
+    spans ('' between consecutive separators)."""
+    spans = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), sep)).alias("span")
+    ).where(F.length("span") >= min_len)
+    return (
+        spans.groupBy(F.sha2(F.col("span"), 256).alias("span_sha"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle). 1-based
     element_at keeps the expr portable to the DuckDB oracle's list_extract."""

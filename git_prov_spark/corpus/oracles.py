@@ -93,6 +93,54 @@ def sql_fingerprints(src: str = "documents") -> str:
     )
 
 
+def sql_bpe_token_counts(src: str = "documents") -> str:
+    from .text import BPE_TOKEN_PATTERN
+
+    def n_matching(pat: str) -> str:
+        return (
+            f"len(list_filter(bt, t -> regexp_matches(t, '{pat}')))"
+        )
+
+    alpha = n_matching(r"^\p{L}")
+    num = n_matching(r"^\p{N}")
+    punct = n_matching(r"^[^\p{L}\p{N}]")
+    return (
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(text, '{BPE_TOKEN_PATTERN}') AS bt FROM {src}) "
+        "SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe_tokens, "
+        f"CAST({alpha} AS BIGINT) AS n_alpha, "
+        f"CAST({num} AS BIGINT) AS n_num, "
+        f"CAST({punct} AS BIGINT) AS n_punct "
+        "FROM toks"
+    )
+
+
+def sql_repetition_signals(src: str = "documents") -> str:
+    lines = "string_split(text, chr(10))"
+    max_freq = (
+        "list_max(list_transform(list_distinct(lines), "
+        "d -> len(list_filter(lines, x -> x = d))))"
+    )
+    return (
+        f"WITH l AS (SELECT doc_id, {lines} AS lines FROM {src}) "
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines, "
+        f"CAST({max_freq} AS BIGINT) AS max_line_freq FROM l"
+    )
+
+
+def sql_span_exact_dupes(src: str = "documents", min_len: int = 1) -> str:
+    return (
+        "WITH spans AS (SELECT doc_id, "
+        f"unnest(string_split(text, chr(10))) AS span FROM {src}) "
+        "SELECT sha256(span) AS span_sha, "
+        "count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences, "
+        "min(doc_id) AS canonical_doc_id "
+        f"FROM spans WHERE length(span) >= {min_len} "
+        "GROUP BY 1 HAVING count(DISTINCT doc_id) > 1"
+    )
+
+
 def sql_exact_dupes(src: str = "documents") -> str:
     return (
         f"SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_doc_id, "

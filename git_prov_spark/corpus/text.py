@@ -88,6 +88,54 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# BPE-style pretokenizer: letter runs / digit runs / punctuation runs —
+# the shape subword tokenizers pre-split on (contractions split off, digits
+# separate from words). Verified to produce IDENTICAL token lists in Spark
+# (Java regex) and DuckDB (RE2) across unicode/emoji/NBSP adversarial cases
+# (tests/test_driver_contract.py) — no lookarounds, so both engines agree.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def bpe_tokens_col(text: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all({text}, r'{BPE_TOKEN_PATTERN}', 0)")
+
+
+def bpe_token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_alpha, n_num, n_punct): BPE-ish token
+    counting — the subword-budget estimator a training pipeline runs before
+    the real tokenizer (which needs its merges table; this regex pre-split
+    is the universal prefix of BPE/WordPiece pipelines). Zero shuffle."""
+    toks = df.withColumn("_bt", bpe_tokens_col())
+    def n_matching(pat: str) -> Column:
+        return F.size(F.filter(F.col("_bt"), lambda t: t.rlike(pat)))
+    return toks.select(
+        F.col(id_col),
+        F.size("_bt").cast("long").alias("n_bpe_tokens"),
+        n_matching(r"^\p{L}").cast("long").alias("n_alpha"),
+        n_matching(r"^\p{N}").cast("long").alias("n_num"),
+        n_matching(r"^[^\p{L}\p{N}]").cast("long").alias("n_punct"),
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, n_distinct_lines, max_line_freq): duplicate-line
+    repetition — the boilerplate/spam quality signal. Expression-only
+    (per-doc line counts; no shuffle): max_line_freq is computed with a
+    per-distinct-line count fold, quadratic in DISTINCT lines per doc —
+    bounded by document size, never by corpus size."""
+    lines = F.split(F.col("text"), "\n")
+    distinct = F.array_distinct(lines)
+    max_freq = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter(lines, lambda x: x == d)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(distinct).cast("long").alias("n_distinct_lines"),
+        max_freq.cast("long").alias("max_line_freq"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive document fingerprint: left-fold polynomial rolling hash
     of the portable token hashes, mod 2^31-1. Two docs share a fingerprint iff

@@ -74,8 +74,40 @@ def test_diffstats_oracle_empty_docs(spark, edge_docs_dir):
 
 
 def test_text_oracles_empty_docs(spark, edge_docs_dir):
-    for name in ("text_tokens", "text_quality", "text_fingerprint"):
+    for name in ("text_tokens", "text_quality", "text_fingerprint",
+                 "text_tokens_bpe", "text_repetition", "dedup_spans"):
         compare_entry(spark, edge_docs_dir, name)
+
+
+def test_bpe_regex_cross_engine_adversarial(spark):
+    """The BPE-ish pretokenizer regex must produce the IDENTICAL token list
+    in Spark (Java regex) and DuckDB (RE2) — unicode letters, emoji,
+    non-breaking space, mixed-script digits."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from git_prov_spark.corpus.text import BPE_TOKEN_PATTERN
+
+    cases = [
+        "hello world", "don't stop", "a1b2 c3", "café 中文 text",
+        "x...y!!z", "  spaced  out  ", "", "h0ß", "emoji \U0001f600 here",
+        "tab\tsep\nnewline", "num 1234 mix12mix", "рус abc",
+        "\xa0nbsp\xa0tok", "mixed١٢arabic digits",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r.t: r.toks
+        for r in df.select(
+            "t",
+            F.expr(f"regexp_extract_all(t, r'{BPE_TOKEN_PATTERN}', 0)").alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        want = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [c, BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert got[c] == want, repr(c)
 
 
 def test_ngram_df_cap_above_testdata_df():
