@@ -11,7 +11,10 @@ Supported subset (documented, validated — anything else raises SparqlError):
 
     PREFIX foo: <iri>                           -- any number
     SELECT [DISTINCT] ?a ?b | *                 -- projection
-    WHERE { s p o . s p o . FILTER(?v = term) } -- BGP + equality filters
+    WHERE { s p o . s p o .
+            OPTIONAL { s p o . ... } .          -- left-join blocks
+            FILTER(?v = term) .                 -- =, !=, IN (...)
+            FILTER(?v IN (t1, t2)) }
     ORDER BY [ASC|DESC](?v) ...                 -- optional
     LIMIT n                                     -- optional
 
@@ -79,8 +82,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 @dataclass
 class Filter:
     var: str          # variable name (no '?')
-    op: str           # '=' or '!='
-    value: str        # resolved constant (CURIE or literal lexical form)
+    op: str           # '=', '!=', or 'in'
+    value: str | list[str]  # resolved constant(s)
 
 
 @dataclass
@@ -89,6 +92,7 @@ class SelectQuery:
     distinct: bool = False
     variables: list[str] | None = None      # None = SELECT *
     patterns: list[Pattern] = field(default_factory=list)
+    optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
@@ -168,6 +172,23 @@ class _Parser:
             if kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
                 self._parse_filter()
+            elif kind == "word" and tok.upper() == "OPTIONAL":
+                self.i += 1
+                self._expect("{")
+                block: list[Pattern] = []
+                while self._peek()[1] != "}":
+                    if self._peek()[0] == "eof":
+                        raise SparqlError("unterminated OPTIONAL block")
+                    s = self._term(as_pattern=True)
+                    p = self._term(as_pattern=True, predicate=True)
+                    o = self._term(as_pattern=True)
+                    block.append((s, p, o))
+                    if self._peek()[1] == ".":
+                        self.i += 1
+                self.i += 1  # consume '}'
+                if not block:
+                    raise SparqlError("empty OPTIONAL block")
+                self.q.optionals.append(block)
             else:
                 s = self._term(as_pattern=True)
                 p = self._term(as_pattern=True, predicate=True)
@@ -180,13 +201,29 @@ class _Parser:
         self._expect("(")
         kind, var = self._next()
         if kind != "var":
-            raise SparqlError("FILTER supports ?var (=|!=) constant")
-        op = self._next()[1]
+            raise SparqlError("FILTER supports ?var (=|!=|IN) constant(s)")
+        kind, op = self._next()
         if op == "!":
             self._expect("=")
             op = "!="
+        elif kind == "word" and op.upper() == "IN":
+            self._expect("(")
+            values: list[str] = []
+            while True:
+                v = self._term(as_pattern=False)
+                if v.startswith("?"):
+                    raise SparqlError("IN list must be constants")
+                values.append(v)
+                nxt = self._next()[1]
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise SparqlError(f"expected ',' or ')' in IN list, got {nxt!r}")
+            self._expect(")")
+            self.q.filters.append(Filter(var[1:], "in", values))
+            return
         elif op != "=":
-            raise SparqlError(f"FILTER operator {op!r} unsupported (= or !=)")
+            raise SparqlError(f"FILTER operator {op!r} unsupported (=, !=, IN)")
         value = self._term(as_pattern=False)
         if value.startswith("?"):
             raise SparqlError("FILTER right side must be a constant")
@@ -265,11 +302,22 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
     if not q.patterns:
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo)
+    for block in q.optionals:
+        opt = bgp(triples, block, repo=repo)
+        shared = [c for c in opt.columns if c in df.columns]
+        if not shared:
+            raise SparqlError(
+                "OPTIONAL block shares no variable with the required patterns"
+            )
+        df = df.join(opt, shared, "left")
     for flt in q.filters:
         if flt.var not in df.columns:
             raise SparqlError(f"FILTER on unbound variable ?{flt.var}")
-        cond = F.col(flt.var) == flt.value
-        df = df.where(cond if flt.op == "=" else ~cond)
+        if flt.op == "in":
+            cond = F.col(flt.var).isin(*flt.value)
+        else:
+            cond = F.col(flt.var) == flt.value
+        df = df.where(cond if flt.op in ("=", "in") else ~cond)
     if q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:

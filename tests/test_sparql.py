@@ -208,3 +208,74 @@ def test_parse_fuzz_grammar_roundtrip():
             assert q.variables is None
         else:
             assert q.variables == sel_vars
+
+
+def test_parse_optional_and_in():
+    q = parse(
+        """
+        SELECT ?e ?d WHERE {
+          ?e a prov:Entity .
+          OPTIONAL { ?e prov:wasDerivedFrom ?d } .
+          FILTER(?e IN ("gitprov:a", "gitprov:b"))
+        }
+        """
+    )
+    assert q.patterns == [("?e", "rdf:type", "prov:Entity")]
+    assert q.optionals == [[("?e", "prov:wasDerivedFrom", "?d")]]
+    assert [(f.var, f.op, f.value) for f in q.filters] == [
+        ("e", "in", ["gitprov:a", "gitprov:b"])
+    ]
+
+
+def test_execute_optional_left_join(triples_df, oracle_set):
+    """Entities keep their row when the OPTIONAL derivation is absent
+    (null ?d), and bind it when present — SPARQL OPTIONAL semantics."""
+    got = execute(
+        triples_df,
+        """
+        SELECT ?e ?d WHERE {
+          ?e a prov:Entity .
+          OPTIONAL { ?e prov:wasDerivedFrom ?d }
+        }
+        """,
+        repo=HOT,
+    )
+    rows = {(r.e, r.d) for r in got.collect()}
+    types = _expected(oracle_set, HOT, "rdf:type")
+    entities = {s for s, o in types if o == "prov:Entity"}
+    derived = _expected(oracle_set, HOT, "prov:wasDerivedFrom")
+    expected = set()
+    for e in entities:
+        ds = {d for s, d in derived if s == e}
+        if ds:
+            expected |= {(e, d) for d in ds}
+        else:
+            expected.add((e, None))
+    assert rows == expected
+    assert any(d is None for _, d in rows)      # some underived entities
+    assert any(d is not None for _, d in rows)  # some derived ones
+
+
+def test_execute_filter_in(triples_df, oracle_set):
+    gen = _expected(oracle_set, HOT, "prov:wasGeneratedBy")
+    commits = sorted({c for _, c in gen})[:2]
+    quoted = ", ".join(f'"{c}"' for c in commits)
+    got = execute(
+        triples_df,
+        f"SELECT ?e ?c WHERE {{ ?e prov:wasGeneratedBy ?c . "
+        f"FILTER(?c IN ({quoted})) }}",
+        repo=HOT,
+    )
+    expected = {(e, c) for e, c in gen if c in commits}
+    assert {(r.e, r.c) for r in got.collect()} == expected
+    assert len(expected) > 0
+
+
+def test_optional_without_shared_var_raises(triples_df):
+    with pytest.raises(SparqlError):
+        execute(
+            triples_df,
+            "SELECT ?c WHERE { ?c a prov:Activity . "
+            "OPTIONAL { ?x prov:wasDerivedFrom ?y } }",
+            repo=HOT,
+        )
