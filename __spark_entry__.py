@@ -397,6 +397,12 @@ def q_dedup_minhash_lsh_wide(spark, sf_dir):
     return dedup.lsh_candidate_pairs_wide(_aug_near_df(spark, sf_dir), n=4)
 
 
+def q_dedup_near_groups(spark, sf_dir):
+    """Near-dup clusters: LSH pairs → connected components → canonical doc
+    per cluster (the keep/drop decision a dedup pipeline ships)."""
+    return dedup.near_dup_groups(_aug_near_df(spark, sf_dir), n=4)
+
+
 def q_dedup_simhash64(spark, sf_dir):
     """64-bit banded SimHash near-dup pairs (hamming ≤ 3) over a corpus with
     planted exact copies AND planted one-token-dropped near-copies."""
@@ -631,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_wide": q_dedup_minhash_lsh_wide,
+        "dedup_near_groups": q_dedup_near_groups,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
@@ -747,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
             aug_near, n=4, perms=hashing.MINHASH_PERMS_WIDE,
             bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
         ),
+        "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
         "dedup_simhash64": oracles.sql_simhash64_pairs(aug_near),
         "dedup_embedding_cosine": oracles.sql_embedding_dupes("embeddings", 0.3),
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),

@@ -222,6 +222,29 @@ def lsh_candidate_pairs_wide(
     )
 
 
+def near_dup_groups(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs → connected
+    components → (doc_id, canonical_doc_id = min doc in the cluster).
+
+    This is the composition a dedup pipeline actually ships: pairs alone
+    over-count (A~B, B~C gives two pairs but one keep-decision); the
+    component's canonical doc is the keeper, everything else drops. Only
+    docs appearing in ≥1 candidate pair are emitted (singletons keep
+    themselves implicitly). Same min-label-propagation machinery as the
+    KG's agent alias merge (operators.connected_components).
+    """
+    from ..operators import connected_components
+
+    pairs = lsh_candidate_pairs(df, n=n, id_col=id_col)
+    comps = connected_components(pairs, a="d1", b="d2")
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("canonical_doc_id"),
+    )
+
+
 def simhash64_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, b0..b3): 64-bit SimHash split into four 16-bit bands.
 

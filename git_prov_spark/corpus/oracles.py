@@ -216,6 +216,24 @@ def sql_minhash_lsh(src: str = "documents", n: int = 4,
     )
 
 
+def sql_near_dup_groups(src: str = "documents", n: int = 4) -> str:
+    """DuckDB twin of dedup.near_dup_groups: the LSH pair SQL feeds a
+    recursive transitive closure; component = min reachable node (exactly
+    what min-label propagation converges to)."""
+    pairs_sql = sql_minhash_lsh(src, n=n)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "e AS (SELECT d1 AS a, d2 AS b FROM pairs "
+        "UNION SELECT d2, d1 FROM pairs), "
+        "reach(node, r) AS ("
+        "SELECT a, a FROM e "
+        "UNION "
+        "SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r) "
+        "SELECT node AS doc_id, min(r) AS canonical_doc_id "
+        "FROM reach GROUP BY 1"
+    )
+
+
 def sql_simhash64_pairs(src: str = "documents", max_hamming: int = 3) -> str:
     """DuckDB twin of dedup.simhash64_near_pairs: 64-bit banded SimHash,
     band equi-join candidates, exact hamming via bit_count(xor)."""

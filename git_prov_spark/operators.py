@@ -26,6 +26,75 @@ from pyspark.sql import functions as F
 _PID = "_grn_pid"
 
 
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges` — component =
+    the minimum node id reachable through the undirected edge set.
+
+    DataFrame-native min-label propagation with pointer jumping (no driver
+    union-find): each round every node takes the min of (its label, its
+    neighbors' labels, its label's label). The neighbor step moves the min
+    one hop; the label-of-label step then doubles the distance already
+    covered, so convergence is O(log diameter) rounds instead of O(diameter)
+    — long alias/near-dup chains cost shuffles logarithmically. Each round
+    is two equi-joins + one groupBy on node ids: the plan scales with
+    |edges|, never |nodes|².
+
+    Every round ends in an eager `localCheckpoint`: iterative DataFrame
+    algorithms otherwise grow the logical plan exponentially (each round
+    embeds two copies of the last), and Catalyst analysis time — not the
+    data — becomes the bottleneck within ~10 rounds. Checkpointing resets
+    the lineage so per-round planning cost is constant. (On a real cluster
+    with flaky executors, swap localCheckpoint for a reliable
+    `checkpoint()` against the checkpoint dir — same semantics, fault
+    tolerant.)
+    """
+    und = (
+        edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .unionByName(edges.select(F.col(b).alias("a"), F.col(a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nl").alias("neighbor_label"))
+        )
+        cand = labels.join(neighbor_min, "node", "left").select(
+            "node", F.least("label", "neighbor_label").alias("label")
+        )
+        # pointer jump: label(label(x)) — doubles covered distance per round
+        jumped = cand.alias("c").join(
+            cand.select(
+                F.col("node").alias("label"), F.col("label").alias("ll")
+            ).alias("j"),
+            "label",
+            "left",
+        ).select("node", F.least("label", "ll").alias("label"))
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[str],

@@ -50,3 +50,44 @@ def test_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property: min-label propagation == classic union-find on random
+    graphs (chains, stars, cliques, singleton-free edge soup)."""
+    import random
+
+    from git_prov_spark.operators import connected_components
+
+    rng = random.Random(13)
+    # 2 trials only: every label-propagation round is a Spark job, so the
+    # test budget is rounds (graph diameter), not graph size — one sparse
+    # soup (long chains, high diameter) and one dense one (big components)
+    for trial, (n_nodes, n_edges) in enumerate([(60, 35), (40, 80)]):
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find oracle
+        parent = list(range(n_nodes))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {}
+        for x in touched:
+            comp = min(y for y in touched if find(y) == find(x))
+            want[x] = comp
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: r.component
+            for r in connected_components(df).collect()
+        }
+        assert got == want, (trial, edges)
