@@ -609,6 +609,37 @@ def _kg_pred_counts_oracle() -> str:
     )
 
 
+def q_kg_streaming_build(spark, sf_dir):
+    """Incremental KG construction (streaming.IncrementalKG, SURVEY §2.9
+    extension): the same input as kg_pred_counts, folded commit-batch by
+    commit-batch — c0 snapshots, then c1 — through the stateful
+    change-log/version-chain fold, then finalized (dim aggregates + tail
+    removals). The accumulated store's per-pred counts equal the batch
+    pipeline's closed-form oracle, which is exactly the point: incremental
+    == one-shot. Full set-level parity (values, any split, crash-retry,
+    real file-source drive) is gated in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.streaming import IncrementalKG
+
+    files, commits, contributors = _docs_as_repo_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="kg_stream_")
+    try:
+        ikg = IncrementalKG(spark, commits, contributors, out)
+        ikg.process_batch(files.where(F.col("commit").startswith("c0000")), 0)
+        ikg.process_batch(files.where(F.col("commit").startswith("c0001")), 1)
+        counts = (
+            ikg.finalize()
+            .groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+        )
+        # materialize before the store directory disappears
+        rows = counts.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, counts.schema)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -657,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "sparql_select": q_sparql_select,
         "kg_pred_counts": q_kg_pred_counts,
+        "kg_streaming_build": q_kg_streaming_build,
     }
 
 
@@ -779,4 +811,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
+        # incremental fold over the same input ends at the same store
+        "kg_streaming_build": _kg_pred_counts_oracle(),
     }

@@ -57,8 +57,21 @@ def with_commit_seq(slim: DataFrame, commits: DataFrame) -> DataFrame:
 def change_events(files: DataFrame, commits: DataFrame) -> DataFrame:
     """Snapshot rows -> change-event rows (repo, path, commit, commit_seq,
     status, content_sha, prev_content_sha)."""
-    slim = with_commit_seq(slim_files(files), commits)
+    return events_from_slim(with_commit_seq(slim_files(files), commits), commits)
 
+
+def events_from_slim(
+    slim: DataFrame, commits: DataFrame, max_seq: DataFrame | None = None
+) -> DataFrame:
+    """Change events over already-slimmed snapshot rows (repo, path, commit,
+    commit_seq, content_sha).
+
+    `max_seq` (repo, max_seq) bounds removal detection: a path last present
+    at seq s is "removed at s+1" only when s < max_seq(repo). Batch callers
+    leave it None (derived from the full commits dim); the incremental
+    builder (streaming.py) passes its per-repo processed watermark instead —
+    commits that exist in the dim but have not streamed through yet must not
+    trigger removals."""
     w = Window.partitionBy("repo", "path").orderBy("commit_seq")
     annotated = slim.select(
         "repo", "path", "commit", "commit_seq", "content_sha",
@@ -67,7 +80,8 @@ def change_events(files: DataFrame, commits: DataFrame) -> DataFrame:
         F.lead("commit_seq").over(w).alias("next_seq"),
     )
 
-    max_seq = commits.groupBy("repo").agg(F.max("commit_seq").alias("max_seq"))
+    if max_seq is None:
+        max_seq = commits.groupBy("repo").agg(F.max("commit_seq").alias("max_seq"))
     annotated = annotated.join(max_seq, "repo")  # tiny, broadcast by AQE
 
     present_status = F.when(

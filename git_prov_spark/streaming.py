@@ -1,0 +1,376 @@
+"""Incremental / Structured-Streaming KG construction (SURVEY §2.9 extension).
+
+The reference is strictly batch (one repo per HTTP request,
+ProvenanceService.java:116-189) — this module adds what a web-scale
+deployment of the same semantics actually runs: file snapshots arriving in
+commit order are folded into the triple store micro-batch by micro-batch,
+so a 100 TB corpus is never rebuilt from scratch when new commits land.
+
+Design — the fact stream is the snapshot table (the 100 TB part); commits
+and contributors are dims (static here; dim-sized updates are a tiny batch
+job):
+
+  batch files ──slim──▶ union with SNAPSHOT STATE (last present row per
+  (repo, path)) ──▶ the SAME window change-log as batch
+  (`changelog.events_from_slim`), bounded by the per-repo processed
+  WATERMARK so removal detection never looks past what has streamed ──▶
+  keep only events newer than the watermark ──▶ version-chain fixup from
+  EVENT STATE (last event per path) ──▶ the unchanged statement builders
+  ──▶ append, partitioned by batch_id with dynamic partition overwrite
+  (a retried micro-batch overwrites its own partition: exactly-once).
+
+State is three slim parquet tables (snapshot rows, last-event rows, blob
+store) + a per-repo watermark, all O(|paths| + |distinct blobs|) — orders
+of magnitude below the snapshot stream. They are versioned per batch id
+(state/v{batch}) so a replayed batch rewrites its own version instead of
+corrupting the previous one. At production scale the same shape maps onto
+Delta/Iceberg MERGE or `applyInPandasWithState`; plain parquet keeps this
+container-runnable.
+
+Ordering contract: micro-batches must respect commit_seq order per repo
+(the file source delivers by modification time; arrange chunk files
+chronologically). Rows at-or-below the repo's watermark are LATE and are
+dropped before they can touch state — the stream never silently reorders
+history.
+
+Aggregate (dim-scoped) statements — agent attributes and
+gitprov:contributions — are totals over all commits, not per-commit facts,
+so they are emitted once by `finalize()` (which also forces the watermark
+to the commits dim's max so tail removals after file-less commits flush).
+After finalize, the accumulated store is triple-for-triple equal to
+`build_triples` on the full input (tests/test_streaming.py asserts set
+equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .pipeline.agents import contributions, resolve_authors
+from .pipeline.changelog import (
+    CHANGE_EVENT_COLS,
+    blobs,
+    events_from_slim,
+    slim_files,
+    with_commit_seq,
+)
+from .pipeline.diffstats import with_diff_stats
+from .pipeline.statements import (
+    activity_triples,
+    agent_triples,
+    association_triples,
+    base_entity_triples,
+    communication_triples,
+    derivation_triples,
+    enrich_with_ids,
+    entity_triples,
+    generation_triples,
+    invalidation_triples,
+    usage_triples,
+)
+from .pipeline.versions import ensure_commit_seq
+
+SLIM_SCHEMA = (
+    "repo string, path string, commit string, commit_seq int, content_sha string"
+)
+EVENT_STATE_SCHEMA = (
+    "repo string, path string, last_event_commit string, last_event_seq int"
+)
+WATERMARK_SCHEMA = "repo string, max_seq int"
+FINALIZE_BATCH_ID = 1_000_000_000  # far above any real micro-batch id
+AGENTS_BATCH_ID = FINALIZE_BATCH_ID + 1
+
+
+class IncrementalKG:
+    """Fold file-snapshot micro-batches into a triples store.
+
+    Drive it either directly (`process_batch` per chunk, then `finalize`)
+    or through Structured Streaming (`stream_build` below wires it into
+    `foreachBatch`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        commits: DataFrame,
+        contributors: DataFrame,
+        out_dir: str,
+    ):
+        self.spark = spark
+        self.commits = ensure_commit_seq(commits)
+        self.contributors = contributors
+        self.out = out_dir.rstrip("/")
+        self._version: int | None = self._latest_version()
+
+    # -- state plumbing ----------------------------------------------------
+
+    def _state_dir(self, version: int) -> str:
+        return f"{self.out}/state/v{version}"
+
+    def _fs(self):
+        sc = self.spark.sparkContext
+        hadoop = sc._jvm.org.apache.hadoop  # noqa: SLF001 — FS listing
+        path = hadoop.fs.Path(f"{self.out}/state")
+        return hadoop, path.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def _latest_version(self) -> int | None:
+        """Highest COMMITTED state version — a crash between the four state
+        writes leaves no _COMMITTED marker, so restart falls back to the
+        last complete version and the source replays the batch."""
+        hadoop, fs = self._fs()
+        path = hadoop.fs.Path(f"{self.out}/state")
+        if not fs.exists(path):
+            return None
+        versions = [
+            int(st.getPath().getName()[1:])
+            for st in fs.listStatus(path)
+            if st.getPath().getName().startswith("v")
+            and fs.exists(
+                hadoop.fs.Path(f"{st.getPath().toString()}/_COMMITTED")
+            )
+        ]
+        return max(versions) if versions else None
+
+    def _mark_committed(self, version: int) -> None:
+        hadoop, fs = self._fs()
+        fs.create(
+            hadoop.fs.Path(f"{self._state_dir(version)}/_COMMITTED"), True
+        ).close()
+
+    def _read_state(self, name: str, schema: str) -> DataFrame:
+        if self._version is None:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            f"{self._state_dir(self._version)}/{name}"
+        )
+
+    def _write_state(self, version: int, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(f"{self._state_dir(version)}/{name}")
+
+    # -- the fold ----------------------------------------------------------
+
+    def process_batch(
+        self,
+        batch_files: DataFrame,
+        batch_id: int,
+        force_watermark: DataFrame | None = None,
+    ) -> None:
+        """Fold one micro-batch of snapshot rows (repo, path, commit,
+        content, ...) into state + the triple store.
+
+        `force_watermark` (repo, max_seq) advances the watermark past the
+        batch's own rows — finalize uses it with the commits dim's max so
+        trailing removals (a path absent from the last, possibly file-less,
+        commits) are emitted."""
+        commits = self.commits
+        snap_state = self._read_state("snapshots", SLIM_SCHEMA)
+        ev_state = self._read_state("events", EVENT_STATE_SCHEMA)
+        wm = self._read_state("watermark", WATERMARK_SCHEMA)
+        prev = wm.select("repo", F.col("max_seq").alias("prev_max"))
+
+        slim_b = with_commit_seq(slim_files(batch_files), commits)
+        # late-data guard: a row at-or-below the repo watermark would
+        # corrupt the snapshot state's lag column — drop before state union
+        slim_b = slim_b.join(prev, "repo", "left").where(
+            F.col("prev_max").isNull() | (F.col("commit_seq") > F.col("prev_max"))
+        ).drop("prev_max")
+
+        batch_max = slim_b.groupBy("repo").agg(F.max("commit_seq").alias("max_seq"))
+        if force_watermark is not None:
+            batch_max = batch_max.unionByName(force_watermark)
+        new_wm = (
+            wm.unionByName(batch_max)
+            .groupBy("repo")
+            .agg(F.max("max_seq").alias("max_seq"))
+        )
+
+        # same change-log window as batch, over state + new rows, removal
+        # detection bounded by the processed watermark (not the full dim)
+        union_slim = snap_state.unionByName(slim_b.select(*snap_state.columns))
+        evts = events_from_slim(
+            union_slim, commits, max_seq=new_wm
+        ).join(prev, "repo", "left").where(
+            F.col("prev_max").isNull() | (F.col("commit_seq") > F.col("prev_max"))
+        ).drop("prev_max")
+
+        # version-chain fixup: within-batch lag, stitched to the event state
+        w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+        chained = evts.select(
+            *CHANGE_EVENT_COLS,
+            F.lag("commit").over(w).alias("_batch_parent"),
+            (F.row_number().over(w) == 1).alias("_first_in_batch"),
+        ).join(ev_state, ["repo", "path"], "left")
+        events = chained.select(
+            *CHANGE_EVENT_COLS,
+            F.coalesce("_batch_parent", "last_event_commit").alias("parent_commit"),
+            (
+                F.col("_first_in_batch") & F.col("last_event_commit").isNull()
+            ).alias("is_first_version"),
+        ).localCheckpoint(eager=True)  # read twice (triples + state update)
+
+        # blob store: append only unseen shas, partitioned by batch for
+        # retry idempotency
+        blob_dir = f"{self.out}/blobs"
+        have = self._read_state("blob_shas", "content_sha string")
+        new_blobs = (
+            blobs(batch_files)
+            .join(have, "content_sha", "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            new_blobs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(blob_dir)
+        )
+        blob_store = self.spark.read.parquet(blob_dir)
+        all_blobs = blob_store.drop("batch_id")
+        # read the just-written partition back for the sha index instead of
+        # recomputing the blob dedup shuffle over the fat content column
+        written_shas = blob_store.where(
+            F.col("batch_id") == batch_id
+        ).select("content_sha")
+
+        # commit-scoped dims for this batch's seq range
+        new_commits = (
+            commits.join(prev, "repo", "left")
+            .join(new_wm, "repo")
+            .where(
+                (F.col("prev_max").isNull() | (F.col("commit_seq") > F.col("prev_max")))
+                & (F.col("commit_seq") <= F.col("max_seq"))
+            )
+            .drop("prev_max", "max_seq")
+        )
+
+        triples = self._batch_triples(events, new_commits, all_blobs)
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{self.out}/triples")
+        )
+
+        # state update: last present snapshot + last event per (repo, path)
+        last = Window.partitionBy("repo", "path").orderBy(F.desc("commit_seq"))
+        new_snap = (
+            union_slim.withColumn("_rn", F.row_number().over(last))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_ev = (
+            ev_state.unionByName(
+                events.select(
+                    "repo", "path",
+                    F.col("commit").alias("last_event_commit"),
+                    F.col("commit_seq").alias("last_event_seq"),
+                )
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("repo", "path").orderBy(
+                        F.desc("last_event_seq")
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_have = have.unionByName(written_shas).distinct()
+        self._write_state(batch_id, "snapshots", new_snap)
+        self._write_state(batch_id, "events", new_ev)
+        self._write_state(batch_id, "watermark", new_wm)
+        self._write_state(batch_id, "blob_shas", new_have)
+        self._mark_committed(batch_id)
+        self._version = batch_id
+
+    def _batch_triples(
+        self, events: DataFrame, new_commits: DataFrame, all_blobs: DataFrame
+    ) -> DataFrame:
+        """The per-commit-range slice of build_triples' union (everything
+        except the dim-aggregate agent statements, which finalize emits)."""
+        events = enrich_with_ids(events)
+        events_ts = events.join(
+            self.commits.select("repo", "commit", "authored_at"), ["repo", "commit"]
+        )
+        modified = events_ts.where(F.col("status") == "modified")
+        modified_stats = with_diff_stats(modified, all_blobs)
+        resolved = resolve_authors(new_commits, self.contributors)
+        parts = [
+            activity_triples(new_commits),
+            association_triples(resolved),
+            communication_triples(new_commits),
+            entity_triples(events),
+            base_entity_triples(events),
+            generation_triples(events_ts),
+            invalidation_triples(events_ts),
+            usage_triples(events_ts),
+            derivation_triples(modified_stats),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def finalize(self) -> DataFrame:
+        """Flush tail removals (watermark → commits max) and emit the
+        dim-aggregate agent/contribution statements; return the full
+        accumulated triples DataFrame."""
+        global_max = self.commits.groupBy("repo").agg(
+            F.max("commit_seq").alias("max_seq")
+        )
+        empty_files = self.spark.createDataFrame(
+            [], "repo string, path string, commit string, content string"
+        )
+        self.process_batch(
+            empty_files, FINALIZE_BATCH_ID, force_watermark=global_max
+        )
+        resolved = resolve_authors(self.commits, self.contributors)
+        agent_part = agent_triples(contributions(resolved, self.contributors))
+        (
+            agent_part.withColumn("batch_id", F.lit(AGENTS_BATCH_ID))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{self.out}/triples")
+        )
+        return self.triples()
+
+    def triples(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out}/triples").drop("batch_id")
+
+
+def stream_build(
+    spark: SparkSession,
+    files_dir: str,
+    files_schema: str,
+    commits: DataFrame,
+    contributors: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Structured-Streaming driver: file-source → foreachBatch(IncrementalKG)
+    → availableNow drain → finalize. Returns the accumulated triples.
+
+    The file source delivers chunks oldest-modification-time-first;
+    `max_files_per_trigger=1` makes each chunk file one micro-batch, which
+    is how the ordering contract (commit_seq ascending per repo across
+    batches) is satisfied for chronologically written chunks."""
+    ikg = IncrementalKG(spark, commits, contributors, out_dir)
+    stream = (
+        spark.readStream.schema(files_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(files_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ikg.process_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return ikg.finalize()

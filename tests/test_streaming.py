@@ -1,0 +1,158 @@
+"""Incremental/streaming KG construction == batch build_triples, exactly.
+
+The gate for git_prov_spark.streaming: any commit-ordered split of the
+snapshot table, folded batch-by-batch (or driven through a real
+Structured-Streaming file source), must accumulate the SAME triple set the
+one-shot batch pipeline produces — including removals whose evidence only
+completes after the last file-bearing commit, and after a crash-retry of a
+half-committed micro-batch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from git_prov_spark.pipeline.build import build_triples
+from git_prov_spark.pipeline.versions import ensure_commit_seq
+from git_prov_spark.streaming import IncrementalKG, stream_build
+
+TRIPLE_COLS = ["repo", "subj", "pred", "obj", "obj_type"]
+
+
+def _tset(df):
+    return {tuple(r) for r in df.select(*TRIPLE_COLS).collect()}
+
+
+def _seq_chunks(files, commits, bounds):
+    """Split snapshot rows into commit_seq ranges [lo, hi] per repo."""
+    seq = ensure_commit_seq(commits).select("repo", "commit", "commit_seq")
+    tagged = files.join(seq, ["repo", "commit"])
+    return [
+        tagged.where(F.col("commit_seq").between(lo, hi)).drop("commit_seq")
+        for lo, hi in bounds
+    ]
+
+
+def test_incremental_matches_batch(spark, spark_tables, tmp_path):
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+
+    ikg = IncrementalKG(spark, commits, contributors, str(tmp_path / "kg"))
+    chunks = _seq_chunks(files, commits, [(0, 2), (3, 5), (6, 999)])
+    for i, chunk in enumerate(chunks):
+        ikg.process_batch(chunk, i)
+    got = _tset(ikg.finalize())
+    assert got == expected
+
+
+def test_empty_middle_batch_is_noop(spark, spark_tables, tmp_path):
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+
+    ikg = IncrementalKG(spark, commits, contributors, str(tmp_path / "kg"))
+    chunks = _seq_chunks(files, commits, [(0, 3), (4, 999)])
+    ikg.process_batch(chunks[0], 0)
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, content string"
+    )
+    ikg.process_batch(empty, 1)
+    ikg.process_batch(chunks[1], 2)
+    assert _tset(ikg.finalize()) == expected
+
+
+def test_tail_removal_after_fileless_commit(spark, tmp_path):
+    """A path removed before trailing commits that touch no files: the
+    removal's evidence never streams, so only finalize's forced watermark
+    can flush it. Batch parity must still hold."""
+    commits = spark.createDataFrame(
+        [
+            ("r", "c0", [], "dev", "Dev", "d@x", "2024-01-01 00:00:00", "m0"),
+            ("r", "c1", ["c0"], "dev", "Dev", "d@x", "2024-01-02 00:00:00", "m1"),
+            ("r", "c2", ["c1"], "dev", "Dev", "d@x", "2024-01-03 00:00:00", "m2"),
+        ],
+        "repo string, commit string, parents array<string>, author_login string,"
+        " author_name string, author_email string, authored_at string,"
+        " message string",
+    ).withColumn("authored_at", F.to_timestamp("authored_at"))
+    contributors = spark.createDataFrame(
+        [("r", "dev", "User", "Dev", "d@x", None)],
+        "repo string, login string, type string, name string, email string,"
+        " avatar_url string",
+    )
+    files = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c0", "one\n"),
+            ("r", "b.txt", "c0", "bee\n"),
+            ("r", "a.txt", "c1", "one\ntwo\n"),
+            # b.txt gone at c1 -> removed@c1; a.txt gone at c2 (file-less
+            # commit) -> removed@c2, only derivable from the commits dim
+        ],
+        "repo string, path string, commit string, content string",
+    )
+    expected = _tset(build_triples(files, commits, contributors))
+    assert any(p == "prov:wasInvalidatedBy" for _, _, p, _, _ in expected)
+
+    ikg = IncrementalKG(spark, commits, contributors, str(tmp_path / "kg"))
+    ikg.process_batch(files.where(F.col("commit") == "c0"), 0)
+    ikg.process_batch(files.where(F.col("commit") == "c1"), 1)
+    assert _tset(ikg.finalize()) == expected
+
+
+def test_retry_of_uncommitted_batch(spark, spark_tables, tmp_path):
+    """Crash between the triples write and the state commit: the state
+    version has no _COMMITTED marker, a fresh builder resumes from the
+    previous version, and replaying the batch id overwrites its own
+    triples partition — no duplicates, batch parity holds."""
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+    out = str(tmp_path / "kg")
+
+    chunks = _seq_chunks(files, commits, [(0, 4), (5, 999)])
+    ikg = IncrementalKG(spark, commits, contributors, out)
+    ikg.process_batch(chunks[0], 0)
+    ikg.process_batch(chunks[1], 1)
+    # simulate the crash: state v1 exists but was never committed
+    os.remove(os.path.join(out, "state", "v1", "_COMMITTED"))
+
+    resumed = IncrementalKG(spark, commits, contributors, out)
+    assert resumed._version == 0
+    resumed.process_batch(chunks[1], 1)  # replay
+    assert _tset(resumed.finalize()) == expected
+
+
+def test_stream_build_file_source(spark, spark_tables, tmp_path):
+    """End-to-end through a real Structured-Streaming file source:
+    chronologically-stamped chunk files, maxFilesPerTrigger=1, availableNow
+    drain, finalize — equals batch."""
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = _seq_chunks(files, commits, [(0, 3), (4, 6), (7, 999)])
+    schema = None
+    for i, chunk in enumerate(chunks):
+        stage = str(tmp_path / f"stage{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = src / f"chunk{i}.parquet"
+        shutil.move(os.path.join(stage, part), dst)
+        # the file source orders batches by modification time
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+        schema = chunk.schema
+    got = stream_build(
+        spark,
+        str(src),
+        schema,
+        commits,
+        contributors,
+        str(tmp_path / "kg"),
+        str(tmp_path / "ckpt"),
+    )
+    assert _tset(got) == expected
