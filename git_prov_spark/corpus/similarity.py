@@ -33,19 +33,34 @@ def probe_masks(n_planes: int) -> list[int]:
 
 def lsh_bucket_expr(emb_col: str, n_planes: int = ANN_PLANES, dim: int = EMBED_DIM,
                     dialect: str = "spark") -> str:
-    """SQL expr (valid in BOTH dialects modulo element access) for the LSH
-    bucket id: bit p = sign(Σ_i emb[i] * w(p, i)) ≥ 0. Hyperplane weights are
-    pre-folded to rational literals (w/1000.0) at plan-build time — same md5
-    derivation, but the expression tree stays small enough for fast codegen."""
-    elem = (lambda i: f"element_at({emb_col}, {i + 1})") if dialect == "spark" else (
-        lambda i: f"list_extract({emb_col}, {i + 1})"
-    )
+    """SQL expr (per dialect) for the LSH bucket id: bit p =
+    sign(Σ_i emb[i] * w(p, i)) ≥ 0, hyperplane weights pre-folded to
+    rational literals (w/1000.0) at plan-build time.
+
+    Spark dialect: each dot product is `aggregate(zip_with(emb, <weights>,
+    *), 0, +)` — the literal weight array constant-folds, so the generated
+    Java is a short runtime loop however large n_planes × dim gets. (The
+    spelled-out `+` chain blew past janino's 64 KB method limit at 16×64,
+    silently dropping the whole stage to interpreted mode.) DuckDB keeps
+    the explicit chain; both fold left-to-right over i, so the IEEE sums —
+    and therefore the sign bits — match bit-exactly."""
     bits = []
     for p in range(n_planes):
-        dot = " + ".join(
-            f"cast({elem(i)} as double) * ({lsh_weight_int(p, i)} / 1000.0)"
-            for i in range(dim)
-        )
+        if dialect == "spark":
+            weights = ", ".join(
+                f"({lsh_weight_int(p, i)} / 1000.0)" for i in range(dim)
+            )
+            dot = (
+                f"aggregate(zip_with({emb_col}, array({weights}), "
+                "(x, w) -> cast(x as double) * w), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            )
+        else:
+            dot = " + ".join(
+                f"cast(list_extract({emb_col}, {i + 1}) as double) * "
+                f"({lsh_weight_int(p, i)} / 1000.0)"
+                for i in range(dim)
+            )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
