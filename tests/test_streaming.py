@@ -101,6 +101,22 @@ def test_tail_removal_after_fileless_commit(spark, tmp_path):
     assert _tset(ikg.finalize()) == expected
 
 
+def test_overlay_compaction_parity(spark, spark_tables, tmp_path):
+    """compact_every=2 forces a FULL state version mid-run: the overlay
+    chain restarts there and parity must still hold."""
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+    out = str(tmp_path / "kg")
+
+    ikg = IncrementalKG(spark, commits, contributors, out, compact_every=2)
+    chunks = _seq_chunks(files, commits, [(0, 1), (2, 3), (4, 6), (7, 999)])
+    for i, chunk in enumerate(chunks):
+        ikg.process_batch(chunk, i)
+    # at least one mid-run compaction happened (finalize adds another)
+    assert ikg._last_full is not None and ikg._last_full < 4
+    assert _tset(ikg.finalize()) == expected
+
+
 def test_retry_of_uncommitted_batch(spark, spark_tables, tmp_path):
     """Crash between the triples write and the state commit: the state
     version has no _COMMITTED marker, a fresh builder resumes from the
@@ -118,7 +134,7 @@ def test_retry_of_uncommitted_batch(spark, spark_tables, tmp_path):
     os.remove(os.path.join(out, "state", "v1", "_COMMITTED"))
 
     resumed = IncrementalKG(spark, commits, contributors, out)
-    assert resumed._version == 0
+    assert resumed._chain == [0]
     resumed.process_batch(chunks[1], 1)  # replay
     assert _tset(resumed.finalize()) == expected
 
