@@ -403,6 +403,18 @@ def q_dedup_near_groups(spark, sf_dir):
     return dedup.near_dup_groups(_aug_near_df(spark, sf_dir), n=4)
 
 
+def q_dedup_lsh_ingest(spark, sf_dir):
+    """Incremental dedup gate (corpus analog of kg_streaming_build): the
+    base documents are the already-built LSH band index; the planted
+    near-copies arrive as an ingest batch and probe it — each new doc
+    reports its collisions against index + batch without recomputing any
+    corpus signature."""
+    aug = _aug_near_df(spark, sf_dir)
+    index = dedup.lsh_bands(aug.where(F.col("doc_id") < 1000000), n=4)
+    new = aug.where(F.col("doc_id") >= 1000000)
+    return dedup.lsh_index_matches(new, index, n=4)
+
+
 def q_dedup_simhash64(spark, sf_dir):
     """64-bit banded SimHash near-dup pairs (hamming ≤ 3) over a corpus with
     planted exact copies AND planted one-token-dropped near-copies."""
@@ -669,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_wide": q_dedup_minhash_lsh_wide,
         "dedup_near_groups": q_dedup_near_groups,
+        "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
@@ -787,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
             bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
         ),
         "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
+        "dedup_lsh_ingest": oracles.sql_lsh_index_matches(
+            aug_near, n=4, new_min_id=1000000
+        ),
         "dedup_simhash64": oracles.sql_simhash64_pairs(aug_near),
         "dedup_embedding_cosine": oracles.sql_embedding_dupes("embeddings", 0.3),
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),

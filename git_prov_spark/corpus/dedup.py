@@ -174,14 +174,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     df: DataFrame, n: int = 4, id_col: str = "doc_id",
     perms: list[tuple[int, int]] | None = None,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing ≥1 banded signature.
-    Output (d1, d2, n_shared_bands) with d1 < d2. Candidates come from
-    equi-joins on (band, signature) — never an all-pairs product."""
+    """(doc_id, band, sig): the banded MinHash signature rows — the
+    persisted unit of an LSH dedup INDEX. An ingest pipeline materializes
+    this once over the corpus (`lsh_bands(corpus).write.parquet(ix)`),
+    then each arriving batch probes it (`lsh_index_matches`) and appends
+    its own bands (`.write.mode("append")`) — signatures are computed
+    exactly once per document, ever."""
     sigs = minhash_signatures(df, n=n, id_col=id_col, perms=perms)
     band_cols = []
     for band in range(bands):
@@ -191,7 +194,7 @@ def lsh_candidate_pairs(
             .alias(f"band{band}")
         )
     banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -200,12 +203,51 @@ def lsh_candidate_pairs(
             ])
         ).alias("bs"),
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id",
+    perms: list[tuple[int, int]] | None = None,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing ≥1 banded signature.
+    Output (d1, d2, n_shared_bands) with d1 < d2. Candidates come from
+    equi-joins on (band, signature) — never an all-pairs product."""
+    stacked = lsh_bands(df, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
     a = stacked.select(F.col(id_col).alias("d1"), "band", "sig")
     b = stacked.select(F.col(id_col).alias("d2"), "band", "sig")
     return (
         a.join(b, ["band", "sig"])
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def lsh_index_matches(
+    new_docs: DataFrame, index: DataFrame, n: int = 4, id_col: str = "doc_id",
+    perms: list[tuple[int, int]] | None = None,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Ingest-time near-dup gate: (new_id, match_id, n_shared_bands) for
+    every NEW document colliding with anything already in the band
+    `index` (a `lsh_bands` DataFrame, usually read back from parquet) OR
+    with another document of the same incoming batch.
+
+    This is the incremental dedup companion to streaming.IncrementalKG:
+    per batch it hashes only the new documents and equi-joins their bands
+    against the index — cost scales with |batch| and bucket hit sizes,
+    never |corpus|. New-new collisions surface in both directions (each
+    new doc reports its match); self-pairs are excluded, so re-ingesting
+    an already-indexed doc_id reports only genuine other-doc matches."""
+    nb = lsh_bands(new_docs, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
+    match_side = index.unionByName(nb)
+    a = nb.select(F.col(id_col).alias("new_id"), "band", "sig")
+    b = match_side.select(F.col(id_col).alias("match_id"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("new_id") != F.col("match_id"))
+        .groupBy("new_id", "match_id")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 

@@ -216,6 +216,34 @@ def sql_minhash_lsh(src: str = "documents", n: int = 4,
     )
 
 
+def sql_lsh_index_matches(src: str = "documents", n: int = 4,
+                          new_min_id: int = 1_000_000,
+                          perms: list[tuple[int, int]] | None = None,
+                          bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    """DuckDB twin of dedup.lsh_index_matches with the index side =
+    doc_id < new_min_id and the incoming batch = doc_id >= new_min_id:
+    band collisions of each new doc against index + batch, self excluded."""
+    band_rows = []
+    for band in range(bands):
+        cols = ", ".join(
+            f"CAST(mh{band * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS sig_h FROM sig"
+        )
+    stacked = " UNION ALL ".join(band_rows)
+    return (
+        f"WITH toks AS ({toks_cte(src)}), {_minhash_sig_cte(n, perms)}, "
+        f"stacked AS ({stacked}) "
+        "SELECT a.doc_id AS new_id, b.doc_id AS match_id, "
+        "count(*) AS n_shared_bands "
+        "FROM stacked a JOIN stacked b "
+        "ON a.band = b.band AND a.sig_h = b.sig_h AND a.doc_id <> b.doc_id "
+        f"WHERE a.doc_id >= {new_min_id} "
+        "GROUP BY 1, 2"
+    )
+
+
 def sql_near_dup_groups(src: str = "documents", n: int = 4) -> str:
     """DuckDB twin of dedup.near_dup_groups: the LSH pair SQL feeds a
     recursive transitive closure; component = min reachable node (exactly

@@ -126,3 +126,51 @@ def test_ivf_search_join_is_equi(spark):
     assert assign.count() == 100
     assert assign.select("vec_id").distinct().count() == 100
     assert assign.where(F.col("cluster").isNull()).count() == 0
+
+
+def test_lsh_index_matches_equals_batch_pairs(spark, tmp_path):
+    """The ingest gate through a persisted parquet index must surface
+    exactly the collisions the one-shot pair join finds on the union —
+    restricted to pairs touching a new doc, with new-new pairs reported
+    in both directions."""
+    from git_prov_spark.corpus import dedup
+
+    rng = __import__("random").Random(7)
+    words = [f"w{i}" for i in range(40)]
+    base = [
+        (i, " ".join(rng.choice(words) for _ in range(30))) for i in range(60)
+    ]
+    # batch: near-copies of every 3rd base doc (drop last token) + one
+    # in-batch duplicate pair
+    new = [
+        (1000 + i, t.rsplit(" ", 1)[0]) for i, t in base if i % 3 == 0
+    ]
+    new += [(2000, new[0][1]), (2001, new[0][1])]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    batch = spark.createDataFrame(new, "doc_id long, text string")
+
+    # persisted-index lifecycle: write, read back, probe, append
+    ix = str(tmp_path / "lsh_index")
+    dedup.lsh_bands(docs).write.parquet(ix)
+    index = spark.read.parquet(ix)
+    got = {
+        (r.new_id, r.match_id, r.n_shared_bands)
+        for r in dedup.lsh_index_matches(batch, index).collect()
+    }
+
+    union = docs.unionByName(batch)
+    pairs = dedup.lsh_candidate_pairs(union).collect()
+    new_ids = {d for d, _ in new}
+    want = set()
+    for r in pairs:
+        if r.d1 in new_ids:
+            want.add((r.d1, r.d2, r.n_shared_bands))
+        if r.d2 in new_ids:
+            want.add((r.d2, r.d1, r.n_shared_bands))
+    assert got == want
+    assert got  # the planted copies must actually collide
+
+    # append keeps the index current: the batch's own bands land in it
+    dedup.lsh_bands(batch).write.mode("append").parquet(ix)
+    n_total = spark.read.parquet(ix).select("doc_id").distinct().count()
+    assert n_total == 60 + len(new)
