@@ -542,6 +542,50 @@ def q_sparql_select(spark, sf_dir):
     )
 
 
+def q_sparql_agg(spark, sf_dir):
+    """SPARQL aggregate subset (COUNT / COUNT DISTINCT / GROUP BY) — the
+    analytical query shape the reference answers via Jena ARQ
+    (services/SparqlService.java:16-31). Compiles to one BGP self-join plus
+    ONE hash-aggregate on the GROUP BY key (map-side partials; no extra
+    shuffle beyond the join)."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        PREFIX ev: <http://example.org/ev#>
+        SELECT ?u (COUNT(DISTINCT ?c) AS ?n_clicks)
+               (COUNT(DISTINCT ?p) AS ?n_purchases)
+               (COUNT(*) AS ?n_solutions)
+        WHERE {
+          ?u ev:did_click ?c .
+          ?u ev:did_purchase ?p .
+        }
+        GROUP BY ?u
+        """,
+    )
+
+
+SPARQL_AGG_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj FROM events), "
+    "b AS (SELECT DISTINCT a.subj AS u, a.obj AS c, p.obj AS p "
+    "FROM t a JOIN t p ON a.subj = p.subj "
+    "AND a.pred = 'ev:did_click' AND p.pred = 'ev:did_purchase') "
+    "SELECT u, COUNT(DISTINCT c) AS n_clicks, COUNT(DISTINCT p) AS n_purchases, "
+    "COUNT(*) AS n_solutions FROM b GROUP BY u"
+)
+
+
 SPARQL_SELECT_ORACLE = (
     "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
     "'ev:did_' || event_type AS pred, "
@@ -700,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         "sparql_select": q_sparql_select,
+        "sparql_agg": q_sparql_agg,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_streaming_build": q_kg_streaming_build,
     }
@@ -826,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": oracles.sql_media_features("documents"),
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
+        "sparql_agg": SPARQL_AGG_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

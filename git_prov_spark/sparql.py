@@ -11,11 +11,14 @@ Supported subset (documented, validated — anything else raises SparqlError):
 
     PREFIX foo: <iri>                           -- any number
     SELECT [DISTINCT] ?a ?b | *                 -- projection
-    WHERE { s p o . s p o .
+    SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
+           (MIN(?v) AS ?lo) ...                 --   MIN, MAX (SUM casts the
+    WHERE { s p o . s p o .                     --   lexical form to double)
             OPTIONAL { s p o . ... } .          -- left-join blocks
             FILTER(?v = term) .                 -- =, !=, IN (...)
             FILTER(?v IN (t1, t2)) }
-    ORDER BY [ASC|DESC](?v) ...                 -- optional
+    GROUP BY ?g ...                             -- required iff aggregates
+    ORDER BY [ASC|DESC](?v) ...                 --   mix with plain ?vars
     LIMIT n                                     -- optional
 
 Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
@@ -87,13 +90,24 @@ class Filter:
 
 
 @dataclass
+class Agg:
+    func: str             # 'count' | 'sum' | 'min' | 'max'
+    var: str | None       # None = COUNT(*)
+    distinct: bool
+    alias: str            # output column name (no '?')
+
+
+@dataclass
 class SelectQuery:
     prefixes: dict[str, str] = field(default_factory=dict)
     distinct: bool = False
     variables: list[str] | None = None      # None = SELECT *
+    aggregates: list[Agg] = field(default_factory=list)
+    select_order: list[str] = field(default_factory=list)  # output col order
     patterns: list[Pattern] = field(default_factory=list)
     optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
 
@@ -150,18 +164,57 @@ class _Parser:
             raise SparqlError(f"trailing input at {self._peek()[1]!r}")
         return self.q
 
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX")
+
     def _parse_projection(self) -> None:
         kind, tok = self._peek()
         if tok == "*":
             self.i += 1
             self.q.variables = None
             return
-        out = []
-        while self._peek()[0] == "var":
-            out.append(self._next()[1][1:])
-        if not out:
-            raise SparqlError("SELECT needs ?vars or *")
+        out: list[str] = []
+        while True:
+            kind, tok = self._peek()
+            if kind == "var":
+                self.i += 1
+                out.append(tok[1:])
+                self.q.select_order.append(tok[1:])
+            elif tok == "(":
+                self.i += 1
+                self.q.aggregates.append(self._parse_agg())
+                self.q.select_order.append(self.q.aggregates[-1].alias)
+            else:
+                break
+        if not out and not self.q.aggregates:
+            raise SparqlError("SELECT needs ?vars, (AGG(...) AS ?alias), or *")
         self.q.variables = out
+
+    def _parse_agg(self) -> Agg:
+        """After the opening '(': AGG([DISTINCT] ?v | *) AS ?alias )."""
+        kind, fn = self._next()
+        if kind != "word" or fn.upper() not in self._AGG_FUNCS:
+            raise SparqlError(
+                f"aggregate must be one of {self._AGG_FUNCS}, got {fn!r}"
+            )
+        func = fn.lower()
+        self._expect("(")
+        distinct = self._kw("DISTINCT")
+        kind, arg = self._next()
+        if arg == "*":
+            if func != "count" or distinct:
+                raise SparqlError("only COUNT(*) may take *")
+            var = None
+        elif kind == "var":
+            var = arg[1:]
+        else:
+            raise SparqlError(f"aggregate argument must be ?var or *, got {arg!r}")
+        self._expect(")")
+        self._expect("AS")
+        kind, alias = self._next()
+        if kind != "var":
+            raise SparqlError("AS needs a ?alias variable")
+        self._expect(")")
+        return Agg(func=func, var=var, distinct=distinct, alias=alias[1:])
 
     def _parse_group(self) -> None:
         while True:
@@ -231,6 +284,12 @@ class _Parser:
         self.q.filters.append(Filter(var[1:], op, value))
 
     def _parse_modifiers(self) -> None:
+        if self._kw("GROUP"):
+            self._expect("BY")
+            while self._peek()[0] == "var":
+                self.q.group_by.append(self._next()[1][1:])
+            if not self.q.group_by:
+                raise SparqlError("empty GROUP BY")
         if self._kw("ORDER"):
             self._expect("BY")
             while True:
@@ -318,7 +377,44 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
         else:
             cond = F.col(flt.var) == flt.value
         df = df.where(cond if flt.op in ("=", "in") else ~cond)
-    if q.variables is not None:
+    if q.aggregates:
+        # Aggregation runs over the solution set (the full-binding rows are
+        # distinct tuples: each pattern's matched triple is determined by its
+        # variable bindings plus constants, so no spurious duplicates exist —
+        # matching SPARQL COUNT semantics over a triple-SET store). Shuffle
+        # is one hash-aggregate on the GROUP BY keys with map-side partials.
+        missing = [v for v in (q.variables or []) + q.group_by
+                   if v not in df.columns]
+        if missing:
+            raise SparqlError(f"aggregate query references unbound: {missing}")
+        stray = [v for v in (q.variables or []) if v not in q.group_by]
+        if stray:
+            raise SparqlError(
+                f"projected vars must appear in GROUP BY: {stray}"
+            )
+        cols = []
+        for a in q.aggregates:
+            if a.var is not None and a.var not in df.columns:
+                raise SparqlError(f"aggregate over unbound variable ?{a.var}")
+            if a.func == "count" and a.var is None:
+                c = F.count(F.lit(1))
+            elif a.func == "count" and a.distinct:
+                c = F.countDistinct(a.var)
+            elif a.func == "count":
+                c = F.count(a.var)
+            elif a.func == "sum":
+                # SPARQL SUM over numeric literals: cast the lexical form
+                c = F.sum(F.col(a.var).cast("double"))
+            elif a.func == "min":
+                c = F.min(a.var)
+            else:
+                c = F.max(a.var)
+            if a.distinct and a.func != "count":
+                raise SparqlError("DISTINCT is supported on COUNT only")
+            cols.append(c.alias(a.alias))
+        grouped = df.groupBy(*q.group_by) if q.group_by else df.groupBy()
+        df = grouped.agg(*cols).select(*q.select_order)
+    elif q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:
             raise SparqlError(f"SELECT of unbound variables: {missing}")

@@ -279,3 +279,112 @@ def test_optional_without_shared_var_raises(triples_df):
             "OPTIONAL { ?x prov:wasDerivedFrom ?y } }",
             repo=HOT,
         )
+
+
+# --------------------------------------------------------------------------
+# Aggregates (GROUP BY / COUNT / SUM / MIN / MAX)
+# --------------------------------------------------------------------------
+
+def test_parse_aggregates():
+    q = parse(
+        """
+        SELECT ?u (COUNT(DISTINCT ?c) AS ?n) (SUM(?x) AS ?total)
+        WHERE { ?u ex:did ?c . ?c ex:weight ?x }
+        GROUP BY ?u ORDER BY DESC(?n) LIMIT 3
+        """
+    )
+    assert q.variables == ["u"] and q.group_by == ["u"]
+    assert q.select_order == ["u", "n", "total"]
+    assert [(a.func, a.var, a.distinct, a.alias) for a in q.aggregates] == [
+        ("count", "c", True, "n"),
+        ("sum", "x", False, "total"),
+    ]
+    assert q.order_by == [("n", False)] and q.limit == 3
+
+
+def test_execute_count_group_by(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?c (COUNT(?e) AS ?n_used)
+        WHERE { ?c prov:used ?e }
+        GROUP BY ?c
+        """,
+        repo=HOT,
+    )
+    used = _expected(oracle_set, HOT, "prov:used")
+    expected = {}
+    for c, e in used:
+        expected[c] = expected.get(c, 0) + 1
+    assert {(r.c, r.n_used) for r in got.collect()} == set(expected.items())
+    assert len(expected) > 0
+
+
+def test_execute_global_count_star(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?c a prov:Activity }",
+        repo=HOT,
+    )
+    types = _expected(oracle_set, HOT, "rdf:type")
+    n_activities = sum(1 for _, o in types if o == "prov:Activity")
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].n == n_activities > 0
+
+
+def test_execute_sum_numeric_lexical(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        "SELECT (SUM(?a) AS ?total) (MAX(?a) AS ?hi) "
+        "WHERE { ?d gitprov:additions ?a }",
+        repo=HOT,
+    )
+    adds = [float(o) for _, o in _expected(oracle_set, HOT, "gitprov:additions")]
+    # additions repeat across derivations; oracle_set is a SET of (s,o) pairs,
+    # and so is the triple store — sums agree because subjects are distinct
+    rows = got.collect()
+    assert rows[0].total == sum(adds)
+    assert float(rows[0].hi) == max(adds)
+    assert len(adds) > 0
+
+
+def test_execute_count_skips_unbound_optional(triples_df, oracle_set):
+    """COUNT(?v) over an OPTIONAL variable counts only bound solutions,
+    COUNT(*) counts all of them — the SPARQL null-skipping distinction."""
+    got = execute(
+        triples_df,
+        """
+        SELECT ?c (COUNT(?prev) AS ?n_parents) (COUNT(*) AS ?n_rows)
+        WHERE { ?c a prov:Activity .
+                OPTIONAL { ?c prov:wasInformedBy ?prev } }
+        GROUP BY ?c
+        """,
+        repo=HOT,
+    )
+    types = _expected(oracle_set, HOT, "rdf:type")
+    informed = _expected(oracle_set, HOT, "prov:wasInformedBy")
+    activities = {s for s, o in types if o == "prov:Activity"}
+    parents = {}
+    for c, p in informed:
+        parents[c] = parents.get(c, 0) + 1
+    expected = {(c, parents.get(c, 0), max(parents.get(c, 0), 1))
+                for c in activities}
+    assert {(r.c, r.n_parents, r.n_rows) for r in got.collect()} == expected
+    # root commit(s): present with n_parents=0 — the OPTIONAL must not drop them
+    assert any(n == 0 for _, n, _ in expected)
+
+
+def test_execute_agg_validation(triples_df):
+    with pytest.raises(SparqlError):   # projected var missing from GROUP BY
+        execute(triples_df,
+                "SELECT ?c ?e (COUNT(?e) AS ?n) WHERE { ?c prov:used ?e } "
+                "GROUP BY ?c", repo=HOT)
+    with pytest.raises(SparqlError):   # DISTINCT only on COUNT
+        execute(triples_df,
+                "SELECT (SUM(DISTINCT ?a) AS ?t) "
+                "WHERE { ?d gitprov:additions ?a }", repo=HOT)
+    with pytest.raises(SparqlError):   # aggregate over unbound variable
+        execute(triples_df,
+                "SELECT (COUNT(?zz) AS ?n) WHERE { ?c a prov:Activity }",
+                repo=HOT)
