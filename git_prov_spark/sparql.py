@@ -18,7 +18,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
             FILTER(?v = term) .                 -- =, !=, IN (...)
             FILTER(?v IN (t1, t2)) }
     GROUP BY ?g ...                             -- required iff aggregates
-    ORDER BY [ASC|DESC](?v) ...                 --   mix with plain ?vars
+    HAVING(?alias > n) ...                      -- =  != > >= < <= over the
+    ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
     LIMIT n                                     -- optional
 
 Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
@@ -58,8 +59,8 @@ _TOKEN_RE = re.compile(
   | (?P<dtype>\^\^)
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-  | (?P<num>[0-9]+)
-  | (?P<punct>[{}().=!,*])
+  | (?P<num>[0-9]+(?:\.[0-9]+)?)
+  | (?P<punct>[{}().=!,*<>])
     """,
     re.VERBOSE,
 )
@@ -108,6 +109,7 @@ class SelectQuery:
     optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
 
@@ -290,6 +292,25 @@ class _Parser:
                 self.q.group_by.append(self._next()[1][1:])
             if not self.q.group_by:
                 raise SparqlError("empty GROUP BY")
+        while self._kw("HAVING"):
+            self._expect("(")
+            kind, var = self._next()
+            if kind != "var":
+                raise SparqlError("HAVING supports ?col OP number")
+            kind, op = self._next()
+            if op in ("<", ">") and self._peek()[1] == "=":
+                self.i += 1
+                op += "="
+            elif op == "!":
+                self._expect("=")
+                op = "!="
+            if op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise SparqlError(f"HAVING operator {op!r} unsupported")
+            kind, num = self._next()
+            if kind != "num":
+                raise SparqlError("HAVING right side must be a number")
+            self._expect(")")
+            self.q.having.append((var[1:], op, float(num)))
         if self._kw("ORDER"):
             self._expect("BY")
             while True:
@@ -312,7 +333,7 @@ class _Parser:
                 raise SparqlError("empty ORDER BY")
         if self._kw("LIMIT"):
             kind, n = self._next()
-            if kind != "num":
+            if kind != "num" or "." in n:
                 raise SparqlError("LIMIT needs an integer")
             self.q.limit = int(n)
 
@@ -377,6 +398,8 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
         else:
             cond = F.col(flt.var) == flt.value
         df = df.where(cond if flt.op in ("=", "in") else ~cond)
+    if q.having and not q.aggregates:
+        raise SparqlError("HAVING requires an aggregate projection")
     if q.aggregates:
         # Aggregation runs over the solution set (the full-binding rows are
         # distinct tuples: each pattern's matched triple is determined by its
@@ -414,6 +437,13 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
             cols.append(c.alias(a.alias))
         grouped = df.groupBy(*q.group_by) if q.group_by else df.groupBy()
         df = grouped.agg(*cols).select(*q.select_order)
+        for col, op, num in q.having:
+            if col not in df.columns:
+                raise SparqlError(f"HAVING references unknown column ?{col}")
+            c = F.col(col).cast("double")
+            cond = {"=": c == num, "!=": c != num, "<": c < num,
+                    "<=": c <= num, ">": c > num, ">=": c >= num}[op]
+            df = df.where(cond)
     elif q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:

@@ -388,3 +388,35 @@ def test_execute_agg_validation(triples_df):
         execute(triples_df,
                 "SELECT (COUNT(?zz) AS ?n) WHERE { ?c a prov:Activity }",
                 repo=HOT)
+
+
+def test_execute_having(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?c (COUNT(?e) AS ?n_used)
+        WHERE { ?c prov:used ?e }
+        GROUP BY ?c HAVING(?n_used >= 2)
+        """,
+        repo=HOT,
+    )
+    used = _expected(oracle_set, HOT, "prov:used")
+    counts = {}
+    for c, _ in used:
+        counts[c] = counts.get(c, 0) + 1
+    expected = {(c, n) for c, n in counts.items() if n >= 2}
+    assert {(r.c, r.n_used) for r in got.collect()} == expected
+    assert 0 < len(expected) < len(counts)  # the filter actually cuts
+
+
+def test_having_validation(triples_df):
+    with pytest.raises(SparqlError):   # HAVING without aggregates
+        execute(triples_df, "SELECT ?s WHERE { ?s ?p ?o } HAVING(?s > 1)",
+                repo=HOT)
+    with pytest.raises(SparqlError):   # HAVING on an unknown column
+        execute(triples_df,
+                "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?m > 1)",
+                repo=HOT)
+    with pytest.raises(SparqlError):   # non-numeric rhs
+        parse('SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?n > "x")')
