@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_topk_pandas",
     "sort_commits",
     "sparql_select",
+    "sparql_agg",
     "text_quality",
     "text_fingerprint",
     "mm_features",

@@ -12,8 +12,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
     PREFIX foo: <iri>                           -- any number
     SELECT [DISTINCT] ?a ?b | *                 -- projection
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
-           (MIN(?v) AS ?lo) ...                 --   MIN, MAX (SUM casts the
-    WHERE { s p o . s p o .                     --   lexical form to double)
+           (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
+    WHERE { s p o . s p o .                     --   cast lexical -> double)
             OPTIONAL { s p o . ... } .          -- left-join blocks
             FILTER(?v = term) .                 -- =, !=, IN (...)
             FILTER(?v IN (t1, t2)) }
@@ -166,7 +166,7 @@ class _Parser:
             raise SparqlError(f"trailing input at {self._peek()[1]!r}")
         return self.q
 
-    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX")
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
     def _parse_projection(self) -> None:
         kind, tok = self._peek()
@@ -425,9 +425,10 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
                 c = F.countDistinct(a.var)
             elif a.func == "count":
                 c = F.count(a.var)
-            elif a.func == "sum":
-                # SPARQL SUM over numeric literals: cast the lexical form
-                c = F.sum(F.col(a.var).cast("double"))
+            elif a.func in ("sum", "avg"):
+                # SPARQL SUM/AVG over numeric literals: cast the lexical form
+                agg_fn = F.sum if a.func == "sum" else F.avg
+                c = agg_fn(F.col(a.var).cast("double"))
             elif a.func == "min":
                 c = F.min(a.var)
             else:

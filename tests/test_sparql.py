@@ -336,7 +336,7 @@ def test_execute_global_count_star(triples_df, oracle_set):
 def test_execute_sum_numeric_lexical(triples_df, oracle_set):
     got = execute(
         triples_df,
-        "SELECT (SUM(?a) AS ?total) (MAX(?a) AS ?hi) "
+        "SELECT (SUM(?a) AS ?total) (MAX(?a) AS ?hi) (AVG(?a) AS ?mean) "
         "WHERE { ?d gitprov:additions ?a }",
         repo=HOT,
     )
@@ -346,6 +346,7 @@ def test_execute_sum_numeric_lexical(triples_df, oracle_set):
     rows = got.collect()
     assert rows[0].total == sum(adds)
     assert float(rows[0].hi) == max(adds)
+    assert abs(rows[0].mean - sum(adds) / len(adds)) < 1e-9
     assert len(adds) > 0
 
 
