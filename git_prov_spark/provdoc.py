@@ -5,10 +5,13 @@ with store.py's Turtle / RDF/XML / TriG / N-Triples / JSON-lines, every DATA
 format of the 11 is covered — only the image/PDF renders (PDF, SVG, PNG,
 JPEG) stay out of scope as presentation.
 
-These are one-repo document exports (like store.turtle_text): the graph for
-one repo is collected to the driver and assembled into the record-oriented
-document shapes — PROV-N statements, the PROV-JSON object layout, PROV-XML
-elements. The bulk path for whole-corpus interchange remains the distributed
+Two surfaces share one assembler per format:
+* `*_text(triples, repo)` — one-repo driver-side export, mirroring the
+  reference's per-model HTTP responses (like store.turtle_text);
+* `prov_documents(triples, fmt)` — the corpus path: one document PER repo
+  for the whole store, assembled on executors via groupBy(repo)
+  .applyInPandas (see its docstring for the scale bounds).
+The bulk path for whole-corpus triple interchange remains the distributed
 line-oriented sinks (write_ntriples / write_trig / write_rdfxml).
 
 Fidelity notes (simplified but valid documents):
@@ -112,7 +115,10 @@ def _provn_attr_block(pairs) -> str:
 
 
 def provn_text(triples: DataFrame, repo: str) -> str:
-    g = _collect_graph(triples, repo)
+    return _provn_doc(_collect_graph(triples, repo), repo)
+
+
+def _provn_doc(g: _Graph, repo: str) -> str:
     lines = ["document"]
     for p, ns in NAMESPACES.items():
         lines.append(f"prefix {p} <{ns}>")
@@ -172,7 +178,10 @@ def _json_attr_value(value: str, obj_type: str):
 
 
 def provjson_text(triples: DataFrame, repo: str) -> str:
-    g = _collect_graph(triples, repo)
+    return _provjson_doc(_collect_graph(triples, repo), repo)
+
+
+def _provjson_doc(g: _Graph, repo: str) -> str:
     doc: dict = {"prefix": {**NAMESPACES, "gitprov": gitprov_ns(repo)}}
 
     def element_block(kind: str) -> dict:
@@ -225,7 +234,10 @@ def provjson_text(triples: DataFrame, repo: str) -> str:
 # --------------------------------------------------------------------------
 
 def provxml_text(triples: DataFrame, repo: str) -> str:
-    g = _collect_graph(triples, repo)
+    return _provxml_doc(_collect_graph(triples, repo), repo)
+
+
+def _provxml_doc(g: _Graph, repo: str) -> str:
     xmlns = "".join(f' xmlns:{p}="{ns}"' for p, ns in NAMESPACES.items())
     xmlns += f' xmlns:gitprov="{escape(gitprov_ns(repo))}"'
     out = [f'<?xml version="1.0" encoding="UTF-8"?>\n<prov:document{xmlns}>']
@@ -308,3 +320,66 @@ def dot_text(triples: DataFrame, repo: str, max_edges: int = 50_000) -> str:
         lines.append(f"  {q(r.subj)} -> {q(r.obj)} [label={q(r.pred)}];")
     lines.append("}")
     return "\n".join(lines)
+
+
+def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:
+    edges = sorted(
+        (s, p, o) for p, so in g.edges.items() for s, o in so
+    )
+    if len(edges) > max_edges:
+        raise ValueError(f"graph exceeds max_edges={max_edges}; export a subset")
+
+    def q(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    lines = [f"digraph {q(repo)} {{"]
+    for s, p, o in edges:
+        lines.append(f"  {q(s)} -> {q(o)} [label={q(p)}];")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# Distributed bulk export: one document per repo, assembled on executors
+# --------------------------------------------------------------------------
+
+_DOC_ASSEMBLERS = {
+    "provn": _provn_doc,
+    "provjson": _provjson_doc,
+    "provxml": _provxml_doc,
+    "dot": _dot_doc,
+}
+
+
+def prov_documents(triples: DataFrame, fmt: str = "provn") -> DataFrame:
+    """(repo, doc) — one PROV document per repo, assembled distributed.
+
+    The driver-side `*_text` exporters above mirror the reference's one-model
+    HTTP responses; this is the corpus path: `groupBy(repo).applyInPandas`
+    gives each executor ONE repo's triples (one shuffle on the natural key),
+    so exporting N repos is N independent tasks with zero driver involvement.
+    Scale bounds, both inherent to the document shape (the reference holds the
+    same per-repo model in Jena memory, ProvenanceService.java:216-250):
+    a single repo's graph must fit executor memory, and a single document
+    must fit one Arrow string cell (<2 GiB). Skewed mega-repos therefore
+    bound task time — partition count equals repo count, AQE cannot split
+    a group.
+    """
+    try:
+        assemble = _DOC_ASSEMBLERS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"fmt {fmt!r} not in {sorted(_DOC_ASSEMBLERS)}"
+        ) from None
+    import pandas as pd
+
+    def build(key, pdf):
+        repo = key[0]
+        rows = pdf[["subj", "pred", "obj", "obj_type"]].itertuples(index=False)
+        return pd.DataFrame({"repo": [repo], "doc": [assemble(_Graph(rows), repo)]})
+
+    return (
+        triples.select("repo", "subj", "pred", "obj", "obj_type")
+        .groupBy("repo")
+        .applyInPandas(build, "repo string, doc string")
+    )

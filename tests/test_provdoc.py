@@ -97,3 +97,28 @@ def test_dot_edges(triples_df):
     edge_lines = [line for line in text.splitlines() if " -> " in line]
     assert len(edge_lines) == n_iri_edges
     assert text.startswith('digraph "org0/hot" {') and text.endswith("}")
+
+
+def test_prov_documents_distributed_matches_driver(triples_df):
+    """The applyInPandas bulk exporter must produce, for EVERY repo at once,
+    byte-identical documents to the per-repo driver-side exporters."""
+    from git_prov_spark.provdoc import prov_documents
+
+    repos = [r.repo for r in triples_df.select("repo").distinct().collect()]
+    assert len(repos) >= 2  # fixtures carry a multi-repo corpus
+    driver_fn = {"provn": provn_text, "provjson": provjson_text,
+                 "provxml": provxml_text, "dot": dot_text}
+    for fmt, fn in driver_fn.items():
+        got = {r.repo: r.doc
+               for r in prov_documents(triples_df, fmt).collect()}
+        assert set(got) == set(repos), fmt
+        for repo in repos:
+            assert got[repo] == fn(triples_df, repo), (fmt, repo)
+
+
+def test_prov_documents_rejects_unknown_fmt(triples_df):
+    import pytest
+    from git_prov_spark.provdoc import prov_documents
+
+    with pytest.raises(ValueError):
+        prov_documents(triples_df, "pdf")
