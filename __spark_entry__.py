@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from git_prov_spark.corpus import dedup, hashing, multimodal, oracles, similarity
+from git_prov_spark.corpus import curate, dedup, hashing, multimodal, oracles, similarity
 from git_prov_spark.corpus import text as ctext
 from git_prov_spark.operators import global_row_number
 from git_prov_spark.pipeline.build import build_triples
@@ -403,6 +403,19 @@ def q_dedup_near_groups(spark, sf_dir):
     return dedup.near_dup_groups(_aug_near_df(spark, sf_dir), n=4)
 
 
+def q_corpus_manifest(spark, sf_dir):
+    """Composed curation manifest: exact-dup, near-dup (LSH→components),
+    language, and quality gates in ONE plan with first-match-wins reasons
+    (corpus/curate.py). Runs over the corpus augmented with both planted
+    exact copies (+2000000, every 10th) and near copies (+1000000, every
+    7th) so every dedup gate has real signal."""
+    aug = _aug_near_df(spark, sf_dir)
+    exact_copies = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    return curate.training_manifest(aug.unionByName(exact_copies))
+
+
 def q_dedup_lsh_ingest(spark, sf_dir):
     """Incremental dedup gate (corpus analog of kg_streaming_build): the
     base documents are the already-built LSH band index; the planted
@@ -725,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_wide": q_dedup_minhash_lsh_wide,
         "dedup_near_groups": q_dedup_near_groups,
+        "corpus_manifest": q_corpus_manifest,
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -845,6 +859,10 @@ def oracle_sql() -> dict[str, str]:
             bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
         ),
         "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
+        "corpus_manifest": oracles.sql_training_manifest(
+            f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+            "text FROM documents WHERE doc_id % 10 = 0)"
+        ),
         "dedup_lsh_ingest": oracles.sql_lsh_index_matches(
             aug_near, n=4, new_min_id=1000000
         ),

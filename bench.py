@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_wide",
     "dedup_near_groups",
+    "corpus_manifest",
     "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_multiprobe",

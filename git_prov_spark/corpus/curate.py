@@ -1,0 +1,90 @@
+"""End-to-end training-corpus curation: one manifest, four gates.
+
+Composes the individually-oracled corpus operators into the decision a
+training-data pipeline actually ships — for every document, keep it or name
+the first gate that rejects it:
+
+    exact_dup  – another doc with identical text has a smaller doc_id
+                 (dedup.exact_dupes: 32-byte sha shuffle, map-side partials)
+    near_dup   – MinHash-LSH candidate pairs → connected components; the
+                 cluster's min doc_id is the keeper (dedup.near_dup_groups)
+    lang       – stopword-ratio language gate (text.lang_id)
+    quality    – too few tokens, or punctuation-heavy (text.quality_signals;
+                 integer-exact thresholds so the DuckDB twin matches bit-for-bit)
+
+Gate order is fixed and first-match-wins, so `reason` partitions the corpus.
+
+Keeper invariant (tested): a cluster canonical is never itself rejected by a
+dedup gate — identical docs always share an LSH cluster, so the cluster min
+is also its sha-group min.
+
+Plan shape at scale: the four gate tables derive independently (two are pure
+map-side; exact dedup shuffles only (sha, id); LSH is the banded equi-join
+path) and meet in joins on doc_id — co-partitioned by the join key, no
+broadcast needed, no driver participation. At 100 TB the LSH stage dominates,
+exactly as in a standalone near-dedup run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dupes, near_dup_groups
+from .text import lang_id, quality_signals
+
+
+def training_manifest(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_punct_pct: int = 20,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, reason, keep) — keep=1 iff every gate passes.
+
+    `max_punct_pct` rejects when n_punct * 100 > max_punct_pct * n_chars
+    (integer arithmetic: exact across engines).
+    """
+    doc_sha = documents.select(
+        F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
+    )
+    ex = exact_dupes(documents, id_col=id_col, text=text).select(
+        "content_sha", F.col("canonical_doc_id").alias("exact_canonical")
+    )
+    ex_canon = doc_sha.join(ex, "content_sha").select(id_col, "exact_canonical")
+    near = near_dup_groups(documents, n=n, id_col=id_col).select(
+        F.col(id_col), F.col("canonical_doc_id").alias("near_canonical")
+    )
+    lang = lang_id(documents, id_col=id_col).select(id_col, "lang_pred")
+    qual = quality_signals(documents, id_col=id_col).select(
+        id_col, "n_tokens", "n_punct", "n_chars"
+    )
+    m = (
+        documents.select(id_col)
+        .join(ex_canon, id_col)
+        .join(near, id_col, "left")
+        .join(lang, id_col)
+        .join(qual, id_col)
+    )
+    reason = (
+        F.when(F.col("exact_canonical") != F.col(id_col), F.lit("exact_dup"))
+        .when(
+            F.col("near_canonical").isNotNull()
+            & (F.col("near_canonical") != F.col(id_col)),
+            F.lit("near_dup"),
+        )
+        .when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("n_punct") * 100 > max_punct_pct * F.col("n_chars")),
+            F.lit("quality"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return m.withColumn("reason", reason).select(
+        F.col(id_col),
+        F.col("reason"),
+        (F.col("reason") == "kept").cast("long").alias("keep"),
+    )

@@ -475,3 +475,34 @@ def sql_diffstats(src: str = "documents") -> str:
         "CAST(sum(greatest(delta, 0)) + sum(greatest(-delta, 0)) AS INTEGER) AS changes "
         "FROM deltas GROUP BY 1, 2"
     )
+
+
+def sql_training_manifest(src: str = "documents", min_tokens: int = 5,
+                          max_punct_pct: int = 20, n: int = 4) -> str:
+    """DuckDB twin of curate.training_manifest: the four gate queries nest as
+    subqueries (each carries its own WITH) and meet in joins on doc_id; the
+    CASE mirrors the first-match-wins gate order."""
+    inner = (
+        f"WITH ex AS (SELECT d.doc_id, e.canonical_doc_id AS exact_canonical "
+        f"FROM {src} d JOIN ({sql_exact_dupes(src)}) e "
+        "ON sha256(d.text) = e.content_sha), "
+        f"near AS (SELECT * FROM ({sql_near_dup_groups(src, n=n)}) nq), "
+        f"lang AS (SELECT doc_id, lang_pred FROM ({sql_lang_id(src)}) lq), "
+        f"qual AS (SELECT doc_id, n_tokens, n_punct, n_chars "
+        f"FROM ({sql_quality(src)}) qq) "
+        "SELECT ex.doc_id, CASE "
+        "WHEN ex.exact_canonical <> ex.doc_id THEN 'exact_dup' "
+        "WHEN near.canonical_doc_id IS NOT NULL "
+        "AND near.canonical_doc_id <> ex.doc_id THEN 'near_dup' "
+        "WHEN lang.lang_pred <> 'en' THEN 'lang' "
+        f"WHEN qual.n_tokens < {min_tokens} "
+        f"OR qual.n_punct * 100 > {max_punct_pct} * qual.n_chars THEN 'quality' "
+        "ELSE 'kept' END AS reason "
+        "FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id "
+        "JOIN lang ON lang.doc_id = ex.doc_id "
+        "JOIN qual ON qual.doc_id = ex.doc_id"
+    )
+    return (
+        f"SELECT doc_id, reason, CAST(reason = 'kept' AS BIGINT) AS keep "
+        f"FROM ({inner}) m"
+    )

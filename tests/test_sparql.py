@@ -421,3 +421,27 @@ def test_having_validation(triples_df):
                 repo=HOT)
     with pytest.raises(SparqlError):   # non-numeric rhs
         parse('SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?n > "x")')
+
+
+def test_sparql_over_store_prunes_pred_partitions(triples_df, spark, tmp_path_factory):
+    """A SPARQL string whose patterns carry constant predicates, run over the
+    partitioned store, must reach the scan as PartitionFilters on `pred`
+    (partition column) and PushedFilters on `repo` — the store layout and the
+    BGP compiler compose without any manual pruning."""
+    from git_prov_spark.store import read_triples, write_triples
+
+    d = str(tmp_path_factory.mktemp("sparql_store"))
+    write_triples(triples_df, d, n_buckets=8)
+    stored = read_triples(spark, d)
+    df = execute(
+        stored,
+        "SELECT ?c ?e (COUNT(?e) AS ?n) WHERE { ?c prov:used ?e } "
+        "GROUP BY ?c ?e",
+        repo=HOT,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert any("pred" in ln for ln in scan), plan
+    assert "PushedFilters: [" in plan and "repo" in plan.split("PushedFilters")[1], plan
+    assert df.count() > 0
