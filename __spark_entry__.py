@@ -587,6 +587,44 @@ def q_sparql_agg(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (subset): template patterns instantiated per WHERE
+    solution — the graph-rewriting query form Jena ARQ serves for the
+    reference. Two templates over the click/purchase join produce a derived
+    conversion graph, all in one declarative plan."""
+    from git_prov_spark.sparql import construct
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return construct(
+        triples,
+        """
+        PREFIX ev: <http://example.org/ev#>
+        CONSTRUCT { ?u ev:converted ?p . ?p ev:from_click ?c }
+        WHERE { ?u ev:did_click ?c . ?u ev:did_purchase ?p }
+        """,
+    )
+
+
+SPARQL_CONSTRUCT_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj FROM events), "
+    "b AS (SELECT a.subj AS u, a.obj AS c, p.obj AS p "
+    "FROM t a JOIN t p ON a.subj = p.subj "
+    "AND a.pred = 'ev:did_click' AND p.pred = 'ev:did_purchase') "
+    "SELECT DISTINCT subj, pred, obj FROM ("
+    "SELECT u AS subj, 'ev:converted' AS pred, p AS obj FROM b "
+    "UNION ALL SELECT p, 'ev:from_click', c FROM b) q"
+)
+
+
 SPARQL_AGG_ORACLE = (
     "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
     "'ev:did_' || event_type AS pred, "
@@ -759,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
+        "sparql_construct": q_sparql_construct,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_streaming_build": q_kg_streaming_build,
     }
@@ -890,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,
+        "sparql_construct": SPARQL_CONSTRUCT_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "sort_commits",
     "sparql_select",
     "sparql_agg",
+    "sparql_construct",
     "text_quality",
     "text_fingerprint",
     "mm_features",

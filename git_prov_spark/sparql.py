@@ -10,6 +10,7 @@ is the optimizer/executor, exactly as ARQ is for the reference.
 Supported subset (documented, validated — anything else raises SparqlError):
 
     PREFIX foo: <iri>                           -- any number
+    CONSTRUCT { s p o . ... }                   -- template → triple DF
     SELECT [DISTINCT] ?a ?b | *                 -- projection
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
@@ -112,6 +113,7 @@ class SelectQuery:
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+    construct: list[Pattern] | None = None  # CONSTRUCT template (else SELECT)
 
 
 class _Parser:
@@ -155,16 +157,37 @@ class _Parser:
             if kind != "iri":
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             self.q.prefixes[pname[:-1]] = iri[1:-1]
-        self._expect("SELECT")
-        self.q.distinct = self._kw("DISTINCT")
-        self._parse_projection()
+        if self._kw("CONSTRUCT"):
+            self.q.construct = self._parse_template()
+        else:
+            self._expect("SELECT")
+            self.q.distinct = self._kw("DISTINCT")
+            self._parse_projection()
         self._expect("WHERE")
         self._expect("{")
         self._parse_group()
-        self._parse_modifiers()
+        if self.q.construct is None:
+            self._parse_modifiers()
         if self._peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self._peek()[1]!r}")
         return self.q
+
+    def _parse_template(self) -> list[Pattern]:
+        self._expect("{")
+        out: list[Pattern] = []
+        while self._peek()[1] != "}":
+            if self._peek()[0] == "eof":
+                raise SparqlError("unterminated CONSTRUCT template")
+            s = self._term(as_pattern=True)
+            p = self._term(as_pattern=True, predicate=True)
+            o = self._term(as_pattern=True)
+            out.append((s, p, o))
+            if self._peek()[1] == ".":
+                self.i += 1
+        self.i += 1
+        if not out:
+            raise SparqlError("empty CONSTRUCT template")
+        return out
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
@@ -372,13 +395,9 @@ def parse(query: str, repo: str | None = None) -> SelectQuery:
 # Compile + execute
 # --------------------------------------------------------------------------
 
-def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
-    """Run a SPARQL SELECT (subset) string over the triples DataFrame.
-
-    `repo` prunes to one named graph (the reference's per-repo model) and
-    binds the gitprov: namespace for full-IRI constants.
-    """
-    q = parse(query, repo=repo)
+def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
+    """The WHERE clause's solution set: BGP joins + OPTIONAL left joins +
+    FILTER row predicates, one column per bound variable."""
     if not q.patterns:
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo)
@@ -398,6 +417,59 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
         else:
             cond = F.col(flt.var) == flt.value
         df = df.where(cond if flt.op in ("=", "in") else ~cond)
+    return df
+
+
+def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+    """Run a SPARQL CONSTRUCT (subset) string: template patterns instantiated
+    once per WHERE solution → a (subj, pred, obj) triple DataFrame.
+
+    Each template pattern is a projection of the solution set (constants as
+    literals), unioned and set-deduped — still one declarative plan, so a
+    CONSTRUCT feeding a serializer or the store never materializes on the
+    driver. Solutions that leave a template variable unbound (via OPTIONAL)
+    skip that template instance, per SPARQL semantics.
+    """
+    q = parse(query, repo=repo)
+    if q.construct is None:
+        raise SparqlError("not a CONSTRUCT query (use execute for SELECT)")
+    sol = _solutions(triples, q, repo)
+    parts = []
+    for s, p, o in q.construct:
+        cols = []
+        for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if term.startswith("?"):
+                v = term[1:]
+                if v not in sol.columns:
+                    raise SparqlError(
+                        f"CONSTRUCT template var ?{v} unbound in WHERE"
+                    )
+                cols.append(F.col(v).alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        parts.append(
+            sol.select(*cols).where(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+        )
+    out = parts[0]
+    for t in parts[1:]:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+    """Run a SPARQL SELECT (subset) string over the triples DataFrame.
+
+    `repo` prunes to one named graph (the reference's per-repo model) and
+    binds the gitprov: namespace for full-IRI constants.
+    """
+    q = parse(query, repo=repo)
+    if q.construct is not None:
+        raise SparqlError("CONSTRUCT query: use construct()")
+    df = _solutions(triples, q, repo)
     if q.having and not q.aggregates:
         raise SparqlError("HAVING requires an aggregate projection")
     if q.aggregates:

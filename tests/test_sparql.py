@@ -445,3 +445,69 @@ def test_sparql_over_store_prunes_pred_partitions(triples_df, spark, tmp_path_fa
     assert any("pred" in ln for ln in scan), plan
     assert "PushedFilters: [" in plan and "repo" in plan.split("PushedFilters")[1], plan
     assert df.count() > 0
+
+
+# --------------------------------------------------------------------------
+# CONSTRUCT
+# --------------------------------------------------------------------------
+
+def test_construct_basic(triples_df, oracle_set):
+    from git_prov_spark.sparql import construct
+
+    got = construct(
+        triples_df,
+        "CONSTRUCT { ?e gitprov:touchedBy ?c } "
+        "WHERE { ?e prov:wasGeneratedBy ?c }",
+        repo=HOT,
+    )
+    gen = _expected(oracle_set, HOT, "prov:wasGeneratedBy")
+    assert got.columns == ["subj", "pred", "obj"]
+    assert {(r.subj, r.pred, r.obj) for r in got.collect()} == {
+        (e, "gitprov:touchedBy", c) for e, c in gen
+    }
+
+
+def test_construct_multi_template_skips_unbound(triples_df, oracle_set):
+    """Two templates; the one referencing the OPTIONAL var is skipped for
+    solutions where it is unbound (root commits have no parent)."""
+    from git_prov_spark.sparql import construct
+
+    got = construct(
+        triples_df,
+        """
+        PREFIX ex: <http://example.org/x#>
+        CONSTRUCT { ?c ex:parent ?p . ?c ex:seen "1" }
+        WHERE { ?c a prov:Activity . OPTIONAL { ?c prov:wasInformedBy ?p } }
+        """,
+        repo=HOT,
+    )
+    types = _expected(oracle_set, HOT, "rdf:type")
+    informed = _expected(oracle_set, HOT, "prov:wasInformedBy")
+    activities = {s for s, o in types if o == "prov:Activity"}
+    expected = {(c, "ex:parent", p) for c, p in informed} | {
+        (c, "ex:seen", "1") for c in activities
+    }
+    assert {(r.subj, r.pred, r.obj) for r in got.collect()} == expected
+    # roots exist: some activities have no ex:parent triple
+    with_parent = {c for c, p in informed}
+    assert activities - with_parent
+
+
+def test_construct_validation(triples_df):
+    from git_prov_spark.sparql import construct
+
+    with pytest.raises(SparqlError):   # template var unbound in WHERE
+        construct(triples_df,
+                  "CONSTRUCT { ?c gitprov:x ?nope } "
+                  "WHERE { ?c a prov:Activity }", repo=HOT)
+    with pytest.raises(SparqlError):   # SELECT via construct()
+        construct(triples_df, "SELECT ?c WHERE { ?c a prov:Activity }",
+                  repo=HOT)
+    with pytest.raises(SparqlError):   # CONSTRUCT via execute()
+        execute(triples_df,
+                "CONSTRUCT { ?c gitprov:x ?c } WHERE { ?c a prov:Activity }",
+                repo=HOT)
+    with pytest.raises(SparqlError):   # solution modifiers not supported
+        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT 5")
+    with pytest.raises(SparqlError):   # empty template
+        parse("CONSTRUCT { } WHERE { ?s ?p ?o }")
