@@ -587,6 +587,40 @@ def q_sparql_agg(spark, sf_dir):
     )
 
 
+def q_sparql_union(spark, sf_dir):
+    """SPARQL UNION branches: alternatives compile to unionByName of the
+    branch BGPs (null-padding unshared vars) + a set-dedup — no join, no
+    driver step."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        PREFIX ev: <http://example.org/ev#>
+        SELECT ?u ?x WHERE {
+          { ?u ev:did_click ?x } UNION { ?u ev:did_purchase ?x }
+        }
+        """,
+    )
+
+
+SPARQL_UNION_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj FROM events) "
+    "SELECT DISTINCT subj AS u, obj AS x FROM t "
+    "WHERE pred IN ('ev:did_click', 'ev:did_purchase')"
+)
+
+
 def q_sparql_construct(spark, sf_dir):
     """SPARQL CONSTRUCT (subset): template patterns instantiated per WHERE
     solution — the graph-rewriting query form Jena ARQ serves for the
@@ -798,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
         "sparql_construct": q_sparql_construct,
+        "sparql_union": q_sparql_union,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_streaming_build": q_kg_streaming_build,
     }
@@ -930,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,
         "sparql_construct": SPARQL_CONSTRUCT_ORACLE,
+        "sparql_union": SPARQL_UNION_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

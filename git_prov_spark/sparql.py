@@ -15,6 +15,7 @@ Supported subset (documented, validated — anything else raises SparqlError):
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
     WHERE { s p o . s p o .                     --   cast lexical -> double)
+            { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
             FILTER(?v = term) .                 -- =, !=, IN (...)
             FILTER(?v IN (t1, t2)) }
@@ -107,6 +108,7 @@ class SelectQuery:
     aggregates: list[Agg] = field(default_factory=list)
     select_order: list[str] = field(default_factory=list)  # output col order
     patterns: list[Pattern] = field(default_factory=list)
+    unions: list[list[list[Pattern]]] = field(default_factory=list)  # chains of branches
     optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -173,11 +175,17 @@ class _Parser:
         return self.q
 
     def _parse_template(self) -> list[Pattern]:
+        out = self._parse_braced_patterns()
+        if not out:
+            raise SparqlError("empty CONSTRUCT template")
+        return out
+
+    def _parse_braced_patterns(self) -> list[Pattern]:
         self._expect("{")
         out: list[Pattern] = []
         while self._peek()[1] != "}":
             if self._peek()[0] == "eof":
-                raise SparqlError("unterminated CONSTRUCT template")
+                raise SparqlError("unterminated pattern group")
             s = self._term(as_pattern=True)
             p = self._term(as_pattern=True, predicate=True)
             o = self._term(as_pattern=True)
@@ -185,8 +193,6 @@ class _Parser:
             if self._peek()[1] == ".":
                 self.i += 1
         self.i += 1
-        if not out:
-            raise SparqlError("empty CONSTRUCT template")
         return out
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
@@ -247,7 +253,17 @@ class _Parser:
             if tok == "}":
                 self.i += 1
                 return
-            if kind == "word" and tok.upper() == "FILTER":
+            if tok == "{":
+                branches = [self._parse_braced_patterns()]
+                while self._kw("UNION"):
+                    branches.append(self._parse_braced_patterns())
+                if len(branches) < 2:
+                    raise SparqlError(
+                        "a braced group must be a UNION chain "
+                        "({ ... } UNION { ... })"
+                    )
+                self.q.unions.append(branches)
+            elif kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
                 self._parse_filter()
             elif kind == "word" and tok.upper() == "OPTIONAL":
@@ -398,9 +414,37 @@ def parse(query: str, repo: str | None = None) -> SelectQuery:
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
     """The WHERE clause's solution set: BGP joins + OPTIONAL left joins +
     FILTER row predicates, one column per bound variable."""
-    if not q.patterns:
+    if not q.patterns and not q.unions:
         raise SparqlError("WHERE contains no triple patterns")
-    df = bgp(triples, q.patterns, repo=repo)
+    df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
+    for branches in q.unions:
+        if any(not b for b in branches):
+            raise SparqlError("empty UNION branch")
+        dfs = [bgp(triples, b, repo=repo) for b in branches]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d, allowMissingColumns=True)
+        u = u.distinct()  # set semantics across branches
+        if df is None:
+            df = u
+        else:
+            shared = [c for c in u.columns if c in df.columns]
+            if not shared:
+                raise SparqlError(
+                    "UNION group shares no variable with the other patterns"
+                )
+            for b in branches:
+                bound = {t[1:] for pat in b for t in pat if t.startswith("?")}
+                missing = [v for v in shared if v not in bound]
+                if missing:
+                    # an unbound shared var would null the join key and
+                    # silently drop the branch's solutions — out of subset
+                    raise SparqlError(
+                        f"every UNION branch must bind the join "
+                        f"variable(s) {missing} when combined with other "
+                        "patterns"
+                    )
+            df = df.join(u, shared)
     for block in q.optionals:
         opt = bgp(triples, block, repo=repo)
         shared = [c for c in opt.columns if c in df.columns]

@@ -511,3 +511,71 @@ def test_construct_validation(triples_df):
         parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT 5")
     with pytest.raises(SparqlError):   # empty template
         parse("CONSTRUCT { } WHERE { ?s ?p ?o }")
+
+
+# --------------------------------------------------------------------------
+# UNION
+# --------------------------------------------------------------------------
+
+def test_execute_union_shared_vars(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?e ?c WHERE {
+          { ?e prov:wasGeneratedBy ?c } UNION { ?e prov:wasInvalidatedBy ?c }
+        }
+        """,
+        repo=HOT,
+    )
+    gen = _expected(oracle_set, HOT, "prov:wasGeneratedBy")
+    inv = _expected(oracle_set, HOT, "prov:wasInvalidatedBy")
+    assert {(r.e, r.c) for r in got.collect()} == gen | inv
+    assert gen and inv and gen != inv
+
+
+def test_execute_union_disjoint_vars_null_pad(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        SELECT ?c ?e ?a WHERE {
+          { ?c prov:used ?e } UNION { ?c prov:wasAssociatedWith ?a }
+        }
+        """,
+        repo=HOT,
+    )
+    used = _expected(oracle_set, HOT, "prov:used")
+    assoc = _expected(oracle_set, HOT, "prov:wasAssociatedWith")
+    expected = {(c, e, None) for c, e in used} | {(c, None, a) for c, a in assoc}
+    assert {(r.c, r.e, r.a) for r in got.collect()} == expected
+
+
+def test_execute_union_joined_with_pattern(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        """
+        SELECT ?c ?x WHERE {
+          ?c a prov:Activity .
+          { ?c prov:wasInformedBy ?x } UNION { ?c prov:wasAssociatedWith ?x }
+        }
+        """,
+        repo=HOT,
+    )
+    types = _expected(oracle_set, HOT, "rdf:type")
+    acts = {s for s, o in types if o == "prov:Activity"}
+    informed = _expected(oracle_set, HOT, "prov:wasInformedBy")
+    assoc = _expected(oracle_set, HOT, "prov:wasAssociatedWith")
+    expected = {(c, x) for c, x in informed | assoc if c in acts}
+    assert {(r.c, r.x) for r in got.collect()} == expected
+
+
+def test_union_validation(triples_df):
+    with pytest.raises(SparqlError):   # lone braced group
+        parse("SELECT ?s WHERE { { ?s ?p ?o } }")
+    with pytest.raises(SparqlError):   # empty branch
+        execute(triples_df,
+                "SELECT ?s WHERE { { ?s ?p ?o } UNION { } }", repo=HOT)
+    with pytest.raises(SparqlError):   # branch missing the join variable
+        execute(triples_df,
+                "SELECT ?c WHERE { ?c a prov:Activity . "
+                "{ ?c prov:used ?e } UNION { ?x prov:used ?e } }", repo=HOT)
