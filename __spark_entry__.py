@@ -587,6 +587,31 @@ def q_sparql_agg(spark, sf_dir):
     )
 
 
+def q_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE: all triples of the named subjects. The subject
+    equality filter pushes to the scan (partition-pruned on the real
+    store)."""
+    from git_prov_spark.sparql import describe
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("ev:user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return describe(triples, "DESCRIBE ev:user-3 ev:user-7")
+
+
+SPARQL_DESCRIBE_ORACLE = (
+    "SELECT 'ev:user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj, 'iri' AS obj_type "
+    "FROM events WHERE user_id IN (3, 7)"
+)
+
+
 def q_sparql_union(spark, sf_dir):
     """SPARQL UNION branches: alternatives compile to unionByName of the
     branch BGPs (null-padding unshared vars) + a set-dedup — no join, no
@@ -833,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": q_sparql_agg,
         "sparql_construct": q_sparql_construct,
         "sparql_union": q_sparql_union,
+        "sparql_describe": q_sparql_describe,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_streaming_build": q_kg_streaming_build,
     }
@@ -966,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_agg": SPARQL_AGG_ORACLE,
         "sparql_construct": SPARQL_CONSTRUCT_ORACLE,
         "sparql_union": SPARQL_UNION_ORACLE,
+        "sparql_describe": SPARQL_DESCRIBE_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

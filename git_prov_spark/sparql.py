@@ -11,6 +11,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
 
     PREFIX foo: <iri>                           -- any number
     CONSTRUCT { s p o . ... }                   -- template → triple DF
+    ASK { ... }                                 -- → bool (ask())
+    DESCRIBE term [term ...]                    -- → subject triples, no WHERE
     SELECT [DISTINCT] ?a ?b | *                 -- projection
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
@@ -115,7 +117,9 @@ class SelectQuery:
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
-    construct: list[Pattern] | None = None  # CONSTRUCT template (else SELECT)
+    construct: list[Pattern] | None = None  # CONSTRUCT template
+    form: str = "select"                    # select | construct | ask | describe
+    describe_terms: list[str] = field(default_factory=list)
 
 
 class _Parser:
@@ -160,15 +164,32 @@ class _Parser:
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             self.q.prefixes[pname[:-1]] = iri[1:-1]
         if self._kw("CONSTRUCT"):
+            self.q.form = "construct"
             self.q.construct = self._parse_template()
+        elif self._kw("ASK"):
+            self.q.form = "ask"
+        elif self._kw("DESCRIBE"):
+            self.q.form = "describe"
+            while self._peek()[0] in ("pname", "iri"):
+                self.q.describe_terms.append(self._term(as_pattern=False))
+            if not self.q.describe_terms:
+                raise SparqlError("DESCRIBE needs one or more constant terms")
+            if self._peek()[0] != "eof":
+                raise SparqlError(
+                    f"DESCRIBE takes no WHERE clause (at {self._peek()[1]!r})"
+                )
+            return self.q
         else:
             self._expect("SELECT")
             self.q.distinct = self._kw("DISTINCT")
             self._parse_projection()
-        self._expect("WHERE")
+        if self.q.form == "ask":
+            self._kw("WHERE")        # WHERE is optional for ASK
+        else:
+            self._expect("WHERE")
         self._expect("{")
         self._parse_group()
-        if self.q.construct is None:
+        if self.q.form == "select":
             self._parse_modifiers()
         if self._peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self._peek()[1]!r}")
@@ -504,6 +525,32 @@ def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFr
     return out.distinct()
 
 
+def ask(triples: DataFrame, query: str, repo: str | None = None) -> bool:
+    """Run a SPARQL ASK (subset) string: True iff the WHERE clause has at
+    least one solution. Short-circuits with limit(1) — the scan stops at
+    the first matching partition batch."""
+    q = parse(query, repo=repo)
+    if q.form != "ask":
+        raise SparqlError(f"{q.form.upper()} query: use the matching function")
+    return bool(_solutions(triples, q, repo).limit(1).take(1))
+
+
+def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+    """Run a SPARQL DESCRIBE (subset) string: all triples whose subject is
+    one of the given constant terms — (subj, pred, obj, obj_type). The
+    subject filter pushes down to the scan; with the partitioned store it
+    prunes to the repo's buckets."""
+    q = parse(query, repo=repo)
+    if q.form != "describe":
+        raise SparqlError(f"{q.form.upper()} query: use the matching function")
+    df = triples
+    if repo is not None:
+        df = df.where(F.col("repo") == repo)
+    return df.where(F.col("subj").isin(q.describe_terms)).select(
+        "subj", "pred", "obj", "obj_type"
+    )
+
+
 def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
     """Run a SPARQL SELECT (subset) string over the triples DataFrame.
 
@@ -511,8 +558,8 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
     binds the gitprov: namespace for full-IRI constants.
     """
     q = parse(query, repo=repo)
-    if q.construct is not None:
-        raise SparqlError("CONSTRUCT query: use construct()")
+    if q.form != "select":
+        raise SparqlError(f"{q.form.upper()} query: use the matching function")
     df = _solutions(triples, q, repo)
     if q.having and not q.aggregates:
         raise SparqlError("HAVING requires an aggregate projection")

@@ -55,7 +55,7 @@ def test_parse_star_and_user_prefix():
 @pytest.mark.parametrize(
     "bad",
     [
-        "ASK { ?s ?p ?o }",                            # not SELECT
+        "INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",      # update form
         "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
         "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }",  # non-equality filter
         "SELECT WHERE { ?s ?p ?o }",                   # no projection
@@ -579,3 +579,43 @@ def test_union_validation(triples_df):
         execute(triples_df,
                 "SELECT ?c WHERE { ?c a prov:Activity . "
                 "{ ?c prov:used ?e } UNION { ?x prov:used ?e } }", repo=HOT)
+
+
+# --------------------------------------------------------------------------
+# ASK / DESCRIBE — the remaining SPARQL query forms
+# --------------------------------------------------------------------------
+
+def test_ask(triples_df):
+    from git_prov_spark.sparql import ask
+
+    assert ask(triples_df, "ASK { ?c a prov:Activity }", repo=HOT) is True
+    assert ask(triples_df,
+               'ASK WHERE { ?c rdfs:label "no such label anywhere" }',
+               repo=HOT) is False
+
+
+def test_describe(triples_df, oracle_set):
+    from git_prov_spark.sparql import describe
+
+    types = _expected(oracle_set, HOT, "rdf:type")
+    commit = sorted(s for s, o in types if o == "prov:Activity")[0]
+    got = describe(triples_df, f"DESCRIBE {commit}", repo=HOT)
+    expected = {(s, p, o) for r, s, p, o, _ in oracle_set
+                if r == HOT and s == commit}
+    assert {(r.subj, r.pred, r.obj) for r in got.collect()} == expected
+    assert len(expected) > 3  # a commit has type, label, time, edges
+
+
+def test_query_form_dispatch(triples_df):
+    from git_prov_spark.sparql import ask, describe
+
+    with pytest.raises(SparqlError):
+        ask(triples_df, "SELECT ?c WHERE { ?c a prov:Activity }", repo=HOT)
+    with pytest.raises(SparqlError):
+        describe(triples_df, "ASK { ?s ?p ?o }", repo=HOT)
+    with pytest.raises(SparqlError):
+        execute(triples_df, "ASK { ?s ?p ?o }", repo=HOT)
+    with pytest.raises(SparqlError):   # DESCRIBE with WHERE is out of subset
+        parse("DESCRIBE gitprov:x WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):   # DESCRIBE needs a constant
+        parse("DESCRIBE ?x")
