@@ -619,3 +619,63 @@ def test_query_form_dispatch(triples_df):
         parse("DESCRIBE gitprov:x WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlError):   # DESCRIBE needs a constant
         parse("DESCRIBE ?x")
+
+
+def test_parse_fuzz_aggregates_unions_roundtrip():
+    """Grammar fuzz over the round-2 constructs: UNION chains, aggregate
+    projections, GROUP BY / HAVING / ORDER BY / LIMIT — generated queries
+    must parse back to exactly the generated structures."""
+    import random
+
+    rng = random.Random(99)
+    FUNCS = ["COUNT", "SUM", "MIN", "MAX", "AVG"]
+    OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+    for trial in range(150):
+        src = "SELECT ?g "
+        want_aggs = []
+        for i in range(rng.randrange(1, 4)):
+            fn = rng.choice(FUNCS)
+            distinct = fn == "COUNT" and rng.random() < 0.3
+            star = fn == "COUNT" and not distinct and rng.random() < 0.3
+            arg = "*" if star else ("DISTINCT ?v" if distinct else "?v")
+            src += f"({fn}({arg}) AS ?a{i}) "
+            want_aggs.append(
+                (fn.lower(), None if star else "v", distinct, f"a{i}")
+            )
+        n_br = rng.randrange(0, 3)
+        if n_br >= 2:
+            union_src = " UNION ".join(
+                f"{{ ?g ex:p{b} ?v }}" for b in range(n_br)
+            )
+            src += f"WHERE {{ ?g ex:k ?v . {union_src} }} "
+            want_unions = [[[("?g", f"ex:p{b}", "?v")] for b in range(n_br)]]
+        else:
+            src += "WHERE { ?g ex:k ?v } "
+            want_unions = []
+        src += "GROUP BY ?g "
+        want_having = []
+        if rng.random() < 0.5:
+            op = rng.choice(OPS)
+            num = rng.randrange(0, 9)
+            src += f"HAVING(?a0 {op} {num}) "
+            want_having = [("a0", op, float(num))]
+        want_order = []
+        if rng.random() < 0.5:
+            asc = rng.random() < 0.5
+            src += f"ORDER BY {'ASC' if asc else 'DESC'}(?a0) "
+            want_order = [("a0", asc)]
+        want_limit = None
+        if rng.random() < 0.5:
+            want_limit = rng.randrange(1, 100)
+            src += f"LIMIT {want_limit}"
+
+        q = parse(src)
+        assert q.variables == ["g"], src
+        assert [(a.func, a.var, a.distinct, a.alias) for a in q.aggregates] \
+            == want_aggs, src
+        assert q.unions == want_unions, src
+        assert q.group_by == ["g"], src
+        assert q.having == want_having, src
+        assert q.order_by == want_order, src
+        assert q.limit == want_limit, src
