@@ -19,8 +19,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
     WHERE { s p o . s p o .                     --   cast lexical -> double)
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
-            FILTER(?v = term) .                 -- =, !=, IN (...)
-            FILTER(?v IN (t1, t2)) }
+            FILTER(?v = term) .                 -- =, !=, IN (...); the right
+            FILTER(?v IN (t1, t2)) }            --   side may be another ?var
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
     ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
@@ -91,7 +91,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 class Filter:
     var: str          # variable name (no '?')
     op: str           # '=', '!=', or 'in'
-    value: str | list[str]  # resolved constant(s)
+    value: str | list[str]  # resolved constant(s), or a var name if rhs_var
+    rhs_var: bool = False   # right side is another variable (?a = ?b)
 
 
 @dataclass
@@ -339,11 +340,13 @@ class _Parser:
             return
         elif op != "=":
             raise SparqlError(f"FILTER operator {op!r} unsupported (=, !=, IN)")
+        rhs_kind = self._peek()[0]
         value = self._term(as_pattern=False)
-        if value.startswith("?"):
-            raise SparqlError("FILTER right side must be a constant")
         self._expect(")")
-        self.q.filters.append(Filter(var[1:], op, value))
+        rhs_var = rhs_kind == "var"
+        self.q.filters.append(
+            Filter(var[1:], op, value[1:] if rhs_var else value, rhs_var)
+        )
 
     def _parse_modifiers(self) -> None:
         if self._kw("GROUP"):
@@ -479,6 +482,10 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
             raise SparqlError(f"FILTER on unbound variable ?{flt.var}")
         if flt.op == "in":
             cond = F.col(flt.var).isin(*flt.value)
+        elif flt.rhs_var:
+            if flt.value not in df.columns:
+                raise SparqlError(f"FILTER on unbound variable ?{flt.value}")
+            cond = F.col(flt.var) == F.col(flt.value)
         else:
             cond = F.col(flt.var) == flt.value
         df = df.where(cond if flt.op in ("=", "in") else ~cond)

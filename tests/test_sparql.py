@@ -679,3 +679,43 @@ def test_parse_fuzz_aggregates_unions_roundtrip():
         assert q.having == want_having, src
         assert q.order_by == want_order, src
         assert q.limit == want_limit, src
+
+
+def test_filter_var_var_inequality(triples_df, oracle_set):
+    """FILTER(?a != ?b) over a self-join: distinct click pairs per commit
+    — the dedup-pair idiom."""
+    got = execute(
+        triples_df,
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?c ?e1 ?e2 WHERE {
+          ?c prov:used ?e1 .
+          ?c prov:used ?e2 .
+          FILTER(?e1 != ?e2)
+        }
+        """,
+        repo=HOT,
+    )
+    used = _expected(oracle_set, HOT, "prov:used")
+    expected = {(c, a, b) for c, a in used for c2, b in used
+                if c == c2 and a != b}
+    assert {(r.c, r.e1, r.e2) for r in got.collect()} == expected
+    assert len(expected) > 0
+
+
+def test_filter_literal_question_mark_is_not_a_var(triples_df):
+    """A quoted literal that happens to start with '?' stays a constant."""
+    got = execute(
+        triples_df,
+        'SELECT ?c WHERE { ?c a prov:Activity . ?c rdfs:label ?l . '
+        'FILTER(?l = "?e1") }',
+        repo=HOT,
+    )
+    assert got.collect() == []  # no commit message is literally "?e1"
+
+
+def test_filter_var_var_unbound_raises(triples_df):
+    with pytest.raises(SparqlError):
+        execute(triples_df,
+                "SELECT ?c WHERE { ?c a prov:Activity . FILTER(?c != ?zz) }",
+                repo=HOT)
