@@ -416,6 +416,23 @@ def q_corpus_manifest(spark, sf_dir):
     return curate.training_manifest(aug.unionByName(exact_copies))
 
 
+def q_corpus_manifest_incr(spark, sf_dir):
+    """Incremental curation gate (corpus/curate.incremental_manifest): the
+    raw documents are the already-curated corpus (their shas known, their
+    LSH bands the index); the planted near (+1000000) and exact (+2000000)
+    copies arrive as the ingest batch and are gated against that state —
+    hashing only the batch, probing the index by equi-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near_batch = _aug_near_df(spark, sf_dir).where(F.col("doc_id") >= 1000000)
+    exact_batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    batch = near_batch.unionByName(exact_batch)
+    index = dedup.lsh_bands(docs, n=4)
+    known = docs.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+    return curate.incremental_manifest(batch, index, known)
+
+
 def q_dedup_lsh_ingest(spark, sf_dir):
     """Incremental dedup gate (corpus analog of kg_streaming_build): the
     base documents are the already-built LSH band index; the planted
@@ -836,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_wide": q_dedup_minhash_lsh_wide,
         "dedup_near_groups": q_dedup_near_groups,
         "corpus_manifest": q_corpus_manifest,
+        "corpus_manifest_incr": q_corpus_manifest_incr,
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -962,6 +980,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_manifest": oracles.sql_training_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)"
+        ),
+        "corpus_manifest_incr": oracles.sql_incremental_manifest(
+            f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+            "text FROM documents WHERE doc_id % 10 = 0)",
+            new_min_id=1000000,
         ),
         "dedup_lsh_ingest": oracles.sql_lsh_index_matches(
             aug_near, n=4, new_min_id=1000000

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dupes, near_dup_groups
+from .dedup import exact_dupes, lsh_index_matches, near_dup_groups
 from .text import lang_id, quality_signals
 
 
@@ -75,6 +75,100 @@ def training_manifest(
             & (F.col("near_canonical") != F.col(id_col)),
             F.lit("near_dup"),
         )
+        .when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("n_punct") * 100 > max_punct_pct * F.col("n_chars")),
+            F.lit("quality"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return m.withColumn("reason", reason).select(
+        F.col(id_col),
+        F.col("reason"),
+        (F.col("reason") == "kept").cast("long").alias("keep"),
+    )
+
+
+def incremental_manifest(
+    new_docs: DataFrame,
+    index: DataFrame,
+    known_shas: DataFrame,
+    min_tokens: int = 5,
+    max_punct_pct: int = 20,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Ingest-time curation: gate an arriving BATCH against the persisted
+    corpus state — same (doc_id, reason, keep) schema and gate order as
+    `training_manifest`, but cost scales with |batch|, never |corpus|.
+
+    Corpus state, both read back from storage:
+    * `index`      – `dedup.lsh_bands` rows of the already-curated corpus
+                     (the batch probes it via `lsh_index_matches`, then the
+                     caller appends the batch's own bands);
+    * `known_shas` – one `content_sha` column of the existing documents.
+
+    Gate deltas vs the batch pipeline:
+    * exact_dup – sha already known to the corpus, or a batch-internal copy
+      whose smaller-id twin is the keeper;
+    * near_dup  – any LSH collision with an INDEXED doc rejects the new doc
+      (the corpus doc is always the keeper); batch-internal collisions use
+      the smaller-id-direct-match rule. Unlike `training_manifest` there is
+      no transitive closure at ingest — a batch chain a<b<c with pairs
+      (a,b),(b,c) keeps {a, c} here, while the batch pipeline's components
+      keep {a} only. That is the standard ingest/compaction split: the
+      periodic batch run (or `near_dup_groups` over kept docs) tightens
+      chains the gate let through.
+    """
+    doc_sha = new_docs.select(
+        F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
+    )
+    known = (
+        known_shas.select("content_sha").distinct()
+        .withColumn("known", F.lit(1))
+    )
+    batch_min = doc_sha.groupBy("content_sha").agg(
+        F.min(id_col).alias("batch_min")
+    )
+    ex = (
+        doc_sha.join(known, "content_sha", "left")
+        .join(batch_min, "content_sha")
+        .select(id_col, "known", "batch_min")
+    )
+    matches = lsh_index_matches(new_docs, index, n=n, id_col=id_col)
+    batch_ids = new_docs.select(
+        F.col(id_col).alias("match_id"), F.lit(1).alias("match_in_batch")
+    )
+    near_hits = (
+        matches.join(batch_ids, "match_id", "left")
+        .where(
+            F.col("match_in_batch").isNull()          # indexed corpus doc
+            | (F.col("match_id") < F.col("new_id"))   # smaller batch twin
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+        .withColumn("near_hit", F.lit(1))
+    )
+    lang = lang_id(new_docs, id_col=id_col).select(id_col, "lang_pred")
+    qual = quality_signals(new_docs, id_col=id_col).select(
+        id_col, "n_tokens", "n_punct", "n_chars"
+    )
+    m = (
+        new_docs.select(id_col)
+        .join(ex, id_col)
+        .join(near_hits, id_col, "left")
+        .join(lang, id_col)
+        .join(qual, id_col)
+    )
+    reason = (
+        F.when(
+            F.col("known").isNotNull()
+            | (F.col("batch_min") != F.col(id_col)),
+            F.lit("exact_dup"),
+        )
+        .when(F.col("near_hit").isNotNull(), F.lit("near_dup"))
         .when(F.col("lang_pred") != "en", F.lit("lang"))
         .when(
             (F.col("n_tokens") < min_tokens)

@@ -506,3 +506,48 @@ def sql_training_manifest(src: str = "documents", min_tokens: int = 5,
         f"SELECT doc_id, reason, CAST(reason = 'kept' AS BIGINT) AS keep "
         f"FROM ({inner}) m"
     )
+
+
+def sql_incremental_manifest(src: str = "documents",
+                             new_min_id: int = 1_000_000,
+                             min_tokens: int = 5, max_punct_pct: int = 20,
+                             n: int = 4) -> str:
+    """DuckDB twin of curate.incremental_manifest with the id-threshold
+    convention: corpus = doc_id < new_min_id (its shas are `known`, its
+    bands the index), batch = doc_id >= new_min_id. The near gate reuses
+    sql_lsh_index_matches; the reject rule mirrors the Spark side —
+    indexed match (id below threshold) or smaller batch twin."""
+    matches = sql_lsh_index_matches(src, n=n, new_min_id=new_min_id)
+    inner = (
+        f"WITH b AS (SELECT doc_id, text FROM {src} "
+        f"WHERE doc_id >= {new_min_id}), "
+        f"known AS (SELECT DISTINCT sha256(text) AS content_sha FROM {src} "
+        f"WHERE doc_id < {new_min_id}), "
+        "bsha AS (SELECT doc_id, sha256(text) AS content_sha FROM b), "
+        "bmin AS (SELECT content_sha, min(doc_id) AS batch_min FROM bsha "
+        "GROUP BY 1), "
+        f"m AS (SELECT * FROM ({matches}) mq), "
+        f"nh AS (SELECT DISTINCT new_id AS doc_id FROM m "
+        f"WHERE match_id < {new_min_id} OR match_id < new_id), "
+        f"lang AS (SELECT doc_id, lang_pred FROM ({sql_lang_id('b')}) lq), "
+        "qual AS (SELECT doc_id, n_tokens, n_punct, n_chars "
+        f"FROM ({sql_quality('b')}) qq) "
+        "SELECT bsha.doc_id, CASE "
+        "WHEN known.content_sha IS NOT NULL "
+        "OR bmin.batch_min <> bsha.doc_id THEN 'exact_dup' "
+        "WHEN nh.doc_id IS NOT NULL THEN 'near_dup' "
+        "WHEN lang.lang_pred <> 'en' THEN 'lang' "
+        f"WHEN qual.n_tokens < {min_tokens} "
+        f"OR qual.n_punct * 100 > {max_punct_pct} * qual.n_chars "
+        "THEN 'quality' ELSE 'kept' END AS reason "
+        "FROM bsha "
+        "LEFT JOIN known ON known.content_sha = bsha.content_sha "
+        "JOIN bmin ON bmin.content_sha = bsha.content_sha "
+        "LEFT JOIN nh ON nh.doc_id = bsha.doc_id "
+        "JOIN lang ON lang.doc_id = bsha.doc_id "
+        "JOIN qual ON qual.doc_id = bsha.doc_id"
+    )
+    return (
+        "SELECT doc_id, reason, CAST(reason = 'kept' AS BIGINT) AS keep "
+        f"FROM ({inner}) z"
+    )

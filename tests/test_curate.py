@@ -52,3 +52,46 @@ def test_keeper_invariant(manifest):
     # doc 1 anchors the {1,2,3} cluster and the {1,2} sha group — the
     # canonical every rejection points at must itself be kept
     assert manifest[1] == ("kept", 1)
+
+
+BASE2 = (
+    "a second english document where the cat and the dog walk to the "
+    "house and then the bird sings in the tree by the river all day"
+)
+
+
+def test_incremental_manifest_gates(spark):
+    """Batch gating against persisted corpus state: known-sha reject,
+    index near-dup reject, batch-internal exact/near rejects with the
+    smaller-id keeper, fresh docs kept."""
+    from git_prov_spark.corpus.curate import incremental_manifest
+    from git_prov_spark.corpus.dedup import lsh_bands
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (4, "zzz qqq vvv kkk mmm nnn ppp rrr")],
+        "doc_id long, text string",
+    )
+    index = lsh_bands(corpus, n=4)
+    known = corpus.select(F.sha2(F.col("text"), 256).alias("content_sha"))
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),                        # exact_dup: sha known to corpus
+            (11, BASE.rsplit(" ", 1)[0]),      # near_dup: collides with index
+            (12, BASE2),                       # kept (fresh)
+            (13, BASE2),                       # exact_dup: batch twin, 12 < 13
+            (14, BASE2.rsplit(" ", 1)[0]),     # near_dup: batch twin, 12 < 14
+            (15, "xxx yyy uuu www ttt sss hhh jjj"),  # lang
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in incremental_manifest(batch, index, known).collect()}
+    assert got == {
+        10: ("exact_dup", 0),
+        11: ("near_dup", 0),
+        12: ("kept", 1),
+        13: ("exact_dup", 0),
+        14: ("near_dup", 0),
+        15: ("lang", 0),
+    }
