@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_wide",
     "dedup_near_groups",
     "corpus_manifest",
+    "corpus_manifest_incr",
     "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_multiprobe",

@@ -514,3 +514,125 @@ def stream_build(
     )
     query.awaitTermination()
     return ikg.finalize()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus curation (the curation twin of IncrementalKG)
+# ---------------------------------------------------------------------------
+
+class StreamingCurator:
+    """foreachBatch sink for document streams: gate each micro-batch with
+    `corpus.curate.incremental_manifest` against the ACCUMULATED corpus
+    state, then fold only the kept docs' state forward.
+
+    State layout under `out_dir` (all plain parquet, one dir per batch):
+
+        manifest/batch=N/   that batch's (doc_id, reason, keep) decisions
+        index/batch=N/      lsh_bands rows of the batch's KEPT docs
+        shas/batch=N/       content shas of the batch's KEPT docs
+
+    Exactly-once: each write overwrites its own `batch=N` path, and state
+    reads filter `batch < current`, so a replayed micro-batch probes
+    exactly the pre-batch state and rewrites its own outputs. Per-batch
+    cost is |batch| hashing + an equi-join probe into the accumulated
+    index — the corpus is never re-hashed (same |delta| contract as
+    IncrementalKG). Production mapping: Delta/Iceberg MERGE on the three
+    state tables.
+    """
+
+    _INDEX_SCHEMA = "doc_id long, band int, sig string"
+    _SHA_SCHEMA = "content_sha string"
+    _MANIFEST_SCHEMA = "doc_id long, reason string, keep long"
+
+    def __init__(self, spark: SparkSession, out_dir: str, n: int = 4,
+                 min_tokens: int = 5, max_punct_pct: int = 20):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n = n
+        self.min_tokens = min_tokens
+        self.max_punct_pct = max_punct_pct
+
+    def _read_state(self, name: str, schema: str, before_batch: int) -> DataFrame:
+        import os
+
+        path = os.path.join(self.out_dir, name)
+        sc = self.spark.sparkContext
+        hadoop = sc._jvm.org.apache.hadoop  # noqa: SLF001 — existence probe
+        hpath = hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):   # first batch: no state yet
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.parquet(path)
+            .where(F.col("batch") < before_batch)
+            .drop("batch")
+        )
+
+    def _write_state(self, name: str, batch_id: int, df: DataFrame) -> None:
+        import os
+
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, name, f"batch={batch_id}")
+        )
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        from .corpus.curate import incremental_manifest
+        from .corpus.dedup import lsh_bands
+
+        docs = docs.select("doc_id", "text").persist()
+        try:
+            index = self._read_state("index", self._INDEX_SCHEMA, batch_id)
+            known = self._read_state("shas", self._SHA_SCHEMA, batch_id)
+            manifest = incremental_manifest(
+                docs, index, known, min_tokens=self.min_tokens,
+                max_punct_pct=self.max_punct_pct, n=self.n,
+            ).persist()
+            self._write_state("manifest", batch_id, manifest)
+            kept = docs.join(
+                manifest.where(F.col("keep") == 1).select("doc_id"), "doc_id"
+            ).persist()
+            self._write_state("index", batch_id, lsh_bands(kept, n=self.n))
+            self._write_state(
+                "shas", batch_id,
+                kept.select(F.sha2(F.col("text"), 256).alias("content_sha")),
+            )
+            kept.unpersist()
+            manifest.unpersist()
+        finally:
+            docs.unpersist()
+
+    def manifest(self) -> DataFrame:
+        """All decisions so far, with the batch id that made each."""
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.out_dir, "manifest"))
+
+
+def stream_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    n: int = 4,
+) -> DataFrame:
+    """Structured-Streaming driver: document file-source →
+    foreachBatch(StreamingCurator) → availableNow drain. Returns the
+    accumulated manifest (doc_id, reason, keep, batch)."""
+    cur = StreamingCurator(spark, out_dir, n=n)
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: cur.process_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return cur.manifest()

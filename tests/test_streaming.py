@@ -172,3 +172,52 @@ def test_stream_build_file_source(spark, spark_tables, tmp_path):
         str(tmp_path / "ckpt"),
     )
     assert _tset(got) == expected
+
+
+def test_stream_curate_gates_across_batches(spark, tmp_path_factory):
+    """Three chronological document chunks stream through the curator:
+    batch 0 seeds the corpus; batch 1's resent/near docs are rejected
+    against batch 0's state; batch 2 against both. Decisions must equal a
+    hand-driven sequence of incremental_manifest calls."""
+    from git_prov_spark.streaming import stream_curate
+
+    base = tmp_path_factory.mktemp("stream_curate")
+    src = base / "in"
+    src.mkdir()
+
+    A = ("the quick brown fox jumps over the lazy dog and then the fox "
+         "runs to the hills where the water is cold and the sun is warm")
+    B = ("a second english document where the cat and the dog walk to "
+         "the house and then the bird sings in the tree by the river")
+    chunks = [
+        [(1, A), (2, "zzz qqq vvv kkk mmm nnn ppp rrr")],   # kept, lang
+        [(10, A), (11, B)],                                  # exact_dup, kept
+        [(20, A.rsplit(" ", 1)[0]), (21, B), (22, B + " x")],  # near, exact, near
+    ]
+    for i, rows in enumerate(chunks):
+        stage = str(base / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage)
+                    if p.endswith(".parquet") and not p.startswith("_"))
+        dst = src / f"chunk{i}.parquet"
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    manifest = stream_curate(
+        spark, str(src), "doc_id long, text string",
+        str(base / "out"), str(base / "ckpt"),
+    )
+    got = {r.doc_id: (r.reason, int(r.keep)) for r in manifest.collect()}
+    assert got == {
+        1: ("kept", 1),
+        2: ("lang", 0),
+        10: ("exact_dup", 0),   # A already in corpus state
+        11: ("kept", 1),
+        20: ("near_dup", 0),    # near copy of A from two batches back
+        21: ("exact_dup", 0),   # B arrived in batch 1
+        22: ("near_dup", 0),    # near copy of B
+    }
+    # the kept set's state is what accumulated: 2 docs -> 2 sha rows
+    shas = spark.read.parquet(str(base / "out" / "shas"))
+    assert shas.count() == 2
