@@ -719,3 +719,77 @@ def test_filter_var_var_unbound_raises(triples_df):
         execute(triples_df,
                 "SELECT ?c WHERE { ?c a prov:Activity . FILTER(?c != ?zz) }",
                 repo=HOT)
+
+
+def test_execute_fuzz_vs_python_reference(spark):
+    """Execution-level property fuzz: random small triple sets + random
+    BGP/projection/inequality-filter queries, Spark plans vs an
+    independent nested-loop evaluator written from the SPARQL spec."""
+    import random
+
+    rng = random.Random(1234)
+
+    def py_match(triples, pat):
+        sols = []
+        for (s, p, o) in triples:
+            b, ok = {}, True
+            for term, val in ((pat[0], s), (pat[1], p), (pat[2], o)):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in b and b[v] != val:
+                        ok = False
+                        break
+                    b[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                sols.append(b)
+        return sols
+
+    def py_join(A, B):
+        return [{**a, **b} for a in A for b in B
+                if all(a[k] == b[k] for k in a.keys() & b.keys())]
+
+    for trial in range(12):
+        triples = {(f"ex:s{rng.randrange(4)}", f"ex:p{rng.randrange(3)}",
+                    f"ex:o{rng.randrange(4)}")
+                   for _ in range(rng.randrange(6, 20))}
+        tdf = spark.createDataFrame(
+            [("x", s, p, o, "iri") for s, p, o in triples],
+            "repo string, subj string, pred string, obj string, obj_type string",
+        )
+        pats = []
+        for _ in range(rng.randrange(1, 4)):
+            pat = []
+            for pos in range(3):
+                r = rng.random()
+                if r < 0.55:
+                    pat.append("?" + rng.choice("abcd"))
+                elif pos == 0:
+                    pat.append(f"ex:s{rng.randrange(4)}")
+                elif pos == 1:
+                    pat.append(f"ex:p{rng.randrange(3)}")
+                else:
+                    pat.append(f"ex:o{rng.randrange(4)}")
+            pats.append(tuple(pat))
+        bound = sorted({t[1:] for p in pats for t in p if t.startswith("?")})
+        if not bound:
+            continue
+        sols = [{}]
+        for p in pats:
+            sols = py_join(sols, py_match(triples, p))
+        flt = None
+        if len(bound) >= 2 and rng.random() < 0.5:
+            flt = tuple(rng.sample(bound, 2))
+            sols = [b for b in sols if b[flt[0]] != b[flt[1]]]
+        expected = {tuple(b[v] for v in bound) for b in sols}
+
+        src = ("SELECT " + " ".join(f"?{v}" for v in bound)
+               + " WHERE { " + " . ".join(" ".join(t) for t in pats) + " ")
+        if flt:
+            src += f". FILTER(?{flt[0]} != ?{flt[1]}) "
+        src += "}"
+        got = execute(tdf, src)
+        assert {tuple(r[v] for v in bound) for r in got.collect()} \
+            == expected, (src, sorted(triples))
