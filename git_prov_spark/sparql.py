@@ -24,7 +24,7 @@ Supported subset (documented, validated — anything else raises SparqlError):
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
     ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
-    LIMIT n                                     -- optional
+    LIMIT n OFFSET m                            -- optional (either order)
 
 Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
 the lexical form), and the keyword `a` (rdf:type). Full IRIs are reverse-
@@ -118,6 +118,7 @@ class SelectQuery:
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+    offset: int | None = None
     construct: list[Pattern] | None = None  # CONSTRUCT template
     form: str = "select"                    # select | construct | ask | describe
     describe_terms: list[str] = field(default_factory=list)
@@ -394,11 +395,20 @@ class _Parser:
                     break
             if not self.q.order_by:
                 raise SparqlError("empty ORDER BY")
-        if self._kw("LIMIT"):
-            kind, n = self._next()
-            if kind != "num" or "." in n:
-                raise SparqlError("LIMIT needs an integer")
-            self.q.limit = int(n)
+        # LIMIT and OFFSET may appear in either order (SPARQL grammar)
+        while True:
+            if self.q.limit is None and self._kw("LIMIT"):
+                kind, n = self._next()
+                if kind != "num" or "." in n:
+                    raise SparqlError("LIMIT needs an integer")
+                self.q.limit = int(n)
+            elif self.q.offset is None and self._kw("OFFSET"):
+                kind, n = self._next()
+                if kind != "num" or "." in n:
+                    raise SparqlError("OFFSET needs an integer")
+                self.q.offset = int(n)
+            else:
+                break
 
     # -- terms ------------------------------------------------------------
     def _term(self, as_pattern: bool, predicate: bool = False) -> str:
@@ -624,6 +634,8 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
         df = df.orderBy(*[
             F.asc(v) if asc else F.desc(v) for v, asc in q.order_by
         ])
+    if q.offset is not None:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df

@@ -793,3 +793,21 @@ def test_execute_fuzz_vs_python_reference(spark):
         got = execute(tdf, src)
         assert {tuple(r[v] for v in bound) for r in got.collect()} \
             == expected, (src, sorted(triples))
+
+
+def test_execute_offset(triples_df):
+    all_c = execute(
+        triples_df,
+        "SELECT ?c WHERE { ?c a prov:Activity } ORDER BY ASC(?c)",
+        repo=HOT,
+    ).collect()
+    page = execute(
+        triples_df,
+        "SELECT ?c WHERE { ?c a prov:Activity } ORDER BY ASC(?c) "
+        "LIMIT 3 OFFSET 2",
+        repo=HOT,
+    ).collect()
+    assert [r.c for r in page] == [r.c for r in all_c][2:5]
+    # OFFSET before LIMIT parses too (SPARQL allows either order)
+    q = parse("SELECT ?c WHERE { ?c a prov:Activity } OFFSET 2 LIMIT 3")
+    assert q.offset == 2 and q.limit == 3
