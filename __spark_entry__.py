@@ -604,6 +604,38 @@ def q_sparql_agg(spark, sf_dir):
     )
 
 
+def q_sparql_path(spark, sf_dir):
+    """SPARQL one-or-more property path (`pred+`): compiles to the
+    distributed path-doubling closure (operators.transitive_closure,
+    O(log chain-length) self-join rounds). The chain relation links
+    consecutive user ids."""
+    from git_prov_spark.sparql import execute
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    nxt = users.alias("u").join(
+        users.alias("v"), F.col("v.user_id") == F.col("u.user_id") + 1
+    )
+    triples = nxt.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("u.user_id").cast("string")).alias("subj"),
+        F.lit("ev:next").alias("pred"),
+        F.concat(F.lit("user-"), F.col("v.user_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return execute(triples, "SELECT ?a ?b WHERE { ?a ev:next+ ?b }")
+
+
+SPARQL_PATH_ORACLE = (
+    "WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events), "
+    "e AS (SELECT a.user_id AS s, b.user_id AS d FROM u a "
+    "JOIN u b ON b.user_id = a.user_id + 1), "
+    "r(s, d) AS (SELECT s, d FROM e "
+    "UNION SELECT r.s, e.d FROM r JOIN e ON e.s = r.d) "
+    "SELECT 'user-' || CAST(s AS VARCHAR) AS a, "
+    "'user-' || CAST(d AS VARCHAR) AS b FROM r"
+)
+
+
 def q_sparql_describe(spark, sf_dir):
     """SPARQL DESCRIBE: all triples of the named subjects. The subject
     equality filter pushes to the scan (partition-pruned on the real
@@ -877,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": q_sparql_construct,
         "sparql_union": q_sparql_union,
         "sparql_describe": q_sparql_describe,
+        "sparql_path": q_sparql_path,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_streaming_build": q_kg_streaming_build,
     }
@@ -1016,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct": SPARQL_CONSTRUCT_ORACLE,
         "sparql_union": SPARQL_UNION_ORACLE,
         "sparql_describe": SPARQL_DESCRIBE_ORACLE,
+        "sparql_path": SPARQL_PATH_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

@@ -142,3 +142,53 @@ def global_row_number(
         )
         .drop(_PID, "_grn_offset")
     )
+
+
+def transitive_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """(src, dst) for every pair connected by a DIRECTED path of ≥ 1 edges —
+    the one-or-more property-path relation (SPARQL `pred+`, commit
+    ancestry, derivation chains).
+
+    Path doubling: closure₀ = edges; closureₖ₊₁ = closureₖ ∪ (closureₖ ∘
+    closureₖ), so a path of length L is covered after ⌈log₂ L⌉ rounds —
+    shuffles scale logarithmically in chain length, never linearly. Each
+    round is one self-equi-join + distinct, lineage-truncated with an eager
+    localCheckpoint (same rationale as connected_components above); the
+    fixpoint test compares counts, one lightweight action per round.
+
+    Output size is inherently O(|closure|) — quadratic on long chains.
+    That is the relation's size, not a plan artifact; callers that only
+    need reachability-from-a-seed should pre-filter `edges` or constrain
+    one endpoint (the SPARQL compiler pushes constant endpoints into the
+    iteration's seed side via its post-filter).
+    """
+    closure = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = closure.count()
+    for _ in range(max_iters):
+        doubled = (
+            closure.alias("l")
+            .join(
+                closure.alias("r"),
+                F.col("l.dst") == F.col("r.src"),
+            )
+            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+            .unionByName(closure)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = doubled.count()
+        closure = doubled
+        if m == n:
+            return closure
+        n = m
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_iters} doubling rounds "
+        f"(covers paths up to length 2^{max_iters})"
+    )

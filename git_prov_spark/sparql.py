@@ -17,6 +17,7 @@ Supported subset (documented, validated — anything else raises SparqlError):
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
     WHERE { s p o . s p o .                     --   cast lexical -> double)
+            ?a pred+ ?b .                       -- one-or-more property path
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
             FILTER(?v = term) .                 -- =, !=, IN (...); the right
@@ -64,7 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>])
+  | (?P<punct>[{}().=!,*<>+])
     """,
     re.VERBOSE,
 )
@@ -203,6 +204,18 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         return out
 
+    def _pred_term(self) -> str:
+        """Predicate position: a term, optionally suffixed `+` (one-or-more
+        property path). The `+` marker rides on the pattern string — a CURIE
+        local name cannot contain '+', so the encoding is unambiguous."""
+        p = self._term(as_pattern=True, predicate=True)
+        if self._peek()[1] == "+":
+            self.i += 1
+            if p.startswith("?"):
+                raise SparqlError("property path + needs a constant predicate")
+            p += "+"
+        return p
+
     def _parse_braced_patterns(self) -> list[Pattern]:
         self._expect("{")
         out: list[Pattern] = []
@@ -308,7 +321,7 @@ class _Parser:
                 self.q.optionals.append(block)
             else:
                 s = self._term(as_pattern=True)
-                p = self._term(as_pattern=True, predicate=True)
+                p = self._pred_term()
                 o = self._term(as_pattern=True)
                 self.q.patterns.append((s, p, o))
             if self._peek()[1] == ".":
@@ -450,7 +463,44 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     FILTER row predicates, one column per bound variable."""
     if not q.patterns and not q.unions:
         raise SparqlError("WHERE contains no triple patterns")
-    df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
+    plain = [p for p in q.patterns if not p[1].endswith("+")]
+    paths = [p for p in q.patterns if p[1].endswith("+")]
+    df = bgp(triples, plain, repo=repo) if plain else None
+    for s, pred_plus, o in paths:
+        # one-or-more property path: the closure relation joins in like any
+        # other pattern. Constant endpoints filter the closure; at scale,
+        # seed-constrained reachability should pre-filter the edge set
+        # instead (see operators.transitive_closure docstring).
+        from .operators import transitive_closure
+
+        edges = triples
+        if repo is not None:
+            edges = edges.where(F.col("repo") == repo)
+        edges = edges.where(F.col("pred") == pred_plus[:-1]).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        closure = transitive_closure(edges)
+        cols: dict[str, str] = {}
+        rel = closure
+        for term, col in ((s, "src"), (o, "dst")):
+            if term.startswith("?"):
+                name = term[1:]
+                if name in cols:
+                    rel = rel.where(F.col(col) == F.col(cols[name]))
+                else:
+                    cols[name] = col
+            else:
+                rel = rel.where(F.col(col) == term)
+        if not cols:
+            raise SparqlError(
+                "property path needs at least one variable endpoint"
+            )
+        rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()]).distinct()
+        if df is None:
+            df = rel
+        else:
+            shared = [c for c in rel.columns if c in df.columns]
+            df = df.join(rel, shared) if shared else df.crossJoin(rel)
     for branches in q.unions:
         if any(not b for b in branches):
             raise SparqlError("empty UNION branch")

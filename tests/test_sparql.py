@@ -811,3 +811,65 @@ def test_execute_offset(triples_df):
     # OFFSET before LIMIT parses too (SPARQL allows either order)
     q = parse("SELECT ?c WHERE { ?c a prov:Activity } OFFSET 2 LIMIT 3")
     assert q.offset == 2 and q.limit == 3
+
+
+# --------------------------------------------------------------------------
+# Property paths (pred+)
+# --------------------------------------------------------------------------
+
+def _py_closure(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out = set()
+    for start in adj:
+        stack, seen = [start], set()
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if (start, nxt) not in out:
+                    out.add((start, nxt))
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        stack.append(nxt)
+    return out
+
+
+def test_path_plus_commit_ancestry(triples_df, oracle_set):
+    got = execute(
+        triples_df,
+        "SELECT ?a ?b WHERE { ?a prov:wasInformedBy+ ?b }",
+        repo=HOT,
+    )
+    informed = _expected(oracle_set, HOT, "prov:wasInformedBy")
+    expected = _py_closure(informed)
+    assert {(r.a, r.b) for r in got.collect()} == expected
+    assert len(expected) > len(informed)  # chains longer than one hop exist
+
+
+def test_path_plus_constant_endpoint_and_join(triples_df, oracle_set):
+    informed = _expected(oracle_set, HOT, "prov:wasInformedBy")
+    closure = _py_closure(informed)
+    tip = sorted({a for a, _ in informed} - {b for _, b in informed})[0]
+    got = execute(
+        triples_df,
+        f"""
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?b ?label WHERE {{
+          {tip} prov:wasInformedBy+ ?b .
+          ?b rdfs:label ?label
+        }}
+        """,
+        repo=HOT,
+    )
+    labels = dict(_expected(oracle_set, HOT, "rdfs:label"))
+    expected = {(b, labels[b]) for a, b in closure if a == tip}
+    assert {(r.b, r.label) for r in got.collect()} == expected
+    assert len(expected) > 1
+
+
+def test_path_plus_validation():
+    with pytest.raises(SparqlError):   # variable predicate path
+        parse("SELECT ?a WHERE { ?a ?p+ ?b }")
+    q = parse("SELECT ?a ?b WHERE { ?a prov:wasInformedBy+ ?b }")
+    assert q.patterns == [("?a", "prov:wasInformedBy+", "?b")]
