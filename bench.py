@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sparql_select",
     "sparql_agg",
     "sparql_construct",
+    "sparql_path",
     "text_quality",
     "text_fingerprint",
     "mm_features",
