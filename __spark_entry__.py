@@ -433,6 +433,13 @@ def q_corpus_manifest_incr(spark, sf_dir):
     return curate.incremental_manifest(batch, index, known)
 
 
+def q_corpus_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by portable md5 bucketing —
+    map-side only, stable under re-runs, re-partitioning and corpus growth
+    (corpus/curate.dataset_splits)."""
+    return curate.dataset_splits(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_lsh_ingest(spark, sf_dir):
     """Incremental dedup gate (corpus analog of kg_streaming_build): the
     base documents are the already-built LSH band index; the planted
@@ -886,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_groups": q_dedup_near_groups,
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
+        "corpus_splits": q_corpus_splits,
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1014,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)"
         ),
+        "corpus_splits": oracles.sql_dataset_splits(),
         "corpus_manifest_incr": oracles.sql_incremental_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)",

@@ -182,3 +182,45 @@ def incremental_manifest(
         F.col("reason"),
         (F.col("reason") == "kept").cast("long").alias("keep"),
     )
+
+
+def dataset_splits(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split) — deterministic train/val/test assignment by portable
+    md5 bucketing of (salt, doc_id).
+
+    `weights` maps split name → share in basis points (must sum to 10 000);
+    default {"train": 9800, "val": 100, "test": 100}. Properties a
+    `rand()`-based split lacks, all load-bearing for a training corpus:
+
+    * stable under re-runs, re-partitioning, and executor count (pure
+      function of the id — north_rule determinism);
+    * stable under corpus growth: an arriving doc never moves an existing
+      doc's split (no global count involved);
+    * leakage-auditable: membership is recomputable from (salt, doc_id)
+      alone, no assignment table to lose;
+    * re-splittable: a new salt is a fresh independent assignment.
+
+    Map-side only — no shuffle; the hash matches DuckDB bit-for-bit
+    (hashing.spark_h64 ≡ duck_h64), so the oracle can verify every row.
+    """
+    from .hashing import spark_h64
+
+    if weights is None:
+        weights = {"train": 9800, "val": 100, "test": 100}
+    if sum(weights.values()) != 10_000 or not weights:
+        raise ValueError("weights must be basis points summing to 10000")
+    bucket = F.expr(
+        spark_h64(f"concat('{salt}', ':', cast({id_col} as string))")
+    ) % 10_000
+    expr = None
+    cum = 0
+    for name, share in weights.items():
+        cum += share
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return documents.select(F.col(id_col), expr.alias("split"))

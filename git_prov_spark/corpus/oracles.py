@@ -551,3 +551,18 @@ def sql_incremental_manifest(src: str = "documents",
         "SELECT doc_id, reason, CAST(reason = 'kept' AS BIGINT) AS keep "
         f"FROM ({inner}) z"
     )
+
+
+def sql_dataset_splits(src: str = "documents", salt: str = "split-v1",
+                       weights: list[tuple[str, int]] | None = None) -> str:
+    """DuckDB twin of curate.dataset_splits (portable md5 bucketing)."""
+    if weights is None:
+        weights = [("train", 9800), ("val", 100), ("test", 100)]
+    bucket = duck_h64(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    cases, cum = [], 0
+    for name, share in weights:
+        cum += share
+        cases.append(f"WHEN ({bucket}) < {cum} THEN '{name}'")
+    return (
+        f"SELECT doc_id, CASE {' '.join(cases)} END AS split FROM {src}"
+    )

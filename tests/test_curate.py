@@ -95,3 +95,30 @@ def test_incremental_manifest_gates(spark):
         14: ("near_dup", 0),
         15: ("lang", 0),
     }
+
+
+def test_dataset_splits_properties(spark):
+    """Determinism, growth-stability, proportions, and validation for the
+    hash-based splitter."""
+    import pytest
+    from git_prov_spark.corpus.curate import dataset_splits
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in dataset_splits(docs).collect()}
+    b = {r.doc_id: r.split for r in dataset_splits(docs).collect()}
+    assert a == b  # deterministic across runs
+    # growth-stable: a prefix corpus assigns identically
+    small = {r.doc_id: r.split
+             for r in dataset_splits(docs.where("doc_id < 1000")).collect()}
+    assert all(a[k] == v for k, v in small.items())
+    # proportions near 98/1/1 (binomial tolerance at n=5000)
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.97 < c["train"] / 5000 < 0.99
+    assert 0 < c["val"] / 5000 < 0.025 and 0 < c["test"] / 5000 < 0.025
+    # a different salt reshuffles some assignments
+    resalted = {r.doc_id: r.split
+                for r in dataset_splits(docs, salt="split-v2").collect()}
+    assert resalted != a
+    with pytest.raises(ValueError):
+        dataset_splits(docs, weights={"train": 5000})  # not 10000
