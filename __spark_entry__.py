@@ -615,13 +615,16 @@ def q_sparql_path(spark, sf_dir):
     """SPARQL one-or-more property path (`pred+`): compiles to the
     distributed path-doubling closure (operators.transitive_closure,
     O(log chain-length) self-join rounds). The chain relation links
-    consecutive user ids."""
+    consecutive user ids in segments of 100 — many moderate histories,
+    the shape of real per-repo commit chains (a single corpus-length
+    chain would make the closure's *output* quadratic in the corpus and
+    the doubling intermediate cubic; see transitive_closure's docstring)."""
     from git_prov_spark.sparql import execute
 
     users = _t(spark, sf_dir, "events").select("user_id").distinct()
     nxt = users.alias("u").join(
         users.alias("v"), F.col("v.user_id") == F.col("u.user_id") + 1
-    )
+    ).where(F.col("u.user_id") % 100 != 99)
     triples = nxt.select(
         F.lit("demo").alias("repo"),
         F.concat(F.lit("user-"), F.col("u.user_id").cast("string")).alias("subj"),
@@ -635,7 +638,7 @@ def q_sparql_path(spark, sf_dir):
 SPARQL_PATH_ORACLE = (
     "WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events), "
     "e AS (SELECT a.user_id AS s, b.user_id AS d FROM u a "
-    "JOIN u b ON b.user_id = a.user_id + 1), "
+    "JOIN u b ON b.user_id = a.user_id + 1 WHERE a.user_id % 100 <> 99), "
     "r(s, d) AS (SELECT s, d FROM e "
     "UNION SELECT r.s, e.d FROM r JOIN e ON e.s = r.d) "
     "SELECT 'user-' || CAST(s AS VARCHAR) AS a, "
