@@ -205,15 +205,30 @@ def lsh_bands(
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
+# A band bucket of k docs emits k²/2 candidate pairs: one viral boilerplate
+# cluster (100k near-identical docs) would dominate the whole job with 10^10
+# pairs from a single (band, sig) key. Buckets above this cap are dropped —
+# the degenerate clusters they represent are exact-dedup's job (identical
+# docs) or span-dedup's (shared boilerplate), and a genuinely-near pair
+# inside a dropped bucket almost always collides again in one of the other
+# bands. Far above any honest bucket: at this size the bucket IS the dup
+# cluster, not a candidate set.
+DEFAULT_LSH_MAX_BUCKET = 10_000
+
+
 def lsh_candidate_pairs(
     df: DataFrame, n: int = 4, id_col: str = "doc_id",
     perms: list[tuple[int, int]] | None = None,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing ≥1 banded signature.
     Output (d1, d2, n_shared_bands) with d1 < d2. Candidates come from
-    equi-joins on (band, signature) — never an all-pairs product."""
+    equi-joins on (band, signature) — never an all-pairs product; buckets
+    larger than `max_bucket` are dropped before the join (see the constant
+    above — pass None to disable)."""
     stacked = lsh_bands(df, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
+    stacked = _cap_buckets(stacked, max_bucket)
     a = stacked.select(F.col(id_col).alias("d1"), "band", "sig")
     b = stacked.select(F.col(id_col).alias("d2"), "band", "sig")
     return (
@@ -224,10 +239,26 @@ def lsh_candidate_pairs(
     )
 
 
+def _cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, sig) buckets with more than max_bucket members — one
+    map-side-combined count + a semi-equi-join, no extra full shuffle of
+    the band rows beyond the (band, sig) key they already join on."""
+    if max_bucket is None:
+        return stacked
+    ok = (
+        stacked.groupBy("band", "sig")
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket)
+        .select("band", "sig")
+    )
+    return stacked.join(ok, ["band", "sig"])
+
+
 def lsh_index_matches(
     new_docs: DataFrame, index: DataFrame, n: int = 4, id_col: str = "doc_id",
     perms: list[tuple[int, int]] | None = None,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Ingest-time near-dup gate: (new_id, match_id, n_shared_bands) for
     every NEW document colliding with anything already in the band
@@ -239,9 +270,12 @@ def lsh_index_matches(
     against the index — cost scales with |batch| and bucket hit sizes,
     never |corpus|. New-new collisions surface in both directions (each
     new doc reports its match); self-pairs are excluded, so re-ingesting
-    an already-indexed doc_id reports only genuine other-doc matches."""
+    an already-indexed doc_id reports only genuine other-doc matches.
+    Index+batch buckets above `max_bucket` are dropped like in
+    lsh_candidate_pairs (a hot bucket would emit |batch-hits|×|bucket|
+    matches for what is a degenerate dup cluster)."""
     nb = lsh_bands(new_docs, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
-    match_side = index.unionByName(nb)
+    match_side = _cap_buckets(index.unionByName(nb), max_bucket)
     a = nb.select(F.col(id_col).alias("new_id"), "band", "sig")
     b = match_side.select(F.col(id_col).alias("match_id"), "band", "sig")
     return (

@@ -122,3 +122,40 @@ def test_dataset_splits_properties(spark):
     assert resalted != a
     with pytest.raises(ValueError):
         dataset_splits(docs, weights={"train": 5000})  # not 10000
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate cluster (many identical docs) must not explode the
+    candidate-pair join: with the cap it contributes nothing (exact
+    dedup's job), while a genuine near-dup pair in a small bucket
+    survives."""
+    from git_prov_spark.corpus.dedup import lsh_candidate_pairs
+
+    hot = [(i, "zz yy xx ww vv uu tt ss rr qq") for i in range(50)]
+    near = [(100, BASE), (101, BASE.rsplit(" ", 1)[0])]
+    df = spark.createDataFrame(hot + near, "doc_id long, text string")
+    capped = lsh_candidate_pairs(df, n=4, max_bucket=10)
+    pairs = {(r.d1, r.d2) for r in capped.collect()}
+    assert (100, 101) in pairs                     # small bucket survives
+    assert not any(d1 < 50 and d2 < 50 for d1, d2 in pairs)  # hot dropped
+    uncapped = lsh_candidate_pairs(df, n=4, max_bucket=None)
+    assert uncapped.where("d1 < 50 AND d2 < 50").count() == 50 * 49 // 2
+
+
+def test_lsh_bucket_cap_above_testdata(spark):
+    """The default cap must sit far above any honest bucket in the
+    augmented sf0.01 corpus, so every shipped oracle is unaffected."""
+    from git_prov_spark.corpus.dedup import DEFAULT_LSH_MAX_BUCKET, lsh_bands
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.where("doc_id % 10 = 0")
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    top = (
+        lsh_bands(aug, n=4).groupBy("band", "sig").count()
+        .agg(F.max("count").alias("mx")).collect()[0].mx
+    )
+    assert top * 20 < DEFAULT_LSH_MAX_BUCKET, top
