@@ -592,6 +592,17 @@ def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFr
     return out.distinct()
 
 
+def query(triples: DataFrame, text: str, repo: str | None = None):
+    """One entry point for any supported SPARQL string — dispatches on the
+    parsed query form, like the reference's single SPARQL endpoint
+    (controllers/SparqlController.java:33-43): SELECT → bindings DataFrame,
+    CONSTRUCT → triples DataFrame, ASK → bool, DESCRIBE → subject triples."""
+    form = parse(text, repo=repo).form
+    fn = {"select": execute, "construct": construct,
+          "ask": ask, "describe": describe}[form]
+    return fn(triples, text, repo=repo)
+
+
 def ask(triples: DataFrame, query: str, repo: str | None = None) -> bool:
     """Run a SPARQL ASK (subset) string: True iff the WHERE clause has at
     least one solution. Short-circuits with limit(1) — the scan stops at

@@ -873,3 +873,18 @@ def test_path_plus_validation():
         parse("SELECT ?a WHERE { ?a ?p+ ?b }")
     q = parse("SELECT ?a ?b WHERE { ?a prov:wasInformedBy+ ?b }")
     assert q.patterns == [("?a", "prov:wasInformedBy+", "?b")]
+
+
+def test_query_dispatch_all_forms(triples_df):
+    """The single query() entry point routes every form to its executor."""
+    from git_prov_spark.sparql import query
+
+    sel = query(triples_df, "SELECT ?c WHERE { ?c a prov:Activity }", repo=HOT)
+    assert "c" in sel.columns and sel.count() > 0
+    con = query(triples_df,
+                "CONSTRUCT { ?c gitprov:seen ?c } WHERE { ?c a prov:Activity }",
+                repo=HOT)
+    assert con.columns == ["subj", "pred", "obj"]
+    assert query(triples_df, "ASK { ?c a prov:Activity }", repo=HOT) is True
+    d = query(triples_df, "DESCRIBE gitprov:alice", repo=HOT)
+    assert set(d.columns) == {"subj", "pred", "obj", "obj_type"}
