@@ -433,6 +433,15 @@ def q_corpus_manifest_incr(spark, sf_dir):
     return curate.incremental_manifest(batch, index, known)
 
 
+def q_corpus_chunks(spark, sf_dir):
+    """Token-window chunking with overlap (text.chunk_documents) — the
+    sequence-packing precursor; window 32 / overlap 8 sized so fixture
+    docs produce multi-chunk output."""
+    return ctext.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=32, overlap=8
+    )
+
+
 def q_corpus_splits(spark, sf_dir):
     """Deterministic train/val/test assignment by portable md5 bucketing —
     map-side only, stable under re-runs, re-partitioning and corpus growth
@@ -897,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
         "corpus_splits": q_corpus_splits,
+        "corpus_chunks": q_corpus_chunks,
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1026,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
             "text FROM documents WHERE doc_id % 10 = 0)"
         ),
         "corpus_splits": oracles.sql_dataset_splits(),
+        "corpus_chunks": oracles.sql_chunk_documents(window=32, overlap=8),
         "corpus_manifest_incr": oracles.sql_incremental_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)",

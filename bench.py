@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_near_groups",
     "corpus_manifest",
     "corpus_manifest_incr",
+    "corpus_chunks",
     "dedup_simhash64",
     "ann_topk_lsh",
     "ann_topk_multiprobe",

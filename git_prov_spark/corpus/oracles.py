@@ -566,3 +566,19 @@ def sql_dataset_splits(src: str = "documents", salt: str = "split-v1",
     return (
         f"SELECT doc_id, CASE {' '.join(cases)} END AS split FROM {src}"
     )
+
+
+def sql_chunk_documents(src: str = "documents", window: int = 512,
+                        overlap: int = 64) -> str:
+    """DuckDB twin of text.chunk_documents (token windows with overlap)."""
+    stride = window - overlap
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "c AS (SELECT doc_id, tokens, "
+        f"unnest(generate_series(0, len(tokens) - 1, {stride})) AS start "
+        "FROM toks WHERE len(tokens) > 0) "
+        f"SELECT doc_id, CAST(start / {stride} AS BIGINT) AS chunk_idx, "
+        f"array_to_string(tokens[start + 1 : start + {window}], ' ') AS chunk_text, "
+        f"CAST(least({window}, len(tokens) - start) AS BIGINT) AS n_tokens "
+        "FROM c"
+    )

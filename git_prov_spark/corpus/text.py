@@ -145,3 +145,43 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"(acc, t) -> (acc * {FP_BASE} + {spark_hmod('t')}) % {MERSENNE_P})"
     )
     return with_tokens(df).select(F.col(id_col), F.expr(fold_expr).alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame, window: int = 512, overlap: int = 64,
+    id_col: str = "doc_id", text: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens) — fixed token windows with
+    overlap, the pretraining sequence-packing precursor.
+
+    Chunk i covers tokens [i*stride, i*stride + window) with
+    stride = window - overlap; every start below the doc's token count
+    emits a chunk (the tail may be short), zero-token docs emit nothing.
+    Map-side only: tokenize → sequence(0, n-1, stride) → posexplode →
+    slice — no shuffle, no UDF, stays in whole-stage codegen; the
+    downstream shuffle (if any) is the caller's groupBy/repartition on
+    chunks, which is size-balanced by construction.
+    """
+    if not (0 <= overlap < window):
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+    toks = with_tokens(df, text=text)
+    n = F.size("tokens")
+    exploded = (
+        toks.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.col("tokens"),
+            F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(stride)))
+            .alias("chunk_idx", "start"),
+        )
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("tokens"), F.col("start") + 1, window), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(window), F.size("tokens") - F.col("start"))
+        .cast("long").alias("n_tokens"),
+    )

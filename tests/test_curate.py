@@ -159,3 +159,32 @@ def test_lsh_bucket_cap_above_testdata(spark):
         .agg(F.max("count").alias("mx")).collect()[0].mx
     )
     assert top * 20 < DEFAULT_LSH_MAX_BUCKET, top
+
+
+def test_chunk_documents_windows(spark):
+    """Exact windows on a hand corpus + coverage/count invariants."""
+    import pytest
+    from git_prov_spark.corpus.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),                                     # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(docs, window=4, overlap=1).collect()}
+    # stride 3: starts 0,3,6,9 for doc 1
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)                      # short tail
+    assert got[(2, 0)] == ("only three tokens", 3)
+    assert all(d != 3 for d, _ in got)                   # empty doc: nothing
+    assert len(got) == 5
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-1:] == got[(1, 1)][0].split()[:1]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, overlap=4)
