@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dupes, lsh_index_matches, near_dup_groups
+from .dedup import lsh_index_matches, near_dup_groups
 from .text import lang_id, quality_signals
 
 
@@ -45,13 +45,20 @@ def training_manifest(
     """(doc_id, reason, keep) — keep=1 iff every gate passes.
 
     `max_punct_pct` rejects when n_punct * 100 > max_punct_pct * n_chars
-    (integer arithmetic: exact across engines).
+    (integer arithmetic: exact across engines). NULL text is normalized to
+    '' so such docs flow through the gates (rejected as quality/exact_dup)
+    instead of vanishing from the manifest through null join keys — the
+    reason column must partition the INPUT. (The DuckDB twins assume
+    non-null text, which the fixtures guarantee.)
     """
+    documents = documents.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     doc_sha = documents.select(
         F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
     )
-    ex = exact_dupes(documents, id_col=id_col, text=text).select(
-        "content_sha", F.col("canonical_doc_id").alias("exact_canonical")
+    # exact canonical straight from doc_sha: one hash pass over the full
+    # text, one narrow (sha, id) shuffle — not a second exact_dupes scan
+    ex = doc_sha.groupBy("content_sha").agg(
+        F.min(id_col).alias("exact_canonical")
     )
     ex_canon = doc_sha.join(ex, "content_sha").select(id_col, "exact_canonical")
     near = near_dup_groups(documents, n=n, id_col=id_col).select(
@@ -121,7 +128,10 @@ def incremental_manifest(
       keep {a} only. That is the standard ingest/compaction split: the
       periodic batch run (or `near_dup_groups` over kept docs) tightens
       chains the gate let through.
+
+    NULL text normalizes to '' exactly as in training_manifest.
     """
+    new_docs = new_docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     doc_sha = new_docs.select(
         F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
     )

@@ -268,16 +268,24 @@ def lsh_index_matches(
     This is the incremental dedup companion to streaming.IncrementalKG:
     per batch it hashes only the new documents and equi-joins their bands
     against the index — cost scales with |batch| and bucket hit sizes,
-    never |corpus|. New-new collisions surface in both directions (each
-    new doc reports its match); self-pairs are excluded, so re-ingesting
-    an already-indexed doc_id reports only genuine other-doc matches.
-    Index+batch buckets above `max_bucket` are dropped like in
-    lsh_candidate_pairs (a hot bucket would emit |batch-hits|×|bucket|
-    matches for what is a degenerate dup cluster)."""
+    never |corpus|: the batch's (band, sig) keys broadcast, so the index
+    is map-side FILTERED to hit rows before anything shuffles (no
+    O(|corpus|) aggregation per batch). Probed buckets above `max_bucket`
+    are then dropped like in lsh_candidate_pairs (a hot bucket would emit
+    |batch-hits|×|bucket| matches for what is a degenerate dup cluster);
+    unprobed buckets never need counting. New-new collisions surface in
+    both directions (each new doc reports its match); self-pairs are
+    excluded, so re-ingesting an already-indexed doc_id reports only
+    genuine other-doc matches."""
     nb = lsh_bands(new_docs, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
-    match_side = _cap_buckets(index.unionByName(nb), max_bucket)
+    probe_keys = nb.select("band", "sig").distinct()
+    hits = (
+        index.unionByName(nb)
+        .join(F.broadcast(probe_keys), ["band", "sig"])
+    )
+    hits = _cap_buckets(hits, max_bucket)
     a = nb.select(F.col(id_col).alias("new_id"), "band", "sig")
-    b = match_side.select(F.col(id_col).alias("match_id"), "band", "sig")
+    b = hits.select(F.col(id_col).alias("match_id"), "band", "sig")
     return (
         a.join(b, ["band", "sig"])
         .where(F.col("new_id") != F.col("match_id"))

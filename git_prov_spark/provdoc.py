@@ -301,25 +301,10 @@ def _provxml_doc(g: _Graph, repo: str) -> str:
 # --------------------------------------------------------------------------
 
 def dot_text(triples: DataFrame, repo: str, max_edges: int = 50_000) -> str:
-    """Directed graph of the repo's IRI-valued edges, predicate-labeled."""
-    rows = (
-        triples.where((F.col("repo") == repo) & (F.col("obj_type") == "iri")
-                      & (F.col("pred") != "rdf:type"))
-        .select("subj", "pred", "obj")
-        .limit(max_edges + 1)
-        .collect()
-    )
-    if len(rows) > max_edges:
-        raise ValueError(f"graph exceeds max_edges={max_edges}; export a subset")
-
-    def q(s: str) -> str:
-        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
-
-    lines = [f"digraph {q(repo)} {{"]
-    for r in sorted(rows):
-        lines.append(f"  {q(r.subj)} -> {q(r.obj)} [label={q(r.pred)}];")
-    lines.append("}")
-    return "\n".join(lines)
+    """Directed graph of the repo's IRI-valued edges, predicate-labeled.
+    Shares _dot_doc with the distributed bulk exporter (one assembler per
+    format, like the PROV-N/JSON/XML pairs above)."""
+    return _dot_doc(_collect_graph(triples, repo), repo, max_edges=max_edges)
 
 
 def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:

@@ -112,6 +112,7 @@ class SelectQuery:
     aggregates: list[Agg] = field(default_factory=list)
     select_order: list[str] = field(default_factory=list)  # output col order
     patterns: list[Pattern] = field(default_factory=list)
+    path_patterns: list[Pattern] = field(default_factory=list)  # pred+ (pred stored bare)
     unions: list[list[list[Pattern]]] = field(default_factory=list)  # chains of branches
     optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
@@ -204,17 +205,18 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         return out
 
-    def _pred_term(self) -> str:
-        """Predicate position: a term, optionally suffixed `+` (one-or-more
-        property path). The `+` marker rides on the pattern string — a CURIE
-        local name cannot contain '+', so the encoding is unambiguous."""
+    def _pred_term(self) -> tuple[str, bool]:
+        """Predicate position: (term, is_path). Path-ness is carried out of
+        band (SelectQuery.path_patterns), never as a string suffix — a
+        full-IRI predicate may legitimately END in '+', so in-band marking
+        would misclassify it."""
         p = self._term(as_pattern=True, predicate=True)
         if self._peek()[1] == "+":
             self.i += 1
             if p.startswith("?"):
                 raise SparqlError("property path + needs a constant predicate")
-            p += "+"
-        return p
+            return p, True
+        return p, False
 
     def _parse_braced_patterns(self) -> list[Pattern]:
         self._expect("{")
@@ -321,9 +323,12 @@ class _Parser:
                 self.q.optionals.append(block)
             else:
                 s = self._term(as_pattern=True)
-                p = self._pred_term()
+                p, is_path = self._pred_term()
                 o = self._term(as_pattern=True)
-                self.q.patterns.append((s, p, o))
+                if is_path:
+                    self.q.path_patterns.append((s, p, o))
+                else:
+                    self.q.patterns.append((s, p, o))
             if self._peek()[1] == ".":
                 self.i += 1
 
@@ -461,12 +466,10 @@ def parse(query: str, repo: str | None = None) -> SelectQuery:
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
     """The WHERE clause's solution set: BGP joins + OPTIONAL left joins +
     FILTER row predicates, one column per bound variable."""
-    if not q.patterns and not q.unions:
+    if not q.patterns and not q.path_patterns and not q.unions:
         raise SparqlError("WHERE contains no triple patterns")
-    plain = [p for p in q.patterns if not p[1].endswith("+")]
-    paths = [p for p in q.patterns if p[1].endswith("+")]
-    df = bgp(triples, plain, repo=repo) if plain else None
-    for s, pred_plus, o in paths:
+    df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
+    for s, path_pred, o in q.path_patterns:
         # one-or-more property path: the closure relation joins in like any
         # other pattern. Constant endpoints filter the closure; at scale,
         # seed-constrained reachability should pre-filter the edge set
@@ -476,7 +479,7 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         edges = triples
         if repo is not None:
             edges = edges.where(F.col("repo") == repo)
-        edges = edges.where(F.col("pred") == pred_plus[:-1]).select(
+        edges = edges.where(F.col("pred") == path_pred).select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
         closure = transitive_closure(edges)
@@ -679,6 +682,11 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
             cols.append(c.alias(a.alias))
         grouped = df.groupBy(*q.group_by) if q.group_by else df.groupBy()
         df = grouped.agg(*cols).select(*q.select_order)
+        if q.distinct:
+            # SELECT DISTINCT over aggregated rows: group keys are unique
+            # per row, but a projection that drops them (or equal counts
+            # across groups) can duplicate — SPARQL dedups the projection
+            df = df.distinct()
         for col, op, num in q.having:
             if col not in df.columns:
                 raise SparqlError(f"HAVING references unknown column ?{col}")

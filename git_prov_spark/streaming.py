@@ -555,6 +555,8 @@ class StreamingCurator:
     def _read_state(self, name: str, schema: str, before_batch: int) -> DataFrame:
         import os
 
+        from pyspark.errors import AnalysisException
+
         path = os.path.join(self.out_dir, name)
         sc = self.spark.sparkContext
         hadoop = sc._jvm.org.apache.hadoop  # noqa: SLF001 — existence probe
@@ -562,11 +564,15 @@ class StreamingCurator:
         fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
         if not fs.exists(hpath):   # first batch: no state yet
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.parquet(path)
-            .where(F.col("batch") < before_batch)
-            .drop("batch")
-        )
+        try:
+            df = self.spark.read.parquet(path)
+        except AnalysisException:
+            # the dir exists but holds no committed files: a crash landed
+            # between this batch's state writes (e.g. only _temporary from
+            # the aborted attempt). The replay must see the pre-batch state
+            # — which is empty, or it would have parsed.
+            return self.spark.createDataFrame([], schema)
+        return df.where(F.col("batch") < before_batch).drop("batch")
 
     def _write_state(self, name: str, batch_id: int, df: DataFrame) -> None:
         import os

@@ -188,3 +188,18 @@ def test_chunk_documents_windows(spark):
     assert got[(1, 0)][0].split()[-1:] == got[(1, 1)][0].split()[:1]
     with pytest.raises(ValueError):
         chunk_documents(docs, window=4, overlap=4)
+
+
+def test_null_text_gets_a_reason(spark):
+    """NULL text must not vanish from the manifest through null join keys —
+    it normalizes to '' and is rejected by a gate like any other doc."""
+    from git_prov_spark.corpus.curate import training_manifest
+
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.reason for r in training_manifest(docs).collect()}
+    assert set(got) == {1, 2, 3}          # full coverage of the input
+    assert got[1] == "kept"
+    assert got[2] in ("quality", "lang")  # '' fails a content gate...
+    assert got[3] == "exact_dup"          # ...and the second NULL is a dup

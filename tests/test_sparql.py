@@ -872,7 +872,26 @@ def test_path_plus_validation():
     with pytest.raises(SparqlError):   # variable predicate path
         parse("SELECT ?a WHERE { ?a ?p+ ?b }")
     q = parse("SELECT ?a ?b WHERE { ?a prov:wasInformedBy+ ?b }")
-    assert q.patterns == [("?a", "prov:wasInformedBy+", "?b")]
+    assert q.patterns == [] and q.path_patterns == [
+        ("?a", "prov:wasInformedBy", "?b")
+    ]
+
+
+def test_iri_ending_in_plus_is_not_a_path(triples_df, spark):
+    """A constant full-IRI predicate that happens to end in '+' is a plain
+    pattern, not a property path (path-ness is out of band)."""
+    pre = "PREFIX ex: <http://example.org/x#> "
+    q = parse(pre + "SELECT ?s ?o WHERE { ?s <http://example.org/x#p+> ?o }")
+    assert q.path_patterns == [] and q.patterns == [("?s", "ex:p+", "?o")]
+    t = spark.createDataFrame(
+        [("x", "a", "ex:p+", "b", "iri"), ("x", "b", "ex:p+", "c", "iri")],
+        "repo string, subj string, pred string, obj string, obj_type string",
+    )
+    got = execute(
+        t, pre + "SELECT ?s ?o WHERE { ?s <http://example.org/x#p+> ?o }"
+    )
+    # plain match only — no closure pair (a, c)
+    assert {(r.s, r.o) for r in got.collect()} == {("a", "b"), ("b", "c")}
 
 
 def test_query_dispatch_all_forms(triples_df):

@@ -221,3 +221,21 @@ def test_stream_curate_gates_across_batches(spark, tmp_path_factory):
     # the kept set's state is what accumulated: 2 docs -> 2 sha rows
     shas = spark.read.parquet(str(base / "out" / "shas"))
     assert shas.count() == 2
+
+
+def test_stream_curator_replay_survives_partial_state_dir(spark, tmp_path):
+    """A crash can leave a state dir with no committed parquet (only
+    _temporary); the replay must read it as empty pre-batch state instead
+    of failing schema inference forever."""
+    from git_prov_spark.streaming import StreamingCurator
+
+    out = tmp_path / "out"
+    (out / "index" / "batch=0").mkdir(parents=True)  # exists, zero files
+    cur = StreamingCurator(spark, str(out))
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    cur.process_batch(batch, 0)                      # replay of batch 0
+    m = {r.doc_id: r.reason for r in cur.manifest().collect()}
+    assert m == {1: "kept"}
