@@ -282,6 +282,10 @@ def lsh_index_matches(
     hits = (
         index.unionByName(nb)
         .join(F.broadcast(probe_keys), ["band", "sig"])
+        # a re-ingested doc_id sits on BOTH sides of the union with
+        # identical band rows — without the dedup its partners would
+        # double-count n_shared_bands (asymmetric, oracle-divergent)
+        .distinct()
     )
     hits = _cap_buckets(hits, max_bucket)
     a = nb.select(F.col(id_col).alias("new_id"), "band", "sig")

@@ -51,9 +51,14 @@ def results_text(df: DataFrame, fmt: str = "json", max_rows: int = 10_000) -> st
         sep = "," if fmt == "csv" else "\t"
 
         def q(s: str) -> str:
-            if fmt == "csv" and any(ch in s for ch in ',"\n'):
-                return '"' + s.replace('"', '""') + '"'
-            return s
+            if fmt == "csv":
+                if any(ch in s for ch in ',"\n'):
+                    return '"' + s.replace('"', '""') + '"'
+                return s
+            # W3C SPARQL-results TSV: tab/newline/backslash in a value
+            # MUST be backslash-escaped or the row structure corrupts
+            return (s.replace("\\", "\\\\").replace("\t", "\\t")
+                    .replace("\n", "\\n").replace("\r", "\\r"))
 
         lines = [sep.join(q(c) for c in cols)]
         lines += [sep.join(q(_cell(r[c])) for c in cols) for r in rows]

@@ -51,6 +51,21 @@ class SparqlError(ValueError):
     """Query text outside the supported SELECT subset."""
 
 
+# SPARQL ECHAR escapes (grammar rule [160])
+_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+          '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape_literal(body: str) -> str:
+    def sub(m: re.Match) -> str:
+        c = m.group(1)
+        if c not in _ECHAR:
+            raise SparqlError(f"unsupported string escape \\{c}")
+        return _ECHAR[c]
+
+    return re.sub(r"\\(.)", sub, body)
+
+
 # --------------------------------------------------------------------------
 # Tokenizer
 # --------------------------------------------------------------------------
@@ -440,7 +455,7 @@ class _Parser:
         if kind == "iri":
             return self._curie_of(tok[1:-1])
         if kind == "lit":
-            value = re.sub(r"\\(.)", r"\1", tok[1:-1])
+            value = _unescape_literal(tok[1:-1])
             if self._peek()[0] == "dtype":   # "lex"^^type — match lexical form
                 self.i += 1
                 self._next()                 # consume (and ignore) the type

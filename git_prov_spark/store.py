@@ -37,6 +37,7 @@ def write_triples(
     triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "overwrite", salt_files: int = 4,
     expected_preds: int = 32, max_write_partitions: int = 2048,
+    dynamic: bool = False,
 ) -> None:
     # Shuffle on the partition keys first so each (repo_bucket, pred)
     # directory is written by few tasks — without this, each of the T write
@@ -53,13 +54,14 @@ def write_triples(
     # straggler the salt exists to fix.
     n_parts = min(max_write_partitions, n_buckets * salt_files * expected_preds)
     salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(salt_files))
-    (
+    writer = (
         triples.withColumn("repo_bucket", repo_bucket(n_buckets))
         .repartition(n_parts, F.col("repo_bucket"), F.col("pred"), salt)
         .write.mode(mode)
-        .partitionBy("repo_bucket", "pred")
-        .parquet(path)
     )
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("repo_bucket", "pred").parquet(path)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -107,18 +109,12 @@ def write_triples_table(
         return "iceberg"
     if path is None:
         raise ValueError("parquet fallback needs an explicit path")
-    if replace:
-        write_triples(triples, path, n_buckets=n_buckets, mode="overwrite")
-    else:
-        salt = F.pmod(F.xxhash64("subj", "obj"), F.lit(4))
-        (
-            triples.withColumn("repo_bucket", repo_bucket(n_buckets))
-            .repartition(F.col("repo_bucket"), F.col("pred"), salt)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("repo_bucket", "pred")
-            .parquet(path)
-        )
+    # one salted, explicitly-fanned-out writer for both branches — the
+    # incremental path only adds write-scoped dynamic partition overwrite
+    write_triples(
+        triples, path, n_buckets=n_buckets, mode="overwrite",
+        dynamic=not replace,
+    )
     return "parquet"
 
 

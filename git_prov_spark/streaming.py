@@ -247,6 +247,16 @@ class IncrementalKG:
         batch's own rows — finalize uses it with the commits dim's max so
         trailing removals (a path absent from the last, possibly file-less,
         commits) are emitted."""
+        if batch_id in self._chain:
+            # foreachBatch is at-least-once: a crash AFTER this batch's
+            # state commit but BEFORE the streaming checkpoint advances
+            # replays a batch that is already folded (state vN committed,
+            # triples partition written). Refolding would find all its rows
+            # at-or-below the watermark and overwrite the committed state
+            # version with EMPTY deltas — so a committed batch is a no-op.
+            # (An UNCOMMITTED version is invisible to _scan_versions and
+            # replays normally — tests cover both.)
+            return
         commits = self.commits
         wm = self._read_latest("watermark", WATERMARK_SCHEMA)
         prev = wm.select("repo", F.col("max_seq").alias("prev_max"))
@@ -322,7 +332,16 @@ class IncrementalKG:
             .partitionBy("batch_id")
             .parquet(blob_dir)
         )
-        blob_store = self.spark.read.parquet(blob_dir)
+        from pyspark.errors import AnalysisException
+
+        try:
+            blob_store = self.spark.read.parquet(blob_dir)
+        except AnalysisException:
+            # an all-empty first batch writes no partition files: the dir
+            # holds only _SUCCESS and schema inference fails — empty store
+            blob_store = self.spark.createDataFrame(
+                [], "content_sha string, content string, batch_id long"
+            )
         all_blobs = blob_store.drop("batch_id")
         # read the just-written partition back for the sha index instead of
         # recomputing the blob dedup shuffle over the fat content column

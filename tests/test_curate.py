@@ -203,3 +203,19 @@ def test_null_text_gets_a_reason(spark):
     assert got[1] == "kept"
     assert got[2] in ("quality", "lang")  # '' fails a content gate...
     assert got[3] == "exact_dup"          # ...and the second NULL is a dup
+
+
+def test_reingested_doc_counts_bands_once(spark):
+    """A doc_id present in BOTH the index and the batch must not double its
+    partners' n_shared_bands through the union."""
+    from git_prov_spark.corpus.dedup import lsh_bands, lsh_index_matches
+
+    x = (1, BASE)
+    corpus = spark.createDataFrame([x], "doc_id long, text string")
+    index = lsh_bands(corpus, n=4)
+    batch = spark.createDataFrame(
+        [x, (2, BASE.rsplit(" ", 1)[0])], "doc_id long, text string"
+    )
+    m = {(r.new_id, r.match_id): r.n_shared_bands
+         for r in lsh_index_matches(batch, index, n=4).collect()}
+    assert m[(2, 1)] == m[(1, 2)]  # symmetric, not inflated

@@ -907,3 +907,10 @@ def test_query_dispatch_all_forms(triples_df):
     assert query(triples_df, "ASK { ?c a prov:Activity }", repo=HOT) is True
     d = query(triples_df, "DESCRIBE gitprov:alice", repo=HOT)
     assert set(d.columns) == {"subj", "pred", "obj", "obj_type"}
+
+
+def test_literal_escapes():
+    q = parse('SELECT ?s WHERE { ?s rdfs:label "a\\nb\\t\\"c\\\\" }')
+    assert q.patterns == [("?s", "rdfs:label", 'a\nb\t"c\\')]
+    with pytest.raises(SparqlError):
+        parse('SELECT ?s WHERE { ?s rdfs:label "bad\\q" }')

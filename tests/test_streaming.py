@@ -239,3 +239,37 @@ def test_stream_curator_replay_survives_partial_state_dir(spark, tmp_path):
     cur.process_batch(batch, 0)                      # replay of batch 0
     m = {r.doc_id: r.reason for r in cur.manifest().collect()}
     assert m == {1: "kept"}
+
+
+def test_replay_of_committed_batch_is_noop(spark, spark_tables, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch whose state version
+    IS committed must not refold it (the watermark would drop all its rows
+    and overwrite the committed state with empty deltas)."""
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+    out = str(tmp_path / "kg")
+
+    chunks = _seq_chunks(files, commits, [(0, 4), (5, 999)])
+    ikg = IncrementalKG(spark, commits, contributors, out)
+    ikg.process_batch(chunks[0], 0)
+    ikg.process_batch(chunks[1], 1)
+
+    resumed = IncrementalKG(spark, commits, contributors, out)
+    assert 1 in resumed._chain            # batch 1 committed
+    resumed.process_batch(chunks[1], 1)   # checkpoint-replay after commit
+    assert _tset(resumed.finalize()) == expected
+
+
+def test_empty_first_batch(spark, spark_tables, tmp_path):
+    """An all-empty FIRST micro-batch (no blobs yet on disk) must fold as a
+    no-op instead of failing blob-store schema inference."""
+    files, commits, contributors = spark_tables
+    expected = _tset(build_triples(files, commits, contributors))
+
+    ikg = IncrementalKG(spark, commits, contributors, str(tmp_path / "kg"))
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, content string"
+    )
+    ikg.process_batch(empty, 0)
+    ikg.process_batch(files, 1)
+    assert _tset(ikg.finalize()) == expected

@@ -117,7 +117,24 @@ def main() -> None:
         "ann_topk_pandas": "brute-force baseline (mapInPandas matmul)",
         "ann_topk_ivf": "K=16-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on cluster",
     }
+    # Queries whose returned DataFrame is driver-materialized during
+    # construction (streaming folds, iterative closures ending in a
+    # createDataFrame/localCheckpoint): auditing that final plan would run
+    # the whole job to inspect a LocalRelation on which every check is
+    # vacuous. Their INTERNAL plans are covered by the targeted sections
+    # above and their pytest suites.
+    MATERIALIZED_SKIP = {
+        "kg_streaming_build": "foreachBatch fold; internal plans audited via kg_build_triples",
+        "sort_commits": "range-partitioned sequence materializes offsets; its window is partitioned by construction (operators.global_row_number)",
+        "dedup_near_groups": "iterative components localCheckpoint; pair-generation plan audited via dedup_minhash_lsh",
+        "corpus_manifest": "near gate runs components (as above); gate joins are plain equi-joins",
+        "corpus_manifest_incr": "probes the LSH index (equi-joins); shares gates with corpus_manifest",
+        "sparql_path": "closure iterations localCheckpoint; per-round plan is one self-equi-join",
+    }
     for q, fn in qs.items():
+        if q in MATERIALIZED_SKIP:
+            print(f"SKIP {q}: {MATERIALIZED_SKIP[q]}")
+            continue
         p = plan_of(fn(spark, sf_dir))
         if "Window" in p:
             check(f"{q} has no global (single-partition) window",
