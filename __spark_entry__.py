@@ -442,6 +442,27 @@ def q_corpus_chunks(spark, sf_dir):
     )
 
 
+def q_corpus_pack(spark, sf_dir):
+    """Sequence packing: chunk stream → ≈256-token training bins via the
+    scalable global cumsum (range partition + prefix offsets — no
+    single-partition exchange, unlike a naive global window)."""
+    chunks = ctext.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=32, overlap=8
+    )
+    return ctext.pack_chunks(chunks, target_tokens=256)
+
+
+CORPUS_PACK_ORACLE = (
+    "WITH c AS ({chunks}), "
+    "s AS (SELECT doc_id, chunk_idx, n_tokens, "
+    "SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM c) "
+    "SELECT doc_id, chunk_idx, n_tokens, "
+    "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id, "
+    "CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset FROM s"
+)
+
+
 def q_corpus_splits(spark, sf_dir):
     """Deterministic train/val/test assignment by portable md5 bucketing —
     map-side only, stable under re-runs, re-partitioning and corpus growth
@@ -907,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest_incr": q_corpus_manifest_incr,
         "corpus_splits": q_corpus_splits,
         "corpus_chunks": q_corpus_chunks,
+        "corpus_pack": q_corpus_pack,
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1037,6 +1059,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_splits": oracles.sql_dataset_splits(),
         "corpus_chunks": oracles.sql_chunk_documents(window=32, overlap=8),
+        "corpus_pack": CORPUS_PACK_ORACLE.format(
+            chunks=oracles.sql_chunk_documents(window=32, overlap=8)
+        ),
         "corpus_manifest_incr": oracles.sql_incremental_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)",

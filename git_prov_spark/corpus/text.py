@@ -185,3 +185,34 @@ def chunk_documents(
         F.least(F.lit(window), F.size("tokens") - F.col("start"))
         .cast("long").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame, target_tokens: int = 2048,
+    id_col: str = "doc_id", idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """chunks + (bin_id, bin_offset) — greedy cross-document packing of
+    chunk_documents output into ≈target_tokens training sequences.
+
+    Semantics: concatenate all chunks in (doc_id, chunk_idx) order and cut
+    at target boundaries; a chunk belongs to the bin its FIRST token falls
+    into (bin_offset = its start within the bin). Bins are therefore
+    deterministic, dense (mean fill → target as chunk << target), and may
+    overflow target by at most one chunk — the standard streaming-packing
+    approximation; exact next-fit needs a sequential fold.
+
+    The global running token count comes from operators.global_cumsum
+    (range partition + prefix offsets), so no single-partition exchange:
+    the plan holds at corpus scale, unlike a naive
+    sum().over(Window.orderBy(...)).
+    """
+    from ..operators import global_cumsum
+
+    cum = global_cumsum(chunks, [id_col, idx_col], tok_col, out_col="_cum")
+    start = F.col("_cum") - F.col(tok_col)
+    return cum.select(
+        F.col(id_col), F.col(idx_col), F.col(tok_col),
+        F.floor(start / target_tokens).cast("long").alias("bin_id"),
+        (start % target_tokens).cast("long").alias("bin_offset"),
+    )

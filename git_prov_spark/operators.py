@@ -200,3 +200,49 @@ def transitive_closure(
         f"transitive_closure did not converge in {max_iters} doubling rounds "
         f"(covers paths up to length 2^{max_iters})"
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + the global running sum of `value_col` (inclusive) following the
+    total order `order_by` — the same range-partition + per-partition-total
+    prefix-offset pattern as global_row_number, so no Exchange
+    SinglePartition ever appears: partition totals (P numbers) go to the
+    driver, broadcast back as offsets, and each partition cumsums in
+    parallel under a pid-partitioned window."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.asc(c) for c in order_by]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r[_PID]: r["tot"]
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).alias("tot"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid] or 0)
+    if not offsets:  # empty input
+        return df.withColumn(out_col, F.lit(None).cast("long")).where(F.lit(False))
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, _gcs_offset long")
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_col,
+            (F.col("_gcs_offset")
+             + F.sum(value_col).over(w)).cast("long"),
+        )
+        .drop(_PID, "_gcs_offset")
+    )
