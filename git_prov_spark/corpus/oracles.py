@@ -33,10 +33,13 @@ P = MERSENNE_P
 
 
 def toks_cte(src: str = "documents") -> str:
+    # NULL text normalized to '' to match text.norm_text (the `text` column
+    # downstream — n_chars, diffs, fingerprints — sees the normalized value)
     return (
-        "SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-        "ELSE string_split_regex(trim(text), '\\s+') END AS tokens, text "
-        f"FROM {src}"
+        "SELECT doc_id, CASE WHEN trim(COALESCE(text, '')) = '' "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END AS tokens, "
+        f"COALESCE(text, '') AS text FROM {src}"
     )
 
 
@@ -106,7 +109,8 @@ def sql_bpe_token_counts(src: str = "documents") -> str:
     punct = n_matching(r"^[^\p{L}\p{N}]")
     return (
         f"WITH toks AS (SELECT doc_id, "
-        f"regexp_extract_all(text, '{BPE_TOKEN_PATTERN}') AS bt FROM {src}) "
+        f"regexp_extract_all(COALESCE(text, ''), '{BPE_TOKEN_PATTERN}') AS bt "
+        f"FROM {src}) "
         "SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe_tokens, "
         f"CAST({alpha} AS BIGINT) AS n_alpha, "
         f"CAST({num} AS BIGINT) AS n_num, "
@@ -116,7 +120,7 @@ def sql_bpe_token_counts(src: str = "documents") -> str:
 
 
 def sql_repetition_signals(src: str = "documents") -> str:
-    lines = "string_split(text, chr(10))"
+    lines = "string_split(COALESCE(text, ''), chr(10))"
     max_freq = (
         "list_max(list_transform(list_distinct(lines), "
         "d -> len(list_filter(lines, x -> x = d))))"

@@ -28,10 +28,18 @@ PUNCT_REGEX = r"[^.,;:!?'\"()\-]"  # negated: strip non-punct, count remainder
 FP_BASE = 1_000_003  # polynomial rolling-hash base
 
 
+def norm_text(text: str = "text") -> Column:
+    """NULL text normalized to '' — every operator here treats a null
+    document as empty, matching curate.training_manifest's gates (without
+    this, non-ANSI size(split(NULL)) yields -1 and degenerate counts)."""
+    return F.coalesce(F.col(text), F.lit(""))
+
+
 def tokens_col(text: str = "text") -> Column:
-    """Whitespace tokenization; empty/blank text → empty array (not [''])."""
-    return F.when(F.trim(F.col(text)) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(F.col(text)), r"\s+")
+    """Whitespace tokenization; empty/blank/NULL text → empty array (not [''])."""
+    t = norm_text(text)
+    return F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), r"\s+")
     )
 
 
@@ -48,7 +56,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return with_tokens(df).select(
         F.col(id_col),
         F.size("tokens").alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.length(norm_text()).alias("n_chars_actual"),
     )
 
 
@@ -73,13 +81,13 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / mean-token-length quality signals."""
     toks = with_tokens(df)
     n_tokens = F.size("tokens")
-    n_punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
+    n_punct = F.length(F.regexp_replace(norm_text(), PUNCT_REGEX, ""))
     sum_tok_len = F.aggregate(
         F.col("tokens"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     return toks.select(
         F.col(id_col),
-        F.length("text").alias("n_chars"),
+        F.length(norm_text()).alias("n_chars"),
         n_tokens.alias("n_tokens"),
         _n_stop().alias("n_stop"),
         n_punct.alias("n_punct"),
@@ -97,7 +105,9 @@ BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
 
 
 def bpe_tokens_col(text: str = "text") -> Column:
-    return F.expr(f"regexp_extract_all({text}, r'{BPE_TOKEN_PATTERN}', 0)")
+    return F.expr(
+        f"regexp_extract_all(coalesce({text}, ''), r'{BPE_TOKEN_PATTERN}', 0)"
+    )
 
 
 def bpe_token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -123,7 +133,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (per-doc line counts; no shuffle): max_line_freq is computed with a
     per-distinct-line count fold, quadratic in DISTINCT lines per doc —
     bounded by document size, never by corpus size."""
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(norm_text(), "\n")
     distinct = F.array_distinct(lines)
     max_freq = F.array_max(
         F.transform(distinct, lambda d: F.size(F.filter(lines, lambda x: x == d)))

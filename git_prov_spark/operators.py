@@ -202,6 +202,68 @@ def transitive_closure(
     )
 
 
+def reachable_from(
+    edges: DataFrame,
+    seed: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 100_000,
+    hops_per_round: int = 4,
+) -> DataFrame:
+    """Nodes reachable from the constant `seed` via ≥ 1 directed edges —
+    single-column DataFrame (`dst`).
+
+    Semi-naive delta iteration (frontier ∘ edges), NOT path doubling: when
+    one endpoint of a `pred+` query is bound, materializing the closure of
+    the whole graph to answer a single-seed question is the classical
+    scale-killer (transitive_closure's doubling intermediate is ~N³/6 on
+    one long chain; its OUTPUT alone is quadratic). Here every intermediate
+    is bounded by |reachable(seed)| and the edge relation is only ever
+    probed by equi-join on the frontier — at 100 TB that is an
+    index-lookup-shaped plan, the same reason Jena ARQ evaluates property
+    paths from bound endpoints outward (reference capability:
+    services/SparqlService.java:26).
+
+    Rounds are linear in path depth divided by `hops_per_round`: each round
+    composes the frontier `hops_per_round` times in ONE lazy plan
+    (per-hop distinct keeps the in-plan frontier node-bounded through
+    diamonds/cycles), then checkpoints and dedups against the reached set —
+    so a depth-100 chain costs ~25 Spark jobs, not 100. Reversed queries
+    (constant OBJECT: ancestors) pass the transposed edge relation.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        e.where(F.col("src") == seed).select("dst").distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = frontier
+    hops = 1
+    while hops < max_hops and frontier.take(1):
+        batch = frontier
+        grown = None
+        for _ in range(min(hops_per_round, max_hops - hops)):
+            batch = (
+                batch.alias("f")
+                .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(F.col("e.dst").alias("dst"))
+                .distinct()
+            )
+            grown = batch if grown is None else grown.unionByName(batch)
+            hops += 1
+        frontier = (
+            grown.distinct()
+            .join(reached, "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier.unionByName(reached).localCheckpoint(eager=True)
+    return reached.select(F.col("dst").alias(dst))
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list[str],

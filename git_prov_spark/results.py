@@ -40,9 +40,17 @@ def _cell(v) -> str:
     return "" if v is None else str(v)
 
 
-def results_text(df: DataFrame, fmt: str = "json", max_rows: int = 10_000) -> str:
+def results_text(df: DataFrame, fmt: str = "json", max_rows: int = 10_000,
+                 uri_cols: frozenset[str] | set[str] = frozenset()) -> str:
     """Small-result serialization; raises if the result exceeds max_rows
-    (bulk results belong in write_results)."""
+    (bulk results belong in write_results).
+
+    `uri_cols` names the binding columns whose values are IRIs: the W3C
+    JSON/XML result formats type them `uri` / `<uri>` per spec (the
+    reference's Jena serializer does the same). Columns not listed
+    serialize as plain literals — the store keeps CURIEs/IRIs as strings,
+    so the caller (who knows which SELECT vars bound to subjects/predicates
+    or to `obj` rows with obj_type='iri') supplies the hint."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(f"result exceeds max_rows={max_rows}; use write_results")
@@ -70,7 +78,10 @@ def results_text(df: DataFrame, fmt: str = "json", max_rows: int = 10_000) -> st
                 "results": {
                     "bindings": [
                         {
-                            c: {"type": "literal", "value": _cell(r[c])}
+                            c: {
+                                "type": "uri" if c in uri_cols else "literal",
+                                "value": _cell(r[c]),
+                            }
                             for c in cols
                             if r[c] is not None
                         }
@@ -86,7 +97,9 @@ def results_text(df: DataFrame, fmt: str = "json", max_rows: int = 10_000) -> st
         for r in rows:
             bindings = "".join(
                 f'    <binding name="{escape(c)}">'
-                f"<literal>{escape(_cell(r[c]))}</literal></binding>\n"
+                f"<{'uri' if c in uri_cols else 'literal'}>"
+                f"{escape(_cell(r[c]))}"
+                f"</{'uri' if c in uri_cols else 'literal'}></binding>\n"
                 for c in cols
                 if r[c] is not None
             )

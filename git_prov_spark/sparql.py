@@ -17,22 +17,48 @@ Supported subset (documented, validated — anything else raises SparqlError):
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
     WHERE { s p o . s p o .                     --   cast lexical -> double)
-            ?a pred+ ?b .                       -- one-or-more property path
+            ?a path ?b .                        -- property paths, see below
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
-            FILTER(?v = term) .                 -- =, !=, IN (...); the right
-            FILTER(?v IN (t1, t2)) }            --   side may be another ?var
+            MINUS { s p o . ... } .             -- anti-join on shared vars
+            BIND(expr AS ?v) .                  -- expr: term | STR(?v) |
+            VALUES ?v { t1 t2 } .               --   CONCAT(e1, e2, ...)
+            VALUES (?a ?b) { (t1 t2) (t3 t4) }  -- inline data (no UNDEF)
+            FILTER(?v = term) .                 -- =, !=; rhs may be a ?var
+            FILTER(?v IN (t1, t2)) .            -- membership
+            FILTER(?v > n) .                    -- <, <=, >, >= — numeric
+            FILTER(regex(?v, "pat")) }          -- substring regex match
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
     ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
     LIMIT n OFFSET m                            -- optional (either order)
 
+Property paths (predicate position; SPARQL 1.1 [88]-[91] subset):
+
+    pred            plain predicate        ^elt     inverse
+    elt+            one-or-more            elt*     zero-or-more
+    elt1 / elt2     sequence               elt1 | elt2   alternation
+    ( path )        grouping
+
+`+`/`*` compile to the distributed closure operators: when either endpoint
+of a top-level `+`/`*` is a constant, the compiler runs SEEDED reachability
+(operators.reachable_from — frontier ∘ edges, |reachable|-bounded) instead
+of materializing the full closure and post-filtering; var-var paths use
+path-doubling (operators.transitive_closure). The zero-length component of
+`*` relates every term of the (repo-scoped) graph to itself, per spec —
+with a constant endpoint it contributes just the seed.
+
 Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
 the lexical form), and the keyword `a` (rdf:type). Full IRIs are reverse-
 mapped onto the store's CURIE vocabulary (iri.NAMESPACES + the per-repo
-gitprov namespace when `repo` is passed). Bindings follow the BGP compiler's
-set semantics (SELECT behaves as SELECT DISTINCT — the store is a triple SET,
-so patterns cannot produce duplicate bindings anyway).
+gitprov namespace when `repo` is passed; longest namespace prefix wins).
+Bindings follow the BGP compiler's set semantics (SELECT behaves as SELECT
+DISTINCT — the store is a triple SET, so patterns cannot produce duplicate
+bindings anyway) with ONE bag-semantics carve-out: aggregates over UNION
+keep cross-branch duplicates, matching ARQ's multiset UNION (a solution
+produced by both branches counts twice under COUNT — see _solutions).
+Paths inside OPTIONAL / UNION / MINUS / CONSTRUCT templates are out of
+subset (plain predicates only there).
 """
 
 from __future__ import annotations
@@ -80,7 +106,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>+])
+  | (?P<punct>[{}().=!,*<>+/|^])
     """,
     re.VERBOSE,
 )
@@ -106,9 +132,48 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 @dataclass
 class Filter:
     var: str          # variable name (no '?')
-    op: str           # '=', '!=', or 'in'
-    value: str | list[str]  # resolved constant(s), or a var name if rhs_var
+    op: str           # '=', '!=', 'in', '<', '<=', '>', '>=', 'regex'
+    value: str | list[str]  # constant(s) / var name (rhs_var) / regex pattern
     rhs_var: bool = False   # right side is another variable (?a = ?b)
+
+
+# -- property-path AST (SPARQL 1.1 grammar [88]-[91] subset) ----------------
+
+@dataclass(frozen=True)
+class PathPred:
+    pred: str
+
+
+@dataclass(frozen=True)
+class PathInv:
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathPlus:
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class PathStar:
+    inner: "PathExpr"
+
+
+PathExpr = PathPred | PathInv | PathSeq | PathAlt | PathPlus | PathStar
+
+# BIND expression AST: ('const', value) | ('var', name) |
+# ('concat', [exprs]) | ('str', name)
+BindExpr = tuple
 
 
 @dataclass
@@ -127,9 +192,13 @@ class SelectQuery:
     aggregates: list[Agg] = field(default_factory=list)
     select_order: list[str] = field(default_factory=list)  # output col order
     patterns: list[Pattern] = field(default_factory=list)
-    path_patterns: list[Pattern] = field(default_factory=list)  # pred+ (pred stored bare)
+    # (s, PathExpr, o) — any non-plain predicate position (+ * / | ^)
+    path_patterns: list[tuple] = field(default_factory=list)
     unions: list[list[list[Pattern]]] = field(default_factory=list)  # chains of branches
     optionals: list[list[Pattern]] = field(default_factory=list)
+    minuses: list[list[Pattern]] = field(default_factory=list)
+    binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
+    values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[Filter] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
@@ -220,18 +289,57 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         return out
 
-    def _pred_term(self) -> tuple[str, bool]:
-        """Predicate position: (term, is_path). Path-ness is carried out of
-        band (SelectQuery.path_patterns), never as a string suffix — a
-        full-IRI predicate may legitimately END in '+', so in-band marking
-        would misclassify it."""
-        p = self._term(as_pattern=True, predicate=True)
-        if self._peek()[1] == "+":
+    def _pred_position(self) -> str | PathExpr:
+        """Predicate position: a plain term (str — ?var or constant) or a
+        PathExpr when any path operator (+ * / | ^ parens) appears.
+        Path-ness is carried out of band (SelectQuery.path_patterns), never
+        as a string suffix — a full-IRI predicate may legitimately END in
+        '+', so in-band marking would misclassify it."""
+        if self._peek()[0] == "var":  # variable predicate: no path ops allowed
+            return self._next()[1]
+        path = self._parse_path()
+        if isinstance(path, PathPred):
+            return path.pred  # plain predicate — stays a regular pattern
+        return path
+
+    # Path := Seq ('|' Seq)* ; Seq := Elt ('/' Elt)* ;
+    # Elt := '^'? Primary ('+'|'*')? ; Primary := term | '(' Path ')'
+    def _parse_path(self) -> PathExpr:
+        parts = [self._parse_path_seq()]
+        while self._peek()[1] == "|":
             self.i += 1
-            if p.startswith("?"):
-                raise SparqlError("property path + needs a constant predicate")
-            return p, True
-        return p, False
+            parts.append(self._parse_path_seq())
+        return parts[0] if len(parts) == 1 else PathAlt(tuple(parts))
+
+    def _parse_path_seq(self) -> PathExpr:
+        parts = [self._parse_path_elt()]
+        while self._peek()[1] == "/":
+            self.i += 1
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else PathSeq(tuple(parts))
+
+    def _parse_path_elt(self) -> PathExpr:
+        inverse = False
+        if self._peek()[1] == "^":
+            self.i += 1
+            inverse = True
+        if self._peek()[1] == "(":
+            self.i += 1
+            prim: PathExpr = self._parse_path()
+            self._expect(")")
+        else:
+            term = self._term(as_pattern=True, predicate=True)
+            if term.startswith("?"):
+                raise SparqlError("property paths need constant predicates")
+            prim = PathPred(term)
+        mod = self._peek()[1]
+        if mod == "+":
+            self.i += 1
+            prim = PathPlus(prim)
+        elif mod == "*":
+            self.i += 1
+            prim = PathStar(prim)
+        return PathInv(prim) if inverse else prim
 
     def _parse_braced_patterns(self) -> list[Pattern]:
         self._expect("{")
@@ -319,43 +427,146 @@ class _Parser:
             elif kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
                 self._parse_filter()
-            elif kind == "word" and tok.upper() == "OPTIONAL":
+            elif kind == "word" and tok.upper() in ("OPTIONAL", "MINUS"):
+                keyword = tok.upper()
                 self.i += 1
-                self._expect("{")
-                block: list[Pattern] = []
-                while self._peek()[1] != "}":
-                    if self._peek()[0] == "eof":
-                        raise SparqlError("unterminated OPTIONAL block")
-                    s = self._term(as_pattern=True)
-                    p = self._term(as_pattern=True, predicate=True)
-                    o = self._term(as_pattern=True)
-                    block.append((s, p, o))
-                    if self._peek()[1] == ".":
-                        self.i += 1
-                self.i += 1  # consume '}'
+                block = self._parse_braced_patterns()
                 if not block:
-                    raise SparqlError("empty OPTIONAL block")
-                self.q.optionals.append(block)
+                    raise SparqlError(f"empty {keyword} block")
+                if keyword == "OPTIONAL":
+                    self.q.optionals.append(block)
+                else:
+                    self.q.minuses.append(block)
+            elif kind == "word" and tok.upper() == "BIND":
+                self.i += 1
+                self._parse_bind()
+            elif kind == "word" and tok.upper() == "VALUES":
+                self.i += 1
+                self._parse_values()
             else:
                 s = self._term(as_pattern=True)
-                p, is_path = self._pred_term()
+                p = self._pred_position()
                 o = self._term(as_pattern=True)
-                if is_path:
-                    self.q.path_patterns.append((s, p, o))
-                else:
+                if isinstance(p, str):
                     self.q.patterns.append((s, p, o))
+                else:
+                    self.q.path_patterns.append((s, p, o))
             if self._peek()[1] == ".":
                 self.i += 1
 
-    def _parse_filter(self) -> None:
+    def _parse_bind(self) -> None:
+        """BIND ( expr AS ?v ) — expr: term | STR(?v) | CONCAT(e1, e2, ...)."""
         self._expect("(")
+        expr = self._parse_bind_expr()
+        self._expect("AS")
         kind, var = self._next()
         if kind != "var":
-            raise SparqlError("FILTER supports ?var (=|!=|IN) constant(s)")
+            raise SparqlError("BIND needs `AS ?var`")
+        self._expect(")")
+        self.q.binds.append((expr, var[1:]))
+
+    def _parse_bind_expr(self) -> BindExpr:
+        kind, tok = self._peek()
+        if kind == "word" and tok.upper() in ("CONCAT", "STR"):
+            fn = tok.upper()
+            self.i += 1
+            self._expect("(")
+            args = [self._parse_bind_expr()]
+            while self._peek()[1] == ",":
+                self.i += 1
+                args.append(self._parse_bind_expr())
+            self._expect(")")
+            if fn == "STR":
+                if len(args) != 1:
+                    raise SparqlError("STR takes exactly one argument")
+                return ("str", args[0])
+            return ("concat", args)
+        if kind == "num":
+            self.i += 1
+            return ("const", tok)
+        term = self._term(as_pattern=False)
+        if term.startswith("?"):
+            return ("var", term[1:])
+        return ("const", term)
+
+    def _parse_values(self) -> None:
+        """VALUES ?v { t1 t2 } | VALUES (?a ?b) { (t1 t2) (t3 t4) }."""
+        names: list[str] = []
+        if self._peek()[0] == "var":
+            names.append(self._next()[1][1:])
+        else:
+            self._expect("(")
+            while self._peek()[0] == "var":
+                names.append(self._next()[1][1:])
+            self._expect(")")
+        if not names:
+            raise SparqlError("VALUES needs at least one ?var")
+        self._expect("{")
+        rows: list[tuple] = []
+        while self._peek()[1] != "}":
+            if self._peek()[0] == "eof":
+                raise SparqlError("unterminated VALUES block")
+            if len(names) == 1 and self._peek()[1] != "(":
+                row = [self._term(as_pattern=False)]
+            else:
+                self._expect("(")
+                row = []
+                while self._peek()[1] != ")":
+                    row.append(self._term(as_pattern=False))
+                self.i += 1
+            if len(row) != len(names) or any(t.startswith("?") for t in row):
+                raise SparqlError(
+                    "VALUES rows must be constant and match the var list "
+                    "(UNDEF is out of subset)"
+                )
+            rows.append(tuple(row))
+        self.i += 1
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        self.q.values_blocks.append((names, rows))
+
+    def _parse_filter(self) -> None:
+        self._expect("(")
+        if self._peek()[0] == "word" and self._peek()[1].upper() == "REGEX":
+            self.i += 1
+            self._expect("(")
+            kind, var = self._next()
+            if kind != "var":
+                raise SparqlError("regex() needs a ?var first argument")
+            self._expect(",")
+            kind, pat = self._next()
+            if kind != "lit":
+                raise SparqlError("regex() needs a string-literal pattern")
+            self._expect(")")
+            self._expect(")")
+            self.q.filters.append(
+                Filter(var[1:], "regex", _unescape_literal(pat[1:-1]))
+            )
+            return
+        kind, var = self._next()
+        if kind != "var":
+            raise SparqlError(
+                "FILTER supports ?var OP term, ?var IN (...), regex(?var, ...)"
+            )
         kind, op = self._next()
         if op == "!":
             self._expect("=")
             op = "!="
+        elif op in ("<", ">"):
+            if self._peek()[1] == "=":
+                self.i += 1
+                op += "="
+            kind, rhs = self._next()
+            if kind == "num":
+                self.q.filters.append(Filter(var[1:], op, rhs))
+            elif kind == "var":
+                self.q.filters.append(Filter(var[1:], op, rhs[1:], rhs_var=True))
+            else:
+                raise SparqlError(
+                    f"FILTER {op} needs a numeric literal or ?var right side"
+                )
+            self._expect(")")
+            return
         elif kind == "word" and op.upper() == "IN":
             self._expect("(")
             values: list[str] = []
@@ -464,7 +675,11 @@ class _Parser:
 
     def _curie_of(self, iri: str) -> str:
         namespaces = {**self.ns, **self.q.prefixes}
-        for prefix, ns in namespaces.items():
+        # longest-prefix match: with overlapping namespaces (one a prefix of
+        # another) dict order could map the IRI onto the wrong CURIE
+        for prefix, ns in sorted(
+            namespaces.items(), key=lambda kv: len(kv[1]), reverse=True
+        ):
             if iri.startswith(ns):
                 return f"{prefix}:{iri[len(ns):]}"
         return iri  # unknown namespace: matched verbatim (usually matches nothing)
@@ -478,28 +693,144 @@ def parse(query: str, repo: str | None = None) -> SelectQuery:
 # Compile + execute
 # --------------------------------------------------------------------------
 
+def _push_inv(expr: PathExpr, inv: bool = False) -> PathExpr:
+    """Normalize inverses down to the leaves: ^(a/b) = ^b/^a, ^(e+) = (^e)+,
+    ^^e = e — after this, PathInv never wraps a composite, so the closure
+    compiler's seeded fast path sees every `+`/`*` at its real position."""
+    if isinstance(expr, PathInv):
+        return _push_inv(expr.inner, not inv)
+    if isinstance(expr, PathPred):
+        return PathInv(expr) if inv else expr
+    if isinstance(expr, PathSeq):
+        parts = [_push_inv(p, inv) for p in expr.parts]
+        return PathSeq(tuple(reversed(parts)) if inv else tuple(parts))
+    if isinstance(expr, PathAlt):
+        return PathAlt(tuple(_push_inv(p, inv) for p in expr.parts))
+    if isinstance(expr, PathPlus):
+        return PathPlus(_push_inv(expr.inner, inv))
+    return PathStar(_push_inv(expr.inner, inv))
+
+
+def _graph_terms(gdf: DataFrame) -> DataFrame:
+    """All terms of the (repo-scoped) graph — the zero-length path domain."""
+    return (
+        gdf.select(F.col("subj").alias("node"))
+        .unionByName(gdf.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+
+
+def _path_rel(gdf: DataFrame, expr: PathExpr) -> DataFrame:
+    """Compile a path expression to its (src, dst) relation over the graph.
+    Composites are plain relational algebra (joins/unions); `+`/`*` use the
+    path-doubling closure — the SEEDED alternative for constant endpoints
+    lives in _solutions, which intercepts top-level `+`/`*` before calling
+    this."""
+    from .operators import transitive_closure
+
+    if isinstance(expr, PathPred):
+        return gdf.where(F.col("pred") == expr.pred).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    if isinstance(expr, PathInv):
+        inner = _path_rel(gdf, expr.inner)
+        return inner.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if isinstance(expr, PathSeq):
+        rel = _path_rel(gdf, expr.parts[0])
+        for part in expr.parts[1:]:
+            nxt = _path_rel(gdf, part)
+            rel = (
+                rel.join(nxt, rel["dst"] == nxt["src"])
+                .select(rel["src"].alias("src"), nxt["dst"].alias("dst"))
+                .distinct()
+            )
+        return rel
+    if isinstance(expr, PathAlt):
+        rel = _path_rel(gdf, expr.parts[0])
+        for part in expr.parts[1:]:
+            rel = rel.unionByName(_path_rel(gdf, part))
+        return rel.distinct()
+    if isinstance(expr, PathPlus):
+        return transitive_closure(_path_rel(gdf, expr.inner))
+    # PathStar: closure ∪ identity over every graph term (SPARQL zero-length
+    # path semantics — any term relates to itself)
+    ident = _graph_terms(gdf).select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    return (
+        transitive_closure(_path_rel(gdf, expr.inner))
+        .unionByName(ident)
+        .distinct()
+    )
+
+
+def _seeded_path_rel(
+    gdf: DataFrame, expr: PathPlus | PathStar, s: str, o: str
+) -> DataFrame:
+    """(src, dst) relation of a top-level `+`/`*` with ≥1 constant endpoint:
+    seeded reachability (operators.reachable_from) — intermediates bounded
+    by the seed's reachable set, never the whole graph's closure."""
+    from .operators import reachable_from
+
+    spark = gdf.sparkSession
+    inner = _path_rel(gdf, expr.inner)
+    if not s.startswith("?"):  # constant subject: forward reachability
+        nodes = reachable_from(inner, s)
+        rel = nodes.select(F.lit(s).alias("src"), F.col("dst"))
+        if isinstance(expr, PathStar):
+            rel = rel.unionByName(
+                spark.createDataFrame([(s, s)], "src string, dst string")
+            ).distinct()
+        return rel
+    # constant object: reachability over the transposed relation
+    transposed = inner.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    nodes = reachable_from(transposed, o)
+    rel = nodes.select(F.col("dst").alias("src"), F.lit(o).alias("dst"))
+    if isinstance(expr, PathStar):
+        rel = rel.unionByName(
+            spark.createDataFrame([(o, o)], "src string, dst string")
+        ).distinct()
+    return rel
+
+
+def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
+    kind, payload = expr
+    if kind == "const":
+        return F.lit(payload)
+    if kind == "var":
+        if payload not in df.columns:
+            raise SparqlError(f"BIND references unbound variable ?{payload}")
+        return F.col(payload)
+    if kind == "str":
+        return _bind_col(payload, df).cast("string")
+    return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
+
+
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
-    """The WHERE clause's solution set: BGP joins + OPTIONAL left joins +
-    FILTER row predicates, one column per bound variable."""
+    """The WHERE clause's solution set: BGP joins + property-path relations +
+    UNION/OPTIONAL/MINUS blocks + VALUES/BIND columns + FILTER row
+    predicates, one column per bound variable."""
     if not q.patterns and not q.path_patterns and not q.unions:
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
-    for s, path_pred, o in q.path_patterns:
-        # one-or-more property path: the closure relation joins in like any
-        # other pattern. Constant endpoints filter the closure; at scale,
-        # seed-constrained reachability should pre-filter the edge set
-        # instead (see operators.transitive_closure docstring).
-        from .operators import transitive_closure
-
-        edges = triples
+    for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
+        expr = _push_inv(raw_expr)
+        gdf = triples
         if repo is not None:
-            edges = edges.where(F.col("repo") == repo)
-        edges = edges.where(F.col("pred") == path_pred).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
+            gdf = gdf.where(F.col("repo") == repo)
+        seedable = isinstance(expr, (PathPlus, PathStar)) and (
+            not s.startswith("?") or not o.startswith("?")
         )
-        closure = transitive_closure(edges)
+        rel = (
+            _seeded_path_rel(gdf, expr, s, o)
+            if seedable
+            else _path_rel(gdf, expr)
+        )
         cols: dict[str, str] = {}
-        rel = closure
         for term, col in ((s, "src"), (o, "dst")):
             if term.startswith("?"):
                 name = term[1:]
@@ -510,9 +841,14 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
             else:
                 rel = rel.where(F.col(col) == term)
         if not cols:
-            raise SparqlError(
-                "property path needs at least one variable endpoint"
-            )
+            # both endpoints constant: the pattern is an existence test —
+            # a 0-or-1-row relation cross-joined in acts as the filter
+            # (ASK { c1 pred+ c2 } is the reachability question, answered
+            # by the seeded traversal above, never a full closure)
+            marker = f"_pp_exists_{pp_idx}"
+            rel = rel.limit(1).select(F.lit(True).alias(marker))
+            df = rel if df is None else df.crossJoin(rel).drop(marker)
+            continue
         rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()]).distinct()
         if df is None:
             df = rel
@@ -526,7 +862,17 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d, allowMissingColumns=True)
-        u = u.distinct()  # set semantics across branches
+        if q.aggregates and not q.distinct:
+            # SPARQL bag semantics (what ARQ gives the reference): UNION
+            # concatenates the branch solution multisets, so a solution
+            # produced by BOTH branches counts twice under COUNT/SUM. Each
+            # branch is itself duplicate-free (a BGP over a triple SET), so
+            # skipping the cross-branch dedup is exactly the bag result.
+            # Non-aggregate SELECTs dedup at projection time anyway (set
+            # semantics, module doc), so this changes aggregates only.
+            pass
+        else:
+            u = u.distinct()  # set semantics across branches
         if df is None:
             df = u
         else:
@@ -555,18 +901,53 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
                 "OPTIONAL block shares no variable with the required patterns"
             )
         df = df.join(opt, shared, "left")
+    for block in q.minuses:
+        # SPARQL MINUS: drop solutions compatible (equal on shared vars)
+        # with some minus solution; disjoint domains remove nothing
+        m = bgp(triples, block, repo=repo)
+        shared = [c for c in m.columns if c in df.columns]
+        if shared:
+            df = df.join(m.select(*shared).distinct(), shared, "left_anti")
+    for names, rows in q.values_blocks:
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"{n} string" for n in names)
+        )
+        if df is None:
+            df = vdf
+        else:
+            shared = [c for c in names if c in df.columns]
+            df = df.join(F.broadcast(vdf), shared) if shared \
+                else df.crossJoin(F.broadcast(vdf))
+    for expr, name in q.binds:
+        if name in df.columns:
+            raise SparqlError(f"BIND would rebind already-bound ?{name}")
+        df = df.withColumn(name, _bind_col(expr, df))
     for flt in q.filters:
         if flt.var not in df.columns:
             raise SparqlError(f"FILTER on unbound variable ?{flt.var}")
         if flt.op == "in":
             cond = F.col(flt.var).isin(*flt.value)
+        elif flt.op == "regex":
+            # SPARQL REGEX is an unanchored substring match, like rlike
+            cond = F.col(flt.var).rlike(flt.value)
+        elif flt.op in ("<", "<=", ">", ">="):
+            lhs = F.col(flt.var).cast("double")
+            if flt.rhs_var:
+                if flt.value not in df.columns:
+                    raise SparqlError(f"FILTER on unbound variable ?{flt.value}")
+                rhs = F.col(flt.value).cast("double")
+            else:
+                rhs = F.lit(float(flt.value))
+            cond = {"<": lhs < rhs, "<=": lhs <= rhs,
+                    ">": lhs > rhs, ">=": lhs >= rhs}[flt.op]
         elif flt.rhs_var:
             if flt.value not in df.columns:
                 raise SparqlError(f"FILTER on unbound variable ?{flt.value}")
             cond = F.col(flt.var) == F.col(flt.value)
         else:
             cond = F.col(flt.var) == flt.value
-        df = df.where(cond if flt.op in ("=", "in") else ~cond)
+        df = df.where(cond if flt.op != "!=" else ~cond)
     return df
 
 

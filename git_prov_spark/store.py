@@ -101,11 +101,13 @@ def write_triples_table(
         )
         if replace:
             writer.createOrReplace()
+        elif spark.catalog.tableExists(table):
+            # probe existence explicitly: a blanket except around
+            # overwritePartitions() would mask real failures (schema drift,
+            # permissions) behind a confusing already-exists error from create()
+            writer.overwritePartitions()
         else:
-            try:
-                writer.overwritePartitions()
-            except Exception:  # first write: table does not exist yet
-                writer.create()
+            writer.create()
         return "iceberg"
     if path is None:
         raise ValueError("parquet fallback needs an explicit path")

@@ -214,3 +214,18 @@ def test_repo_search(spark_tables):
     assert HOT in by_query
     with pytest.raises(ValueError):
         search_repos(meta)  # empty search is a 400 in the reference
+
+
+def test_results_uri_typing(bindings):
+    import json
+
+    doc = json.loads(results_text(bindings, "json", uri_cols={"commit"}))
+    for b in doc["results"]["bindings"]:
+        assert b["commit"]["type"] == "uri"
+        if "label" in b:
+            assert b["label"]["type"] == "literal"
+    root = ET.fromstring(results_text(bindings, "xml", uri_cols={"commit"}))
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    uris = root.findall(f"{ns}results/{ns}result/{ns}binding/{ns}uri")
+    lits = root.findall(f"{ns}results/{ns}result/{ns}binding/{ns}literal")
+    assert len(uris) == 2 and len(lits) == 1

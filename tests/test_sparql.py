@@ -57,7 +57,7 @@ def test_parse_star_and_user_prefix():
     [
         "INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",      # update form
         "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
-        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }",  # non-equality filter
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > \"x\") }",  # non-numeric ineq
         "SELECT WHERE { ?s ?p ?o }",                   # no projection
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",        # bad limit
         "SELECT ?s WHERE { ?s ?p ?o } garbage",        # trailing input
@@ -871,9 +871,11 @@ def test_path_plus_constant_endpoint_and_join(triples_df, oracle_set):
 def test_path_plus_validation():
     with pytest.raises(SparqlError):   # variable predicate path
         parse("SELECT ?a WHERE { ?a ?p+ ?b }")
+    from git_prov_spark.sparql import PathPlus, PathPred
+
     q = parse("SELECT ?a ?b WHERE { ?a prov:wasInformedBy+ ?b }")
     assert q.patterns == [] and q.path_patterns == [
-        ("?a", "prov:wasInformedBy", "?b")
+        ("?a", PathPlus(PathPred("prov:wasInformedBy")), "?b")
     ]
 
 
@@ -914,3 +916,144 @@ def test_literal_escapes():
     assert q.patterns == [("?s", "rdfs:label", 'a\nb\t"c\\')]
     with pytest.raises(SparqlError):
         parse('SELECT ?s WHERE { ?s rdfs:label "bad\\q" }')
+
+
+# --------------------------------------------------------------------------
+# Round-3 surface: property-path operators, seeded closure, FILTER
+# inequality/regex, BIND / VALUES / MINUS, UNION bag-semantics aggregates
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    rows = [
+        ("r", "a", "ev:next", "b", "iri"), ("r", "b", "ev:next", "c", "iri"),
+        ("r", "c", "ev:next", "d", "iri"), ("r", "a", "ev:tag", "x1", "iri"),
+        ("r", "d", "ev:tag", "x2", "iri"), ("r", "a", "ev:n", "3", "xsd:int"),
+        ("r", "b", "ev:n", "7", "xsd:int"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_path_seeded_subject(chain_triples):
+    got = _rows(execute(chain_triples, 'SELECT ?b WHERE { "a" ev:next+ ?b }'))
+    assert got == [("b",), ("c",), ("d",)]
+
+
+def test_path_seeded_object(chain_triples):
+    got = _rows(execute(chain_triples, 'SELECT ?a WHERE { ?a ev:next+ "d" }'))
+    assert got == [("a",), ("b",), ("c",)]
+
+
+def test_path_seeded_skips_full_closure(chain_triples, monkeypatch):
+    """A constant-endpoint `+` must pre-filter via seeded reachability —
+    never materialize the whole graph's closure."""
+    import git_prov_spark.operators as ops
+
+    def boom(*a, **k):
+        raise AssertionError("full transitive_closure called on a seeded path")
+
+    monkeypatch.setattr(ops, "transitive_closure", boom)
+    got = _rows(execute(chain_triples, 'SELECT ?b WHERE { "a" ev:next+ ?b }'))
+    assert got == [("b",), ("c",), ("d",)]
+    with pytest.raises(AssertionError):  # var-var still needs the closure
+        execute(chain_triples, "SELECT ?a ?b WHERE { ?a ev:next+ ?b }").collect()
+
+
+def test_path_star_identity(chain_triples):
+    got = _rows(execute(chain_triples, 'SELECT ?b WHERE { "b" ev:next* ?b }'))
+    assert got == [("b",), ("c",), ("d",)]
+    # var-var star: closure pairs + one identity row per graph term
+    pairs = _rows(execute(chain_triples, "SELECT ?a ?b WHERE { ?a ev:next* ?b }"))
+    terms = {"a", "b", "c", "d", "x1", "x2", "3", "7"}
+    assert set(pairs) == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                          ("b", "d"), ("c", "d")} | {(t, t) for t in terms}
+
+
+def test_path_sequence_inverse_alternation(chain_triples):
+    assert _rows(execute(chain_triples,
+                         "SELECT ?a ?x WHERE { ?a ev:next/ev:tag ?x }")) == \
+        [("c", "x2")]
+    assert _rows(execute(chain_triples,
+                         'SELECT ?b WHERE { ?b ^ev:next "a" }')) == [("b",)]
+    assert _rows(execute(chain_triples,
+                         "SELECT ?a ?x WHERE { ?a (ev:tag|ev:n) ?x }")) == \
+        [("a", "3"), ("a", "x1"), ("b", "7"), ("d", "x2")]
+    assert _rows(execute(chain_triples,
+                         'SELECT ?x WHERE { "a" ev:next+/ev:tag ?x }')) == \
+        [("x2",)]
+
+
+def test_path_ask_both_constant(chain_triples):
+    from git_prov_spark.sparql import ask
+
+    assert ask(chain_triples, 'ASK { "a" ev:next+ "d" }') is True
+    assert ask(chain_triples, 'ASK { "d" ev:next+ "a" }') is False
+    assert ask(chain_triples, 'ASK { "d" ev:next* "d" }') is True
+
+
+def test_filter_inequality_and_regex(chain_triples):
+    assert _rows(execute(chain_triples,
+                         "SELECT ?s ?n WHERE { ?s ev:n ?n . FILTER(?n > 5) }")) == \
+        [("b", "7")]
+    assert _rows(execute(chain_triples,
+                         "SELECT ?s ?n WHERE { ?s ev:n ?n . FILTER(?n <= 3) }")) == \
+        [("a", "3")]
+    assert _rows(execute(
+        chain_triples,
+        'SELECT ?s WHERE { ?s ev:tag ?x . FILTER(regex(?x, "2$")) }')) == [("d",)]
+
+
+def test_bind_values_minus(chain_triples):
+    assert _rows(execute(
+        chain_triples,
+        'SELECT ?c WHERE { ?s ev:n ?n . BIND(CONCAT(?s, "#", STR(?n)) AS ?c) }'
+    )) == [("a#3",), ("b#7",)]
+    assert _rows(execute(
+        chain_triples,
+        "SELECT ?s ?p WHERE { ?s ?p ?o . VALUES ?p { ev:tag } }"
+    )) == [("a", "ev:tag"), ("d", "ev:tag")]
+    assert _rows(execute(
+        chain_triples,
+        "SELECT ?s WHERE { ?s ev:next ?o . MINUS { ?s ev:tag ?x } }"
+    )) == [("b",), ("c",)]
+    # multi-var VALUES joins like inline data
+    assert _rows(execute(
+        chain_triples,
+        'SELECT ?s ?o WHERE { ?s ev:next ?o . VALUES (?s ?o) { ("a" "b") ("z" "z") } }'
+    )) == [("a", "b")]
+
+
+def test_union_aggregate_bag_semantics(spark):
+    # one solution produced by BOTH branches counts twice (ARQ multiset UNION)
+    rows = [("r", "s", "ev:p", "o", "iri"), ("r", "s", "ev:q", "o", "iri")]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+    got = execute(t, """
+        SELECT ?s (COUNT(*) AS ?n)
+        WHERE { { ?s ev:p ?o } UNION { ?s ev:q ?o } } GROUP BY ?s
+    """).collect()
+    assert [(r["s"], r["n"]) for r in got] == [("s", 2)]
+    # non-aggregate SELECT keeps set semantics
+    sel = _rows(execute(
+        t, "SELECT ?s ?o WHERE { { ?s ev:p ?o } UNION { ?s ev:q ?o } }"
+    ))
+    assert sel == [("s", "o")]
+
+
+def test_reachable_from_operator(spark):
+    from git_prov_spark.operators import reachable_from
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(40)] + [("40", "0")],  # cycle
+        "src string, dst string",
+    )
+    got = {r.dst for r in reachable_from(edges, "5").collect()}
+    assert got == {str(i) for i in range(41)}  # whole cycle incl. the seed
+    assert reachable_from(edges.where("src = '-1'"), "99").count() == 0
