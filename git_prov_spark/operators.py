@@ -208,7 +208,7 @@ def reachable_from(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 100_000,
-    hops_per_round: int = 4,
+    hops_per_round: int = 8,
 ) -> DataFrame:
     """Nodes reachable from the constant `seed` via ≥ 1 directed edges —
     single-column DataFrame (`dst`).
@@ -225,11 +225,17 @@ def reachable_from(
     services/SparqlService.java:26).
 
     Rounds are linear in path depth divided by `hops_per_round`: each round
-    composes the frontier `hops_per_round` times in ONE lazy plan
-    (per-hop distinct keeps the in-plan frontier node-bounded through
-    diamonds/cycles), then checkpoints and dedups against the reached set —
-    so a depth-100 chain costs ~25 Spark jobs, not 100. Reversed queries
-    (constant OBJECT: ancestors) pass the transposed edge relation.
+    composes the frontier `hops_per_round` times in ONE lazy plan — the
+    frontier side of every hop join is broadcast (a frontier is bounded by
+    the reachable set; raise hops_per_round / drop the broadcast for graphs
+    whose frontiers outgrow executor memory), so a round is hops_per_round
+    map-side joins + ONE shuffle (the round-end dedup + anti-join against
+    the reached set) + one checkpoint job. A depth-100 chain costs ~13
+    round-trips, each a handful of small stages — not 100 shuffles.
+    Reversed queries (constant OBJECT: ancestors) pass the transposed edge
+    relation. In-plan multiplicity between round boundaries is bounded by
+    out-degree^hops_per_round per frontier node (deduped at the round end);
+    keep hops_per_round modest on high-fan-out graphs.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -241,27 +247,32 @@ def reachable_from(
         e.where(F.col("src") == seed).select("dst").distinct()
         .localCheckpoint(eager=True)
     )
-    reached = frontier
+    frontiers = [frontier]
     hops = 1
     while hops < max_hops and frontier.take(1):
         batch = frontier
-        grown = None
+        grown = batch
         for _ in range(min(hops_per_round, max_hops - hops)):
             batch = (
-                batch.alias("f")
+                F.broadcast(batch.alias("f"))
                 .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
                 .select(F.col("e.dst").alias("dst"))
-                .distinct()
             )
-            grown = batch if grown is None else grown.unionByName(batch)
+            grown = grown.unionByName(batch)
             hops += 1
+        reached = frontiers[0]
+        for f in frontiers[1:]:
+            reached = reached.unionByName(f)
         frontier = (
             grown.distinct()
             .join(reached, "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
-        reached = frontier.unionByName(reached).localCheckpoint(eager=True)
-    return reached.select(F.col("dst").alias(dst))
+        frontiers.append(frontier)
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out.select(F.col("dst").alias(dst))
 
 
 def global_cumsum(
