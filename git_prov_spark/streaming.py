@@ -98,14 +98,14 @@ class IncrementalKG:
         compact_every: int = 8,
     ):
         self.spark = spark
-        # the fold references the commits dim ~6 times per batch; if
-        # commit_seq had to be minted (a full-dim window), checkpoint the
-        # result once instead of re-running the window per reference
-        seq = ensure_commit_seq(commits)
-        self.commits = (
-            commits if seq is commits else seq.localCheckpoint(eager=True)
-        )
-        self.contributors = contributors
+        # the fold references the commits dim ~6 times per batch and the
+        # contributors dim in every agent join: materialize both ONCE —
+        # callers often hand in lazy derived plans (joins, unions, minted
+        # commit_seq windows) whose recomputation per consumer would
+        # multiply every micro-batch's cost. Dims are bounded by repo
+        # count × history, not by the snapshot stream.
+        self.commits = ensure_commit_seq(commits).localCheckpoint(eager=True)
+        self.contributors = contributors.localCheckpoint(eager=True)
         self.out = out_dir.rstrip("/")
         self.compact_every = compact_every
         self._chain, self._last_full = self._scan_versions()
@@ -271,10 +271,13 @@ class IncrementalKG:
         batch_max = slim_b.groupBy("repo").agg(F.max("commit_seq").alias("max_seq"))
         if force_watermark is not None:
             batch_max = batch_max.unionByName(force_watermark)
+        # referenced by the change-log bound, the dim slice, and the state
+        # write — checkpoint once (per-repo rows: tiny at any scale)
         new_wm = (
             wm.unionByName(batch_max)
             .groupBy("repo")
             .agg(F.max("max_seq").alias("max_seq"))
+            .localCheckpoint(eager=True)
         )
 
         # the fold must scale with the DELTA, not the corpus: only repos
@@ -358,6 +361,9 @@ class IncrementalKG:
                 & (F.col("commit_seq") <= F.col("max_seq"))
             )
             .drop("prev_max", "max_seq")
+            # three statement builders + resolve_authors re-read this
+            # batch-scoped dim slice; materialize it once (|batch| commits)
+            .localCheckpoint(eager=True)
         )
 
         triples = self._batch_triples(events, new_commits, all_blobs)
