@@ -514,8 +514,11 @@ def q_ann_topk_multiprobe(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF-flat ANN (deterministic seed centroids, 4-probe inverted-list
-    search): the cluster-adaptive alternative to hyperplane LSH."""
+    """IVF-flat ANN with a TRAINED coarse quantizer (deterministic sampled
+    spherical k-means, K ~ √N, per-cluster list caps, 4-probe inverted-list
+    search): the cluster-adaptive alternative to hyperplane LSH. The oracle
+    twin trains the identical centroids from the same parquet (bit-exact
+    float64 numpy) and embeds them as double literals."""
     return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
 
 
@@ -1139,6 +1142,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ivf_oracle_sql() -> str:
+    """Train the IVF centroids for the oracle twin from the SAME parquet the
+    driver's gate reads (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides,
+    e.g. tools/check_queries.py at another sf): identical id-stride sample,
+    identical float64 Lloyd rounds → bit-identical centroids, embedded as
+    double literals in the SQL."""
+    import os
+
+    import duckdb as _duckdb
+
+    from git_prov_spark.corpus.similarity import (
+        choose_n_centroids,
+        ivf_sample_step,
+        train_centroids,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    con = _duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    k = choose_n_centroids(n)
+    step = ivf_sample_step(n, k)
+    rows = con.execute(
+        f"SELECT embedding FROM '{path}' WHERE vec_id % {step} = 0 "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    cents = train_centroids([list(r[0]) for r in rows], k)
+    return oracles.sql_topk_ivf("embeddings", cents, n)
+
+
 def oracle_sql() -> dict[str, str]:
     aug_exact = f"({AUG_EXACT_SQL})"
     aug_near = f"({AUG_NEAR_SQL})"
@@ -1257,7 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
-        "ann_topk_ivf": oracles.sql_topk_ivf("embeddings"),
+        "ann_topk_ivf": _ivf_oracle_sql(),
         # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
         # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
         # which can only flip a rank at an exact cosine tie — the testdata

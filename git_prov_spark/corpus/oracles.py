@@ -403,21 +403,35 @@ def sql_topk_lsh(src: str = "embeddings", n_queries: int = 10, k: int = 5) -> st
     )
 
 
-def sql_topk_ivf(src: str = "embeddings", n_queries: int = 10, k: int = 5,
-                 n_centroids: int = 16, n_probes: int = 4) -> str:
-    """DuckDB twin of similarity.topk_ivf — same deterministic seed
-    centroids (vec_id < n_centroids), same argmax assignment, same
-    n_probes inverted-list search."""
-    a_cos = duck_cosine("e.embedding", "c.embedding")
-    q_cos = duck_cosine("q.embedding", "c.embedding")
+def sql_topk_ivf(src: str, centroids: list[list[float]], corpus_n: int,
+                 n_queries: int = 10, k: int = 5, n_probes: int = 4) -> str:
+    """DuckDB twin of similarity.topk_ivf: the TRAINED centroids are
+    injected as double literals (repr() round-trips IEEE doubles exactly,
+    and duck_cosine's fold order matches cosine_expr, so assignment and
+    scoring are bit-identical to the Spark plan), then the same argmax
+    assignment, per-cluster list cap, and n_probes inverted-list search."""
+    from .similarity import ivf_list_cap
+
+    cap = ivf_list_cap(corpus_n, len(centroids))
+    vals = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[])"
+        for i, row in enumerate(centroids)
+    )
+    a_cos = duck_cosine("e.embedding", "c.cemb")
+    q_cos = duck_cosine("q.embedding", "c.cemb")
     n_cos = duck_cosine("p.embedding", "n.embedding")
     return (
-        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM {src} "
-        f"WHERE vec_id < {n_centroids}), "
-        f"assign AS (SELECT vec_id, cluster FROM ("
+        f"WITH cents(cid, cemb) AS (VALUES {vals}), "
+        f"assign0 AS (SELECT vec_id, cluster FROM ("
         f"SELECT e.vec_id, c.cid AS cluster, row_number() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {a_cos} DESC, c.cid) AS rn "
         f"FROM {src} e, cents c) WHERE rn = 1), "
+        f"assign AS (SELECT vec_id, cluster FROM ("
+        f"SELECT vec_id, cluster, row_number() OVER ("
+        f"PARTITION BY cluster ORDER BY vec_id) AS ln FROM assign0) "
+        f"WHERE ln <= {cap}), "
         f"probes AS (SELECT query_id, embedding, cluster FROM ("
         f"SELECT q.vec_id AS query_id, q.embedding, c.cid AS cluster, "
         f"row_number() OVER (PARTITION BY q.vec_id "

@@ -164,22 +164,100 @@ def topk_lsh_multiprobe(
     )
 
 
-IVF_CENTROIDS = 16
 IVF_PROBES = 4
+IVF_SAMPLE_PER_CENTROID = 32
+IVF_LLOYD_ROUNDS = 4
+IVF_LIST_CAP_FACTOR = 8
+IVF_MAX_CENTROIDS = 4096
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
-               id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, cluster): IVF coarse quantizer, one-shot deterministic.
+def choose_n_centroids(n: int) -> int:
+    """K ~ √N (the standard IVF sizing: probe fraction n_probes/√N shrinks
+    as the corpus grows), clamped to a codegen/broadcast-safe ceiling."""
+    import math
 
-    Centroids are the first n_centroids vectors by id — a deterministic
-    seed set both engines can reproduce; production would refine them with
-    offline Lloyd iterations, which changes the centroid VALUES but not
-    this assignment plan (argmax-cosine against a K-row broadcast dim: a
-    K-fan-out per row, linear in the corpus — never pairwise)."""
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("embedding").alias("cemb")
+    return max(4, min(IVF_MAX_CENTROIDS, int(round(math.sqrt(max(n, 1))))))
+
+
+def ivf_sample_step(n: int, k: int) -> int:
+    """Deterministic training sample: every step-th vec_id, sized to
+    ~IVF_SAMPLE_PER_CENTROID rows per centroid. Id-stride sampling (not
+    rand()) so the DuckDB oracle reproduces the exact sample."""
+    return max(1, n // (IVF_SAMPLE_PER_CENTROID * k))
+
+
+def ivf_list_cap(n: int, k: int) -> int:
+    """Per-cluster inverted-list cap (the hot-bucket guard, analogous to
+    DEFAULT_LSH_MAX_BUCKET): a degenerate centroid that attracts the whole
+    corpus is truncated to a bounded multiple of the balanced list size, so
+    one cluster can never re-create the quadratic scan."""
+    return max(16, IVF_LIST_CAP_FACTOR * ((n + k - 1) // k))
+
+
+def train_centroids(sample_vecs, k: int,
+                    rounds: int = IVF_LLOYD_ROUNDS) -> list[list[float]]:
+    """Deterministic spherical k-means on a driver-side sample: evenly
+    spaced init over the id-ordered sample, `rounds` Lloyd iterations
+    (argmax-cosine assign, renormalized-mean update; empty cluster keeps
+    its centroid). Pure float64 numpy on an id-ordered sample → bit-exact
+    reproducible, so the same function seeds both the Spark plan and the
+    DuckDB oracle's centroid literals. The SAMPLE is driver-side (bounded:
+    ~32 rows/centroid); the corpus-wide assignment stays distributed."""
+    import numpy as np
+
+    X = np.asarray(sample_vecs, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms
+    k = min(k, len(Xn))
+    idx = (np.arange(k, dtype=np.int64) * len(Xn)) // k
+    C = Xn[idx].copy()
+    for _ in range(rounds):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0.0:
+                    C[j] = v / nv
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_centroids(emb: DataFrame, id_col: str = "vec_id",
+                  n_centroids: int | None = None) -> tuple[list[list[float]], int]:
+    """Train the coarse quantizer from the DataFrame: count → K(√N) →
+    stride-sample → Lloyd. Returns (centroids, corpus_size). The only
+    driver-side data is the bounded sample; at larger scale swap the
+    stride-sample collect for k-means|| oversampling — the assignment
+    plan below is unchanged either way."""
+    n = emb.count()
+    k = n_centroids or choose_n_centroids(n)
+    step = ivf_sample_step(n, k)
+    rows = (
+        emb.where(F.col(id_col) % step == 0)
+        .select(id_col, "embedding")
+        .orderBy(id_col)
+        .collect()
     )
+    return train_centroids([r[1] for r in rows], k), n
+
+
+def _centroids_df(spark, centroids: list[list[float]]):
+    return spark.createDataFrame(
+        [(i, row) for i, row in enumerate(centroids)],
+        "cid int, cemb array<double>",
+    )
+
+
+def ivf_assign(emb: DataFrame, id_col: str = "vec_id",
+               centroids: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, cluster): argmax-cosine against the trained K-row broadcast
+    centroid dim — a K-fan-out per row, linear in the corpus, never
+    pairwise. Trains centroids if not supplied."""
+    if centroids is None:
+        centroids, _ = ivf_centroids(emb, id_col)
+    cents = _centroids_df(emb.sparkSession, centroids)
     scored = (
         emb.select(id_col, "embedding")
         .crossJoin(F.broadcast(cents))
@@ -195,17 +273,24 @@ def ivf_assign(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
 
 def topk_ivf(
     emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id",
-    n_centroids: int = IVF_CENTROIDS, n_probes: int = IVF_PROBES,
+    n_centroids: int | None = None, n_probes: int = IVF_PROBES,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: each query scans only its n_probes
-    nearest centroids' inverted lists — candidates come from an EQUI-join
-    on cluster, touching ~n_probes/n_centroids of the corpus per query.
-    The IVF alternative to the hyperplane-LSH path (topk_lsh*): clusters
-    adapt to the data distribution where hyperplanes are oblivious."""
-    assign = ivf_assign(emb, n_centroids, id_col)
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("embedding").alias("cemb")
+    """IVF-flat approximate top-k with a TRAINED coarse quantizer: K ~ √N
+    sampled-Lloyd centroids, per-cluster list caps, and each query scanning
+    only its n_probes nearest centroids' inverted lists — candidates come
+    from an EQUI-join on cluster, touching ~n_probes/K of the corpus per
+    query (0.01% at 10^9 vectors). The cluster-adaptive alternative to the
+    hyperplane-LSH path (topk_lsh*)."""
+    centroids, n = ivf_centroids(emb, id_col, n_centroids)
+    cap = ivf_list_cap(n, len(centroids))
+    assign = ivf_assign(emb, id_col, centroids)
+    wc = Window.partitionBy("cluster").orderBy(F.asc(id_col))
+    capped = (
+        assign.withColumn("_ln", F.row_number().over(wc))
+        .where(F.col("_ln") <= cap)
+        .drop("_ln")
     )
+    cents = _centroids_df(emb.sparkSession, centroids)
     q_vecs = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -222,7 +307,7 @@ def topk_ivf(
     )
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("ce")
-    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    ).join(capped.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     scored = (
         F.broadcast(probes)
         .join(corpus, "cluster")

@@ -128,6 +128,47 @@ def test_ivf_search_join_is_equi(spark):
     assert assign.where(F.col("cluster").isNull()).count() == 0
 
 
+def test_ivf_trained_quantizer_adapts_to_clusters(spark):
+    """The trained quantizer must adapt to the data distribution: on 8
+    well-separated gaussian blobs, Lloyd rounds should give every blob its
+    own centroid region (near-balanced assignment), and no inverted list
+    may exceed the declared cap — the hot-cluster guard that keeps the
+    candidate join linear at scale."""
+    import random
+
+    from git_prov_spark.corpus.similarity import (
+        choose_n_centroids,
+        ivf_assign,
+        ivf_centroids,
+        ivf_list_cap,
+        train_centroids,
+    )
+
+    rng = random.Random(46)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(640):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, n = ivf_centroids(emb)
+    assert n == 640 and len(cents) == choose_n_centroids(640)  # K ~ sqrt(N)
+    sizes = [
+        r["count"]
+        for r in ivf_assign(emb, centroids=cents).groupBy("cluster").count().collect()
+    ]
+    cap = ivf_list_cap(n, len(cents))
+    # 8 blobs, K=25 centroids: every occupied cluster is a sub-blob; the
+    # biggest must stay far from degenerate (≤ one blob) and under the cap
+    assert max(sizes) <= min(cap, 640 // 8), (max(sizes), cap)
+    assert sum(sizes) == 640
+    # determinism: retraining from the same sample is bit-identical
+    sample = [r[1] for r in rows if r[0] % 1 == 0]
+    assert train_centroids(sample, len(cents)) == train_centroids(
+        sample, len(cents)
+    )
+
+
 def test_lsh_index_matches_equals_batch_pairs(spark, tmp_path):
     """The ingest gate through a persisted parquet index must surface
     exactly the collisions the one-shot pair join finds on the union —

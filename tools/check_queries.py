@@ -50,6 +50,11 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracles (trained IVF centroids) must train on the sf
+    # under test, not the driver's default sf0.01
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark("check_queries")
     con = duckdb.connect()

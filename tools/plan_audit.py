@@ -115,7 +115,7 @@ def main() -> None:
         "dedup_embedding_cosine": "quadratic baseline (scale twin: minhash/simhash LSH)",
         "ann_topk": "brute-force baseline (scale twin: ann_topk_lsh/multiprobe)",
         "ann_topk_pandas": "brute-force baseline (mapInPandas matmul)",
-        "ann_topk_ivf": "K=16-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on cluster",
+        "ann_topk_ivf": "trained K(√N)-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on capped cluster lists",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
