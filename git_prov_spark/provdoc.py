@@ -28,7 +28,10 @@ Fidelity notes (simplified but valid documents):
 from __future__ import annotations
 
 import json
+from typing import Any, Iterator, Tuple
 from xml.sax.saxutils import escape, quoteattr
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,13 +45,18 @@ _ATTR_PRED_MAP = {"rdfs:label": "prov:label"}  # PROV-N's conventional name
 
 
 class _Graph:
-    """Driver-side index of one repo's triples."""
+    """Compact index of one repo's triples (driver- or executor-side);
+    fed incrementally via add_rows so the bulk path can stream Arrow
+    batches into it without ever holding the group's DataFrame whole."""
 
-    def __init__(self, rows):
+    def __init__(self, rows=()):
         self.types: dict[str, str] = {}
         self.attrs: dict[str, list[tuple[str, str, str]]] = {}
         self.edges: dict[str, list[tuple[str, str]]] = {}
         self.obj_of: dict[tuple[str, str], str] = {}
+        self.add_rows(rows)
+
+    def add_rows(self, rows) -> None:
         for r in rows:
             if r.pred == "rdf:type":
                 self.types.setdefault(r.subj, r.obj)
@@ -118,38 +126,38 @@ def provn_text(triples: DataFrame, repo: str) -> str:
     return _provn_doc(_collect_graph(triples, repo), repo)
 
 
-def _provn_doc(g: _Graph, repo: str) -> str:
-    lines = ["document"]
+def _provn_lines(g: _Graph, repo: str):
+    yield "document"
     for p, ns in NAMESPACES.items():
-        lines.append(f"prefix {p} <{ns}>")
-    lines.append(f"prefix gitprov <{gitprov_ns(repo)}>")
-    lines.append("")
+        yield f"prefix {p} <{ns}>"
+    yield f"prefix gitprov <{gitprov_ns(repo)}>"
+    yield ""
     for e in g.elements("entity"):
-        lines.append(f"entity({e}{_provn_attr_block(_attr_pairs(g, e))})")
+        yield f"entity({e}{_provn_attr_block(_attr_pairs(g, e))})"
     for a in g.elements("activity"):
         start = g.attr(a, "prov:startedAtTime") or "-"
         pairs = _attr_pairs(g, a, skip={"prov:startedAtTime"})
-        lines.append(f"activity({a}, {start}, -{_provn_attr_block(pairs)})")
+        yield f"activity({a}, {start}, -{_provn_attr_block(pairs)})"
     for ag in g.elements("agent"):
-        lines.append(f"agent({ag}{_provn_attr_block(_attr_pairs(g, ag))})")
+        yield f"agent({ag}{_provn_attr_block(_attr_pairs(g, ag))})"
     gen_t = g.qualified_time("prov:qualifiedGeneration")
     for e, c in sorted(g.edges.get("prov:wasGeneratedBy", [])):
-        lines.append(f"wasGeneratedBy({e}, {c}, {gen_t.get(e, '-')})")
+        yield f"wasGeneratedBy({e}, {c}, {gen_t.get(e, '-')})"
     inv_t = g.qualified_time("prov:qualifiedInvalidation")
     for e, c in sorted(g.edges.get("prov:wasInvalidatedBy", [])):
-        lines.append(f"wasInvalidatedBy({e}, {c}, {inv_t.get(e, '-')})")
+        yield f"wasInvalidatedBy({e}, {c}, {inv_t.get(e, '-')})"
     use_t = g.qualified_time("prov:qualifiedUsage")
     for c, e in sorted(g.edges.get("prov:used", [])):
-        lines.append(f"used({c}, {e}, {use_t.get(c, '-')})")
+        yield f"used({c}, {e}, {use_t.get(c, '-')})"
     for c, a in sorted(g.edges.get("prov:wasAssociatedWith", [])):
         q = g.attr(c, "prov:qualifiedAssociation")
         role = g.attr(q, "prov:hadRole") if q else None
         block = f', [prov:role="{role}"]' if role else ""
-        lines.append(f"wasAssociatedWith({c}, {a}, -{block})")
+        yield f"wasAssociatedWith({c}, {a}, -{block})"
     for c2, c1 in sorted(g.edges.get("prov:wasInformedBy", [])):
-        lines.append(f"wasInformedBy({c2}, {c1})")
+        yield f"wasInformedBy({c2}, {c1})"
     for e, b in sorted(g.edges.get("prov:specializationOf", [])):
-        lines.append(f"specializationOf({e}, {b})")
+        yield f"specializationOf({e}, {b})"
     for e2, e1 in sorted(g.edges.get("prov:wasDerivedFrom", [])):
         d = g.attr(e2, "prov:qualifiedDerivation")
         act = g.attr(d, "prov:hadActivity") if d else None
@@ -157,14 +165,17 @@ def _provn_doc(g: _Graph, repo: str) -> str:
         use = g.attr(d, "prov:hadUsage") if d else None
         pairs = _attr_pairs(g, d, skip=set()) if d else []
         if act:
-            lines.append(
+            yield (
                 f"wasDerivedFrom({e2}, {e1}, {act}, {gen or '-'}, "
                 f"{use or '-'}{_provn_attr_block(pairs)})"
             )
         else:
-            lines.append(f"wasDerivedFrom({e2}, {e1})")
-    lines.append("endDocument")
-    return "\n".join(lines)
+            yield f"wasDerivedFrom({e2}, {e1})"
+    yield "endDocument"
+
+
+def _provn_doc(g: _Graph, repo: str) -> str:
+    return "\n".join(_provn_lines(g, repo))
 
 
 # --------------------------------------------------------------------------
@@ -237,63 +248,67 @@ def provxml_text(triples: DataFrame, repo: str) -> str:
     return _provxml_doc(_collect_graph(triples, repo), repo)
 
 
-def _provxml_doc(g: _Graph, repo: str) -> str:
+def _provxml_lines(g: _Graph, repo: str):
     xmlns = "".join(f' xmlns:{p}="{ns}"' for p, ns in NAMESPACES.items())
     xmlns += f' xmlns:gitprov="{escape(gitprov_ns(repo))}"'
-    out = [f'<?xml version="1.0" encoding="UTF-8"?>\n<prov:document{xmlns}>']
+    yield f'<?xml version="1.0" encoding="UTF-8"?>\n<prov:document{xmlns}>'
 
-    def attr_elems(subj: str, skip: set[str] = frozenset()) -> list[str]:
-        elems = []
+    def attr_elems(subj: str, skip: set[str] = frozenset()):
         for p, v, t in _attr_pairs(g, subj, skip):
             if p == "prov:label":
-                elems.append(f"  <prov:label>{escape(v)}</prov:label>")
+                yield f"  <prov:label>{escape(v)}</prov:label>"
             else:
-                elems.append(
+                yield (
                     f'  <prov:other prov:name={quoteattr(p)} '
                     f'prov:type={quoteattr(t)}>{escape(v)}</prov:other>'
                 )
-        return elems
 
     for kind, tag in (("entity", "prov:entity"), ("activity", "prov:activity"),
                       ("agent", "prov:agent")):
         for el in g.elements(kind):
-            out.append(f' <{tag} prov:id={quoteattr(el)}>')
+            yield f' <{tag} prov:id={quoteattr(el)}>'
             if kind == "activity":
                 start = g.attr(el, "prov:startedAtTime")
                 if start:
-                    out.append(f"  <prov:startTime>{escape(start)}</prov:startTime>")
-                out.extend(attr_elems(el, skip={"prov:startedAtTime"}))
+                    yield f"  <prov:startTime>{escape(start)}</prov:startTime>"
+                yield from attr_elems(el, skip={"prov:startedAtTime"})
             else:
-                out.extend(attr_elems(el))
-            out.append(f" </{tag}>")
+                yield from attr_elems(el)
+            yield f" </{tag}>"
 
     def edge_elems(pred: str, tag: str, s_tag: str, o_tag: str,
-                   time_pred: str | None = None) -> None:
+                   time_pred: str | None = None):
         times = g.qualified_time(time_pred) if time_pred else {}
         for s, o in sorted(g.edges.get(pred, [])):
-            out.append(f" <{tag}>")
-            out.append(f'  <{s_tag} prov:ref={quoteattr(s)}/>')
-            out.append(f'  <{o_tag} prov:ref={quoteattr(o)}/>')
+            yield f" <{tag}>"
+            yield f'  <{s_tag} prov:ref={quoteattr(s)}/>'
+            yield f'  <{o_tag} prov:ref={quoteattr(o)}/>'
             if s in times:
-                out.append(f"  <prov:time>{escape(times[s])}</prov:time>")
-            out.append(f" </{tag}>")
+                yield f"  <prov:time>{escape(times[s])}</prov:time>"
+            yield f" </{tag}>"
 
-    edge_elems("prov:wasGeneratedBy", "prov:wasGeneratedBy",
-               "prov:entity", "prov:activity", "prov:qualifiedGeneration")
-    edge_elems("prov:wasInvalidatedBy", "prov:wasInvalidatedBy",
-               "prov:entity", "prov:activity", "prov:qualifiedInvalidation")
-    edge_elems("prov:used", "prov:used",
-               "prov:activity", "prov:entity", "prov:qualifiedUsage")
-    edge_elems("prov:wasAssociatedWith", "prov:wasAssociatedWith",
-               "prov:activity", "prov:agent")
-    edge_elems("prov:wasInformedBy", "prov:wasInformedBy",
-               "prov:informed", "prov:informant")
-    edge_elems("prov:specializationOf", "prov:specializationOf",
-               "prov:specificEntity", "prov:generalEntity")
-    edge_elems("prov:wasDerivedFrom", "prov:wasDerivedFrom",
-               "prov:generatedEntity", "prov:usedEntity")
-    out.append("</prov:document>")
-    return "\n".join(out)
+    yield from edge_elems("prov:wasGeneratedBy", "prov:wasGeneratedBy",
+                          "prov:entity", "prov:activity",
+                          "prov:qualifiedGeneration")
+    yield from edge_elems("prov:wasInvalidatedBy", "prov:wasInvalidatedBy",
+                          "prov:entity", "prov:activity",
+                          "prov:qualifiedInvalidation")
+    yield from edge_elems("prov:used", "prov:used",
+                          "prov:activity", "prov:entity",
+                          "prov:qualifiedUsage")
+    yield from edge_elems("prov:wasAssociatedWith", "prov:wasAssociatedWith",
+                          "prov:activity", "prov:agent")
+    yield from edge_elems("prov:wasInformedBy", "prov:wasInformedBy",
+                          "prov:informed", "prov:informant")
+    yield from edge_elems("prov:specializationOf", "prov:specializationOf",
+                          "prov:specificEntity", "prov:generalEntity")
+    yield from edge_elems("prov:wasDerivedFrom", "prov:wasDerivedFrom",
+                          "prov:generatedEntity", "prov:usedEntity")
+    yield "</prov:document>"
+
+
+def _provxml_doc(g: _Graph, repo: str) -> str:
+    return "\n".join(_provxml_lines(g, repo))
 
 
 # --------------------------------------------------------------------------
@@ -307,7 +322,7 @@ def dot_text(triples: DataFrame, repo: str, max_edges: int = 50_000) -> str:
     return _dot_doc(_collect_graph(triples, repo), repo, max_edges=max_edges)
 
 
-def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:
+def _dot_lines(g: _Graph, repo: str, max_edges: int = 50_000):
     edges = sorted(
         (s, p, o) for p, so in g.edges.items() for s, o in so
     )
@@ -317,11 +332,14 @@ def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:
     def q(s: str) -> str:
         return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
-    lines = [f"digraph {q(repo)} {{"]
+    yield f"digraph {q(repo)} {{"
     for s, p, o in edges:
-        lines.append(f"  {q(s)} -> {q(o)} [label={q(p)}];")
-    lines.append("}")
-    return "\n".join(lines)
+        yield f"  {q(s)} -> {q(o)} [label={q(p)}];"
+    yield "}"
+
+
+def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:
+    return "\n".join(_dot_lines(g, repo, max_edges=max_edges))
 
 
 # --------------------------------------------------------------------------
@@ -335,20 +353,42 @@ _DOC_ASSEMBLERS = {
     "dot": _dot_doc,
 }
 
+# line-generator assemblers: formats whose documents can be EMITTED in
+# bounded chunks (PROV-JSON is one json.dumps tree — its parts path chunks
+# the dumped string, bounding the Arrow cell but not the dump itself)
+_LINE_ASSEMBLERS = {
+    "provn": _provn_lines,
+    "provxml": _provxml_lines,
+    "dot": _dot_lines,
+}
+
+DOC_PART_LINES = 20_000
+
+
+def _graph_from_batches(batches) -> _Graph:
+    """Fold streamed Arrow batches into the compact index — the group's
+    pandas frames are released batch-by-batch, never held together."""
+    g = _Graph()
+    for pdf in batches:
+        g.add_rows(pdf[["subj", "pred", "obj", "obj_type"]]
+                   .itertuples(index=False))
+    return g
+
 
 def prov_documents(triples: DataFrame, fmt: str = "provn") -> DataFrame:
     """(repo, doc) — one PROV document per repo, assembled distributed.
 
     The driver-side `*_text` exporters above mirror the reference's one-model
     HTTP responses; this is the corpus path: `groupBy(repo).applyInPandas`
-    gives each executor ONE repo's triples (one shuffle on the natural key),
-    so exporting N repos is N independent tasks with zero driver involvement.
-    Scale bounds, both inherent to the document shape (the reference holds the
-    same per-repo model in Jena memory, ProvenanceService.java:216-250):
-    a single repo's graph must fit executor memory, and a single document
-    must fit one Arrow string cell (<2 GiB). Skewed mega-repos therefore
-    bound task time — partition count equals repo count, AQE cannot split
-    a group.
+    with the ITERATOR variant gives each executor ONE repo's triples as a
+    stream of Arrow batches (one shuffle on the natural key): peak task
+    memory is the compact graph index + the document string, not
+    index + whole-group DataFrame + document. Remaining scale bounds are
+    inherent to the one-cell contract (the reference holds the same
+    per-repo model in Jena memory, ProvenanceService.java:216-250): the
+    index must fit executor memory and the document one Arrow string cell
+    (<2 GiB). For hot repos beyond that, use `prov_document_parts` —
+    bounded cells, streamed emission.
     """
     try:
         assemble = _DOC_ASSEMBLERS[fmt]
@@ -356,15 +396,69 @@ def prov_documents(triples: DataFrame, fmt: str = "provn") -> DataFrame:
         raise ValueError(
             f"fmt {fmt!r} not in {sorted(_DOC_ASSEMBLERS)}"
         ) from None
-    import pandas as pd
-
-    def build(key, pdf):
+    def build(key: Tuple[Any, ...],
+              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         repo = key[0]
-        rows = pdf[["subj", "pred", "obj", "obj_type"]].itertuples(index=False)
-        return pd.DataFrame({"repo": [repo], "doc": [assemble(_Graph(rows), repo)]})
+        g = _graph_from_batches(batches)
+        yield pd.DataFrame({"repo": [repo], "doc": [assemble(g, repo)]})
 
     return (
         triples.select("repo", "subj", "pred", "obj", "obj_type")
         .groupBy("repo")
         .applyInPandas(build, "repo string, doc string")
+    )
+
+
+def prov_document_parts(
+    triples: DataFrame, fmt: str = "provn",
+    part_lines: int = DOC_PART_LINES,
+    **fmt_kwargs,
+) -> DataFrame:
+    """(repo, part_idx, part) — the hot-repo-safe bulk exporter: each
+    repo's document is emitted as ordered bounded chunks, so no single
+    Arrow cell (and, for the line formats, no task-side string) ever holds
+    a whole mega-repo document. Reassembly is exact byte parity:
+    '\\n'.join(parts in part_idx order) == prov_documents' doc.
+
+    Line formats stream: graph index + part_lines lines is the task's peak
+    beyond the index. PROV-JSON (a single json.dumps tree) is chunked
+    after the dump — cells bounded, dump itself still O(doc). Extra
+    fmt_kwargs go to the assembler (e.g. max_edges for 'dot', whose
+    driver-surface default of 50k is exactly what this path outgrows)."""
+    base_lines_of = _LINE_ASSEMBLERS.get(fmt)
+    if base_lines_of is not None:
+        def lines_of(g, repo):
+            yield from base_lines_of(g, repo, **fmt_kwargs)
+    else:
+        if fmt not in _DOC_ASSEMBLERS:
+            raise ValueError(
+                f"fmt {fmt!r} not in {sorted(_DOC_ASSEMBLERS)}"
+            )
+        whole = _DOC_ASSEMBLERS[fmt]
+
+        def lines_of(g, repo):  # noqa: F811 — json fallback, see docstring
+            yield from whole(g, repo, **fmt_kwargs).split("\n")
+
+    def build(key: Tuple[Any, ...],
+              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        repo = key[0]
+        g = _graph_from_batches(batches)
+        chunk, idx = [], 0
+        for line in lines_of(g, repo):
+            chunk.append(line)
+            if len(chunk) >= part_lines:
+                yield pd.DataFrame(
+                    {"repo": [repo], "part_idx": [idx],
+                     "part": ["\n".join(chunk)]}
+                )
+                chunk, idx = [], idx + 1
+        if chunk or idx == 0:
+            yield pd.DataFrame(
+                {"repo": [repo], "part_idx": [idx], "part": ["\n".join(chunk)]}
+            )
+
+    return (
+        triples.select("repo", "subj", "pred", "obj", "obj_type")
+        .groupBy("repo")
+        .applyInPandas(build, "repo string, part_idx int, part string")
     )

@@ -122,3 +122,63 @@ def test_prov_documents_rejects_unknown_fmt(triples_df):
 
     with pytest.raises(ValueError):
         prov_documents(triples_df, "pdf")
+
+
+def test_prov_document_parts_hot_repo_bounded_and_byte_exact(spark, triples_df):
+    """Hot-repo scale guard (VERDICT r2 #5): a repo ~100x the others must
+    export through bounded part cells — streamed group input (small Arrow
+    batches force the iterator path to fold many batches) and chunked
+    emission — with reassembly byte-identical to the one-cell exporter."""
+    import pandas as pd
+
+    from git_prov_spark.provdoc import prov_document_parts, prov_documents
+
+    base = triples_df.select("repo", "subj", "pred", "obj", "obj_type")
+    n_hot = base.where(F.col("repo") == HOT).count()
+    fan = (
+        base.where(F.col("repo") == HOT)
+        .crossJoin(spark.range(100).select(F.col("id").alias("_i")))
+        .select(
+            F.lit("org9/mega").alias("repo"),
+            F.concat_ws("-", F.col("subj"), F.col("_i")).alias("subj"),
+            "pred",
+            F.concat_ws("-", F.col("obj"), F.col("_i")).alias("obj"),
+            "obj_type",
+        )
+    )
+    skewed = base.unionByName(fan)
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        for fmt in ("provn", "provxml", "dot", "provjson"):
+            # dot: the driver surface's 50k-edge guard is exactly what the
+            # parts path outgrows — raise it through fmt_kwargs
+            kw = {"max_edges": 10_000_000} if fmt == "dot" else {}
+            parts = prov_document_parts(skewed, fmt, part_lines=5_000, **kw)
+            pdf = parts.toPandas()
+            # one-cell exporter for parity: dot's mega repo exceeds its
+            # guard by design, so compare dot on the un-skewed repos only
+            parity_src = skewed if fmt != "dot" else base
+            docs = {
+                r.repo: r.doc
+                for r in prov_documents(parity_src, fmt).collect()
+            }
+            by_repo = {}
+            for repo, grp in pdf.groupby("repo"):
+                ordered = grp.sort_values("part_idx")
+                assert list(ordered["part_idx"]) == list(range(len(grp)))
+                by_repo[repo] = "\n".join(ordered["part"])
+                # every cell is bounded: ≤ part_lines emitted lines (the
+                # XML header "line" embeds one extra newline itself)
+                assert all(p.count("\n") <= 5_000 for p in grp["part"])
+            for repo, doc in docs.items():
+                assert by_repo[repo] == doc, (fmt, repo)
+            # the mega repo really went through multiple bounded parts
+            if fmt != "provjson":
+                assert len(pdf[pdf.repo == "org9/mega"]) >= (
+                    n_hot // 5_000
+                ), fmt
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
