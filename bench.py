@@ -26,7 +26,11 @@ import __spark_entry__ as entry  # noqa: E402
 from git_prov_spark.pipeline.build import build_triples  # noqa: E402
 from git_prov_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
+# FROZEN round-2 core set (kg_build_triples + these): core_wall is computed
+# over exactly this list every round so round-over-round regression detection
+# is mechanical even as the bench set grows. Do not edit; extend
+# EXTRA_QUERIES instead.
+CORE_QUERIES = [
     "scan_filter",
     "agg_count",
     "join_broadcast",
@@ -56,6 +60,18 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "mm_features",
 ]
+
+# round-3+ additions (seeded/ops property paths, FILTER range/regex,
+# BIND/VALUES — the widened SPARQL surface)
+EXTRA_QUERIES = [
+    "sparql_path_seeded",
+    "sparql_path_ops",
+    "sparql_filter_range",
+    "sparql_regex",
+    "sparql_bind_values",
+]
+
+BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
 
 
 def main() -> None:
@@ -99,10 +115,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    core_wall = round(
+        timings["kg_build_triples"] + sum(timings[q] for q in CORE_QUERIES), 3
+    )
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
+        "core_wall": core_wall,
         "queries": timings,
         "sf": sf,
         "cores": cores,
