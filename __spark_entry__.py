@@ -551,6 +551,65 @@ def q_dedup_spans(spark, sf_dir):
     return dedup.span_exact_dupes(_aug_boiler_df(spark, sf_dir))
 
 
+def q_corpus_decontam(spark, sf_dir):
+    """Benchmark decontamination (decontam.contamination_report): training
+    docs sharing a word 4-gram with the deterministic eval split
+    (doc_id % 10 == 0) are flagged. The eval shingle set broadcasts — one
+    map-side pass over the corpus shingles, the 100 TB shape. Real
+    pipelines use 8-13-grams; the fixture vocabulary is tiny, so n=4
+    keeps the gate discriminating (75/450 docs flagged at sf0.01)."""
+    from git_prov_spark.corpus.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=4,
+    )
+
+
+def _pii_augmented(spark, sf_dir):
+    """Deterministic PII injection (fixture text carries none): an email
+    per doc, an IPv4 on even ids, a 10-digit id on ids % 3 == 0 — the
+    DuckDB oracle builds the identical strings."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" from 10."), (d % 200).cast("string"),
+                         F.lit(".0."), (d % 250).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" ref 90000"), (d + 10000).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+PII_AUG_SQL = (
+    "SELECT doc_id, COALESCE(text, '') || ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com' "
+    "|| CASE WHEN doc_id % 2 = 0 THEN ' from 10.' "
+    "|| CAST(doc_id % 200 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' ref 90000' "
+    "|| CAST(doc_id + 10000 AS VARCHAR) ELSE '' END AS text FROM documents"
+)
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scrubbing (text.pii_scrub): emails → [EMAIL], IPv4 → [IP],
+    9+-digit runs → [NUM], counted on progressively scrubbed text so
+    overlapping classes never double-count; scrubbed sha256 hash-compared
+    against the oracle. Map-side expressions only."""
+    return ctext.pii_scrub(_pii_augmented(spark, sf_dir))
+
+
 def q_text_langid(spark, sf_dir):
     df = ctext.lang_id(_t(spark, sf_dir, "documents"))
     return df.select(
@@ -807,6 +866,99 @@ SPARQL_BIND_VALUES_ORACLE = (
     "SELECT DISTINCT subj AS u, obj AS e, subj || '->' || obj AS edge "
     "FROM t WHERE pred IN ('ev:did_click', 'ev:did_purchase') "
     "AND subj NOT IN (SELECT subj FROM m)"
+)
+
+
+def q_sparql_filter_expr(spark, sf_dir):
+    """FILTER boolean-expression grammar (round-3 widening toward ARQ,
+    services/SparqlService.java:26): ||, &&, ! connectives plus the
+    string functions STRSTARTS/CONTAINS/STRLEN/UCASE composed in one
+    row-predicate — all compiled to a single Catalyst where()."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:type").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?e ?t WHERE {
+          ?e ev:type ?t .
+          FILTER( (STRSTARTS(UCASE(?t), "S") || CONTAINS(?t, "err")
+                   || ?t = "view")
+                  && !(?t IN ("click")) )
+          FILTER(STRLEN(?t) > 4)
+        }
+        """,
+    )
+
+
+SPARQL_FILTER_EXPR_ORACLE = (
+    "SELECT DISTINCT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "event_type AS t FROM events "
+    "WHERE ((starts_with(upper(event_type), 'S') "
+    "OR contains(event_type, 'err') OR event_type = 'view') "
+    "AND NOT event_type IN ('click')) AND length(event_type) > 4"
+)
+
+
+def q_sparql_exists(spark, sf_dir):
+    """FILTER [NOT] EXISTS (ARQ's filter-scoped subpatterns): each block
+    compiles to ONE distributed left-semi / left-anti join on the shared
+    variable's distinct bindings — never a per-row subquery. Here:
+    purchase events by users who also have an error event but no signup
+    event."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    by_user = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:by_user").alias("pred"),
+        F.col("user_id").cast("string").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    typed = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:type").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    # a RARE marker predicate so NOT EXISTS excludes only some users and
+    # the gate result is non-trivial in both directions
+    flagged = ev.where(F.col("event_id") % 37 == 0).select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:flag").alias("pred"),
+        F.lit("hot").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        by_user.unionByName(typed).unionByName(flagged),
+        """
+        SELECT ?e ?u WHERE {
+          ?e ev:by_user ?u . ?e ev:type "purchase" .
+          FILTER(EXISTS { ?x ev:by_user ?u . ?x ev:type "error" })
+          FILTER(NOT EXISTS { ?y ev:by_user ?u . ?y ev:flag "hot" })
+        }
+        """,
+    )
+
+
+SPARQL_EXISTS_ORACLE = (
+    "SELECT DISTINCT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "CAST(user_id AS VARCHAR) AS u FROM events p "
+    "WHERE p.event_type = 'purchase' "
+    "AND EXISTS (SELECT 1 FROM events x WHERE x.user_id = p.user_id "
+    "AND x.event_type = 'error') "
+    "AND NOT EXISTS (SELECT 1 FROM events y WHERE y.user_id = p.user_id "
+    "AND y.event_id % 37 = 0)"
 )
 
 
@@ -1084,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_range": q_sparql_filter_range,
         "sparql_regex": q_sparql_regex,
         "sparql_bind_values": q_sparql_bind_values,
+        "sparql_filter_expr": q_sparql_filter_expr,
+        "sparql_exists": q_sparql_exists,
         "sparql_describe": q_sparql_describe,
         "sparql_path": q_sparql_path,
         "sparql_select": q_sparql_select,
@@ -1100,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "corpus_decontam": q_corpus_decontam,
+        "text_pii": q_text_pii,
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
         "corpus_splits": q_corpus_splits,
@@ -1268,6 +1424,8 @@ def oracle_sql() -> dict[str, str]:
             bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
         ),
         "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
+        "corpus_decontam": oracles.sql_contamination("documents", n=4),
+        "text_pii": oracles.sql_pii_scrub(f"({PII_AUG_SQL})"),
         "corpus_manifest": oracles.sql_training_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "
             "text FROM documents WHERE doc_id % 10 = 0)"
@@ -1318,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_filter_range": SPARQL_FILTER_RANGE_ORACLE,
         "sparql_regex": SPARQL_REGEX_ORACLE,
         "sparql_bind_values": SPARQL_BIND_VALUES_ORACLE,
+        "sparql_filter_expr": SPARQL_FILTER_EXPR_ORACLE,
+        "sparql_exists": SPARQL_EXISTS_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

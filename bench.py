@@ -69,6 +69,10 @@ EXTRA_QUERIES = [
     "sparql_filter_range",
     "sparql_regex",
     "sparql_bind_values",
+    "sparql_filter_expr",
+    "sparql_exists",
+    "corpus_decontam",
+    "text_pii",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

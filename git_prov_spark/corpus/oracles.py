@@ -600,3 +600,38 @@ def sql_chunk_documents(src: str = "documents", window: int = 512,
         f"CAST(least({window}, len(tokens) - start) AS BIGINT) AS n_tokens "
         "FROM c"
     )
+
+
+def sql_contamination(src: str = "documents", n: int = 4,
+                      eval_mod: int = 10) -> str:
+    """DuckDB twin of decontam.contamination_report over a deterministic
+    doc_id-stride eval split (eval = doc_id % eval_mod == 0)."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), sh AS ({shingles_cte(n)}), "
+        f"ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0), "
+        f"tr AS (SELECT * FROM sh WHERE doc_id % {eval_mod} <> 0), "
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM tr "
+        "JOIN ev USING (shingle) GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        f"FROM {src} d LEFT JOIN hits h USING (doc_id) "
+        f"WHERE d.doc_id % {eval_mod} <> 0"
+    )
+
+
+def sql_pii_scrub(src: str = "documents") -> str:
+    """DuckDB twin of text.pii_scrub — identical RE2/Java-portable
+    patterns, identical progressive-scrub counting order."""
+    from .text import PII_EMAIL, PII_IPV4, PII_LONGNUM
+
+    t0 = "COALESCE(text, '')"
+    t1 = f"regexp_replace({t0}, '{PII_EMAIL}', '[EMAIL]', 'g')"
+    t2 = f"regexp_replace({t1}, '{PII_IPV4}', '[IP]', 'g')"
+    t3 = f"regexp_replace({t2}, '{PII_LONGNUM}', '[NUM]', 'g')"
+    return (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all({t0}, '{PII_EMAIL}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all({t1}, '{PII_IPV4}')) AS BIGINT) AS n_ips, "
+        f"CAST(len(regexp_extract_all({t2}, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums, "
+        f"{t3} AS scrubbed, sha256({t3}) AS scrubbed_sha FROM {src}"
+    )

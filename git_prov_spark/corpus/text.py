@@ -226,3 +226,41 @@ def pack_chunks(
         F.floor(start / target_tokens).cast("long").alias("bin_id"),
         (start % target_tokens).cast("long").alias("bin_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the pre-training privacy gate)
+# --------------------------------------------------------------------------
+
+# Patterns chosen to be Java-regex / RE2 portable (no lookarounds, no
+# backreferences) so the DuckDB oracle matches token-for-token.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONGNUM = r"[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_longnums, scrubbed, scrubbed_sha):
+    redact emails → [EMAIL], IPv4s → [IP], then 9+-digit runs → [NUM].
+
+    Counting happens on the progressively scrubbed text (emails counted
+    first, then IPs on the email-scrubbed text, then digit runs on the
+    IP-scrubbed text) so a digit-heavy email or an IP inside a URL is
+    never double-counted. Pure expressions — map-side, zero shuffle, and
+    whole-stage-codegen'd like the other text signals."""
+    t0 = norm_text(text)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    n_longnums = F.size(F.regexp_extract_all(t2, F.lit(PII_LONGNUM), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_LONGNUM, "[NUM]")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_longnums.cast("long").alias("n_longnums"),
+        t3.alias("scrubbed"),
+        F.sha2(t3, 256).alias("scrubbed_sha"),
+    )

@@ -21,13 +21,18 @@ Supported subset (documented, validated — anything else raises SparqlError):
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
             MINUS { s p o . ... } .             -- anti-join on shared vars
-            BIND(expr AS ?v) .                  -- expr: term | STR(?v) |
-            VALUES ?v { t1 t2 } .               --   CONCAT(e1, e2, ...)
+            BIND(expr AS ?v) .                  -- expr: term | STR | CONCAT
+            VALUES ?v { t1 t2 } .               --   | LCASE | UCASE | STRLEN
             VALUES (?a ?b) { (t1 t2) (t3 t4) }  -- inline data (no UNDEF)
-            FILTER(?v = term) .                 -- =, !=; rhs may be a ?var
-            FILTER(?v IN (t1, t2)) .            -- membership
-            FILTER(?v > n) .                    -- <, <=, >, >= — numeric
-            FILTER(regex(?v, "pat")) }          -- substring regex match
+            FILTER(expr) }                      -- boolean expressions:
+    FILTER grammar: e || e, e && e, !e, (e),    --   numeric comparison when
+      ve OP ve with OP in = != < <= > >=,       --   a side is a number or
+      ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   STRLEN, else codepoint
+      bound(?v), STRSTARTS/STRENDS/CONTAINS     --   string order (like ARQ
+      (ve, ve), [NOT] EXISTS { patterns }       --   on simple literals);
+                                                -- ve = BIND expressions.
+      EXISTS compiles to ONE left-semi/anti join on the block's shared
+      variables — top-level conjunct position only (not under ||/!).
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
     ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
@@ -106,7 +111,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>+/|^])
+  | (?P<punct>[{}().=!,*<>+/|^&])
     """,
     re.VERBOSE,
 )
@@ -129,12 +134,18 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 # AST
 # --------------------------------------------------------------------------
 
-@dataclass
-class Filter:
-    var: str          # variable name (no '?')
-    op: str           # '=', '!=', 'in', '<', '<=', '>', '>=', 'regex'
-    value: str | list[str]  # constant(s) / var name (rhs_var) / regex pattern
-    rhs_var: bool = False   # right side is another variable (?a = ?b)
+# FILTER expression AST (nested tuples, like BindExpr):
+#   ('or'|'and', [exprs]) | ('not', expr)
+#   ('cmp', op, ve, ve)            op ∈ = != < <= > >=
+#   ('in', ve, [consts], negated)
+#   ('regex', ve, pattern)
+#   ('bound', varname)
+#   ('boolfn', 'strstarts'|'strends'|'contains', [ve, ve])
+#   ('exists', patterns, negated)  — compiled to a semi/anti join, so it is
+#                                    only legal as a top-level conjunct
+# value expressions (ve) are BindExpr (shared with BIND), extended with
+# ('num', tok) numeric literals and lcase/ucase/strlen functions.
+FilterExpr = tuple
 
 
 # -- property-path AST (SPARQL 1.1 grammar [88]-[91] subset) ----------------
@@ -171,8 +182,8 @@ class PathStar:
 
 PathExpr = PathPred | PathInv | PathSeq | PathAlt | PathPlus | PathStar
 
-# BIND expression AST: ('const', value) | ('var', name) |
-# ('concat', [exprs]) | ('str', name)
+# BIND / value expression AST: ('const', value) | ('num', tok) |
+# ('var', name) | ('concat', [exprs]) | ('str'|'lcase'|'ucase'|'strlen', expr)
 BindExpr = tuple
 
 
@@ -465,9 +476,14 @@ class _Parser:
         self._expect(")")
         self.q.binds.append((expr, var[1:]))
 
+    _UNARY_STR_FNS = {"STR": "str", "LCASE": "lcase", "UCASE": "ucase",
+                      "STRLEN": "strlen"}
+
     def _parse_bind_expr(self) -> BindExpr:
         kind, tok = self._peek()
-        if kind == "word" and tok.upper() in ("CONCAT", "STR"):
+        if kind == "word" and (
+            tok.upper() == "CONCAT" or tok.upper() in self._UNARY_STR_FNS
+        ):
             fn = tok.upper()
             self.i += 1
             self._expect("(")
@@ -476,18 +492,20 @@ class _Parser:
                 self.i += 1
                 args.append(self._parse_bind_expr())
             self._expect(")")
-            if fn == "STR":
+            if fn in self._UNARY_STR_FNS:
                 if len(args) != 1:
-                    raise SparqlError("STR takes exactly one argument")
-                return ("str", args[0])
+                    raise SparqlError(f"{fn} takes exactly one argument")
+                return (self._UNARY_STR_FNS[fn], args[0])
             return ("concat", args)
         if kind == "num":
             self.i += 1
-            return ("const", tok)
-        term = self._term(as_pattern=False)
-        if term.startswith("?"):
-            return ("var", term[1:])
-        return ("const", term)
+            return ("num", tok)
+        if kind == "var":
+            self.i += 1
+            return ("var", tok[1:])
+        # _term would echo a quoted literal that HAPPENS to start with '?'
+        # (e.g. "?e1") — classify on the token kind, never the spelling
+        return ("const", self._term(as_pattern=False))
 
     def _parse_values(self) -> None:
         """VALUES ?v { t1 t2 } | VALUES (?a ?b) { (t1 t2) (t3 t4) }."""
@@ -526,48 +544,98 @@ class _Parser:
         self.q.values_blocks.append((names, rows))
 
     def _parse_filter(self) -> None:
+        """FILTER ( expr ): full boolean expression grammar — ||, &&, !,
+        comparisons (= != < <= > >= over value expressions), [NOT] IN,
+        regex(expr, "pat"), bound(?v), STRSTARTS/STRENDS/CONTAINS, and
+        [NOT] EXISTS { patterns } (top-level conjunct only; it compiles to
+        a semi/anti join, not a row predicate)."""
         self._expect("(")
-        if self._peek()[0] == "word" and self._peek()[1].upper() == "REGEX":
+        self.q.filters.append(self._parse_f_or())
+        self._expect(")")
+
+    def _parse_f_or(self) -> FilterExpr:
+        parts = [self._parse_f_and()]
+        while (self._peek()[1] == "|"
+               and self.i + 1 < len(self.toks)
+               and self.toks[self.i + 1][1] == "|"):
+            self.i += 2
+            parts.append(self._parse_f_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _parse_f_and(self) -> FilterExpr:
+        parts = [self._parse_f_unary()]
+        while (self._peek()[1] == "&"
+               and self.i + 1 < len(self.toks)
+               and self.toks[self.i + 1][1] == "&"):
+            self.i += 2
+            parts.append(self._parse_f_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _parse_f_unary(self) -> FilterExpr:
+        # '!' is negation here; '!=' only ever follows a value expression,
+        # which _parse_f_primary handles in comparison position
+        if (self._peek()[1] == "!"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][1] != "="):
+            self.i += 1
+            return ("not", self._parse_f_unary())
+        return self._parse_f_primary()
+
+    _BOOL_FNS = ("STRSTARTS", "STRENDS", "CONTAINS")
+
+    def _parse_f_primary(self) -> FilterExpr:
+        kind, tok = self._peek()
+        up = tok.upper() if kind == "word" else ""
+        if tok == "(":
+            self.i += 1
+            inner = self._parse_f_or()
+            self._expect(")")
+            return inner
+        if up in ("EXISTS", "NOT"):
+            negated = up == "NOT"
+            self.i += 1
+            if negated and not self._kw("EXISTS"):
+                raise SparqlError("expected EXISTS after NOT in FILTER")
+            block = self._parse_braced_patterns()
+            if not block:
+                raise SparqlError("empty EXISTS block")
+            return ("exists", block, negated)
+        if up == "BOUND":
             self.i += 1
             self._expect("(")
             kind, var = self._next()
             if kind != "var":
-                raise SparqlError("regex() needs a ?var first argument")
+                raise SparqlError("bound() needs a ?var argument")
+            self._expect(")")
+            return ("bound", var[1:])
+        if up == "REGEX":
+            self.i += 1
+            self._expect("(")
+            ve = self._parse_bind_expr()
             self._expect(",")
             kind, pat = self._next()
             if kind != "lit":
                 raise SparqlError("regex() needs a string-literal pattern")
             self._expect(")")
+            return ("regex", ve, _unescape_literal(pat[1:-1]))
+        if up in self._BOOL_FNS:
+            self.i += 1
+            self._expect("(")
+            a = self._parse_bind_expr()
+            self._expect(",")
+            b = self._parse_bind_expr()
             self._expect(")")
-            self.q.filters.append(
-                Filter(var[1:], "regex", _unescape_literal(pat[1:-1]))
-            )
-            return
-        kind, var = self._next()
-        if kind != "var":
-            raise SparqlError(
-                "FILTER supports ?var OP term, ?var IN (...), regex(?var, ...)"
-            )
-        kind, op = self._next()
-        if op == "!":
-            self._expect("=")
-            op = "!="
-        elif op in ("<", ">"):
-            if self._peek()[1] == "=":
-                self.i += 1
-                op += "="
-            kind, rhs = self._next()
-            if kind == "num":
-                self.q.filters.append(Filter(var[1:], op, rhs))
-            elif kind == "var":
-                self.q.filters.append(Filter(var[1:], op, rhs[1:], rhs_var=True))
-            else:
-                raise SparqlError(
-                    f"FILTER {op} needs a numeric literal or ?var right side"
-                )
-            self._expect(")")
-            return
-        elif kind == "word" and op.upper() == "IN":
+            return ("boolfn", up.lower(), [a, b])
+        ve = self._parse_bind_expr()
+        kind2, tok2 = self._peek()
+        up2 = tok2.upper() if kind2 == "word" else ""
+        if up2 == "IN" or (
+            up2 == "NOT"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1][1].upper() == "IN"
+        ):
+            negated = up2 == "NOT"
+            self.i += 2 if negated else 1
             self._expect("(")
             values: list[str] = []
             while True:
@@ -579,19 +647,20 @@ class _Parser:
                 if nxt == ")":
                     break
                 if nxt != ",":
-                    raise SparqlError(f"expected ',' or ')' in IN list, got {nxt!r}")
-            self._expect(")")
-            self.q.filters.append(Filter(var[1:], "in", values))
-            return
-        elif op != "=":
-            raise SparqlError(f"FILTER operator {op!r} unsupported (=, !=, IN)")
-        rhs_kind = self._peek()[0]
-        value = self._term(as_pattern=False)
-        self._expect(")")
-        rhs_var = rhs_kind == "var"
-        self.q.filters.append(
-            Filter(var[1:], op, value[1:] if rhs_var else value, rhs_var)
-        )
+                    raise SparqlError(
+                        f"expected ',' or ')' in IN list, got {nxt!r}"
+                    )
+            return ("in", ve, values, negated)
+        kind2, op = self._next()
+        if op == "!":
+            self._expect("=")
+            op = "!="
+        elif op in ("<", ">") and self._peek()[1] == "=":
+            self.i += 1
+            op += "="
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlError(f"FILTER operator {op!r} unsupported")
+        return ("cmp", op, ve, self._parse_bind_expr())
 
     def _parse_modifiers(self) -> None:
         if self._kw("GROUP"):
@@ -799,15 +868,106 @@ def _seeded_path_rel(
 
 def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
     kind, payload = expr
-    if kind == "const":
+    if kind in ("const", "num"):
+        # numeric literals stay string-typed here (BIND output parity);
+        # comparisons re-cast both sides to double via _is_numeric_expr
         return F.lit(payload)
     if kind == "var":
         if payload not in df.columns:
-            raise SparqlError(f"BIND references unbound variable ?{payload}")
+            raise SparqlError(f"expression references unbound variable ?{payload}")
         return F.col(payload)
     if kind == "str":
         return _bind_col(payload, df).cast("string")
+    if kind == "lcase":
+        return F.lower(_bind_col(payload, df).cast("string"))
+    if kind == "ucase":
+        return F.upper(_bind_col(payload, df).cast("string"))
+    if kind == "strlen":
+        return F.length(_bind_col(payload, df).cast("string"))
     return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
+
+
+def _is_numeric_expr(expr: BindExpr) -> bool:
+    return expr[0] in ("num", "strlen")
+
+
+def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
+    """Compile a FILTER expression to a boolean Column (everything except
+    EXISTS, which _apply_filters turns into a semi/anti join)."""
+    kind = expr[0]
+    if kind == "or":
+        cond = _filter_col(expr[1][0], df)
+        for e in expr[1][1:]:
+            cond = cond | _filter_col(e, df)
+        return cond
+    if kind == "and":
+        cond = _filter_col(expr[1][0], df)
+        for e in expr[1][1:]:
+            cond = cond & _filter_col(e, df)
+        return cond
+    if kind == "not":
+        return ~_filter_col(expr[1], df)
+    if kind == "bound":
+        # a var never bound anywhere in the query is simply false, matching
+        # SPARQL's bound() over an unbound variable
+        if expr[1] not in df.columns:
+            return F.lit(False)
+        return F.col(expr[1]).isNotNull()
+    if kind == "regex":
+        # SPARQL REGEX is an unanchored substring match, like rlike
+        return _bind_col(expr[1], df).cast("string").rlike(expr[2])
+    if kind == "boolfn":
+        a = _bind_col(expr[2][0], df).cast("string")
+        b = _bind_col(expr[2][1], df).cast("string")
+        return {"strstarts": a.startswith(b), "strends": a.endswith(b),
+                "contains": a.contains(b)}[expr[1]]
+    if kind == "in":
+        cond = _bind_col(expr[1], df).isin(*expr[2])
+        return ~cond if expr[3] else cond
+    if kind == "cmp":
+        op, ve1, ve2 = expr[1], expr[2], expr[3]
+        c1, c2 = _bind_col(ve1, df), _bind_col(ve2, df)
+        if _is_numeric_expr(ve1) or _is_numeric_expr(ve2):
+            c1, c2 = c1.cast("double"), c2.cast("double")
+        return {"=": c1 == c2, "!=": c1 != c2, "<": c1 < c2,
+                "<=": c1 <= c2, ">": c1 > c2, ">=": c1 >= c2}[op]
+    raise SparqlError(
+        "EXISTS is only supported as a top-level FILTER conjunct "
+        "(it compiles to a join, not a row predicate)"
+    )
+
+
+def _apply_filters(
+    df: DataFrame, filters: list, triples: DataFrame, repo: str | None
+) -> DataFrame:
+    """Apply FILTER expressions: top-level conjuncts are split so each
+    EXISTS/NOT EXISTS becomes ONE left-semi/left-anti join against its
+    BGP's distinct shared-variable bindings (never a row-by-row subquery),
+    and everything else one where() predicate."""
+    conjuncts: list = []
+    stack = list(filters)
+    while stack:
+        e = stack.pop(0)
+        if e[0] == "and":
+            stack = list(e[1]) + stack
+        else:
+            conjuncts.append(e)
+    for e in conjuncts:
+        if e[0] == "exists":
+            patterns, negated = e[1], e[2]
+            ex = bgp(triples, patterns, repo=repo)
+            shared = [c for c in ex.columns if c in df.columns]
+            if not shared:
+                raise SparqlError(
+                    "EXISTS block shares no variable with the outer patterns"
+                )
+            df = df.join(
+                ex.select(*shared), shared,
+                "left_anti" if negated else "left_semi",
+            )
+        else:
+            df = df.where(_filter_col(e, df))
+    return df
 
 
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
@@ -923,32 +1083,7 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         if name in df.columns:
             raise SparqlError(f"BIND would rebind already-bound ?{name}")
         df = df.withColumn(name, _bind_col(expr, df))
-    for flt in q.filters:
-        if flt.var not in df.columns:
-            raise SparqlError(f"FILTER on unbound variable ?{flt.var}")
-        if flt.op == "in":
-            cond = F.col(flt.var).isin(*flt.value)
-        elif flt.op == "regex":
-            # SPARQL REGEX is an unanchored substring match, like rlike
-            cond = F.col(flt.var).rlike(flt.value)
-        elif flt.op in ("<", "<=", ">", ">="):
-            lhs = F.col(flt.var).cast("double")
-            if flt.rhs_var:
-                if flt.value not in df.columns:
-                    raise SparqlError(f"FILTER on unbound variable ?{flt.value}")
-                rhs = F.col(flt.value).cast("double")
-            else:
-                rhs = F.lit(float(flt.value))
-            cond = {"<": lhs < rhs, "<=": lhs <= rhs,
-                    ">": lhs > rhs, ">=": lhs >= rhs}[flt.op]
-        elif flt.rhs_var:
-            if flt.value not in df.columns:
-                raise SparqlError(f"FILTER on unbound variable ?{flt.value}")
-            cond = F.col(flt.var) == F.col(flt.value)
-        else:
-            cond = F.col(flt.var) == flt.value
-        df = df.where(cond if flt.op != "!=" else ~cond)
-    return df
+    return _apply_filters(df, q.filters, triples, repo)
 
 
 def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:

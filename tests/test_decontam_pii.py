@@ -1,0 +1,93 @@
+"""Decontamination (n-gram overlap vs an eval set) and PII scrubbing:
+hand-crafted goldens + the broadcast / map-side plan invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from git_prov_spark.corpus.decontam import contamination_report, decontaminate
+from git_prov_spark.corpus.text import pii_scrub
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_report_golden(spark):
+    train = _docs(spark, [
+        (1, "a b c d e f"),          # shares 'a b c d' + 'b c d e' + 'c d e f'
+        (2, "x y z w q r"),          # disjoint
+        (3, "c d e f zz"),           # shares 'c d e f'
+        (4, None),                   # null text → zero shingles
+    ])
+    eval_df = _docs(spark, [(100, "a b c d e f g")])
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in contamination_report(train, eval_df, n=4).collect()
+    }
+    assert got == {1: (3, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+
+
+def test_decontaminate_drops_flagged_rows_only(spark):
+    train = _docs(spark, [
+        (1, "a b c d e f"), (2, "x y z w q r"), (3, "c d e f zz"),
+    ])
+    eval_df = _docs(spark, [(100, "a b c d e f g")])
+    kept = decontaminate(train, eval_df, n=4)
+    assert {r.doc_id for r in kept.collect()} == {2}
+    assert kept.columns == train.columns  # all columns pass through
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """The scale invariant: eval shingles broadcast, the corpus side joins
+    map-side — no shuffle of the training shingles, no cartesian."""
+    train = _docs(spark, [(i, f"w{i} a b c d w{i+1}") for i in range(50)])
+    eval_df = _docs(spark, [(100, "a b c d")])
+    plan = (
+        contamination_report(train, eval_df, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_goldens(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "card 1234567890123456 short 12345678"),
+        (4, "alice@ex.io from 8.8.8.8 ref 999999999"),
+        (5, None),
+        (6, "no pii here"),
+    ]
+    got = {r.doc_id: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_longnums) == (1, 0, 0)
+    assert got[1].scrubbed == "mail [EMAIL] now"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_longnums) == (0, 2, 0)
+    assert got[2].scrubbed == "server [IP] and [IP] up"
+    # 16-digit card matches the 9+ run once; 8-digit stays
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_longnums) == (0, 0, 1)
+    assert got[3].scrubbed == "card [NUM] short 12345678"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_longnums) == (1, 1, 1)
+    assert got[4].scrubbed == "[EMAIL] from [IP] ref [NUM]"
+    assert got[5].scrubbed == "" and got[5].n_emails == 0
+    assert got[6].scrubbed == "no pii here"
+
+
+def test_pii_scrub_no_double_counting(spark):
+    """A digit-heavy email and an IP must each be counted once, in their
+    own class — the progressive-scrub order guarantees it."""
+    rows = [(1, "123456789012@digits.example.com at 10.20.30.40")]
+    r = pii_scrub(_docs(spark, rows)).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_longnums) == (1, 1, 0)
+    assert r.scrubbed == "[EMAIL] at [IP]"
+
+
+def test_pii_scrub_is_map_side(spark):
+    rows = [(i, f"user{i}@x.io") for i in range(20)]
+    plan = (
+        pii_scrub(_docs(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffle

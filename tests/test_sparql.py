@@ -37,8 +37,8 @@ def test_parse_golden():
         ("?c", "rdf:type", "prov:Activity"),
         ("?c", "rdfs:label", "?label"),
     ]
-    assert [(f.var, f.op, f.value) for f in q.filters] == [
-        ("label", "=", "Initial commit")
+    assert q.filters == [
+        ("cmp", "=", ("var", "label"), ("const", "Initial commit"))
     ]
     assert q.order_by == [("c", False)] and q.limit == 10
 
@@ -57,7 +57,7 @@ def test_parse_star_and_user_prefix():
     [
         "INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",      # update form
         "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
-        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > \"x\") }",  # non-numeric ineq
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?s)) }",  # unsupported fn
         "SELECT WHERE { ?s ?p ?o }",                   # no projection
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",        # bad limit
         "SELECT ?s WHERE { ?s ?p ?o } garbage",        # trailing input
@@ -222,8 +222,8 @@ def test_parse_optional_and_in():
     )
     assert q.patterns == [("?e", "rdf:type", "prov:Entity")]
     assert q.optionals == [[("?e", "prov:wasDerivedFrom", "?d")]]
-    assert [(f.var, f.op, f.value) for f in q.filters] == [
-        ("e", "in", ["gitprov:a", "gitprov:b"])
+    assert q.filters == [
+        ("in", ("var", "e"), ["gitprov:a", "gitprov:b"], False)
     ]
 
 
@@ -1057,3 +1057,126 @@ def test_reachable_from_operator(spark):
     got = {r.dst for r in reachable_from(edges, "5").collect()}
     assert got == {str(i) for i in range(41)}  # whole cycle incl. the seed
     assert reachable_from(edges.where("src = '-1'"), "99").count() == 0
+
+
+# --------------------------------------------------------------------------
+# Round-3 FILTER expression grammar: ||/&&/!, string fns, bound, EXISTS
+# --------------------------------------------------------------------------
+
+def _mini_graph(spark):
+    rows = [
+        ("r", "e1", "ev:type", "purchase", "xsd:string"),
+        ("r", "e1", "ev:by", "u1", "xsd:string"),
+        ("r", "e2", "ev:type", "error", "xsd:string"),
+        ("r", "e2", "ev:by", "u1", "xsd:string"),
+        ("r", "e3", "ev:type", "purchase", "xsd:string"),
+        ("r", "e3", "ev:by", "u2", "xsd:string"),
+        ("r", "e4", "ev:type", "signup", "xsd:string"),
+        ("r", "e4", "ev:by", "u3", "xsd:string"),
+        ("r", "e2", "ev:note", "bad", "xsd:string"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+
+
+def test_filter_bool_connectives_and_string_fns(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e ?t WHERE {
+          ?e ev:type ?t .
+          FILTER( (STRSTARTS(UCASE(?t), "P") || CONTAINS(?t, "rror"))
+                  && !(?t = "signup") )
+          FILTER(STRLEN(?t) >= 5)
+        }
+    """))
+    assert got == [("e1", "purchase"), ("e2", "error"), ("e3", "purchase")]
+
+
+def test_filter_not_in_and_string_inequality(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?t WHERE { ?e ev:type ?t .
+          FILTER(?t NOT IN ("error")) FILTER(?t > "p") }
+    """))
+    # codepoint string ordering, like ARQ on simple literals
+    assert got == [("purchase",), ("signup",)]
+
+
+def test_filter_bound_with_optional(spark):
+    t = _mini_graph(spark)
+    # only e2 carries ev:note — bound(?n) is true exactly for solutions
+    # where the OPTIONAL matched, and !bound selects the rest
+    got = _rows(execute(t, """
+        SELECT ?e WHERE {
+          ?e ev:by ?u . OPTIONAL { ?e ev:note ?n } . FILTER(bound(?n))
+        }
+    """))
+    assert got == [("e2",)]
+    got = _rows(execute(t, """
+        SELECT ?e WHERE {
+          ?e ev:by ?u . OPTIONAL { ?e ev:note ?n } . FILTER(!bound(?n))
+        }
+    """))
+    assert got == [("e1",), ("e3",), ("e4",)]
+
+
+def test_filter_exists_and_not_exists(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e ?u WHERE {
+          ?e ev:type "purchase" . ?e ev:by ?u .
+          FILTER(EXISTS { ?x ev:by ?u . ?x ev:type "error" })
+        }
+    """))
+    assert got == [("e1", "u1")]
+    got = _rows(execute(t, """
+        SELECT ?e ?u WHERE {
+          ?e ev:type "purchase" . ?e ev:by ?u .
+          FILTER(NOT EXISTS { ?x ev:by ?u . ?x ev:type "error" })
+        }
+    """))
+    assert got == [("e3", "u2")]
+
+
+def test_filter_exists_compiles_to_semi_anti_join(spark):
+    """Scale invariant: [NOT] EXISTS is ONE semi/anti join, not a per-row
+    subquery and not a cartesian anything."""
+    t = _mini_graph(spark)
+    for kw, node in (("EXISTS", "LeftSemi"), ("NOT EXISTS", "LeftAnti")):
+        df = execute(t, f"""
+            SELECT ?e WHERE {{ ?e ev:by ?u .
+              FILTER({kw} {{ ?x ev:by ?u . ?x ev:type "error" }}) }}
+        """)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert node.lower() in plan.lower(), (kw, plan)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_exists_requires_shared_var(spark):
+    t = _mini_graph(spark)
+    with pytest.raises(SparqlError):
+        execute(t, """
+            SELECT ?e WHERE { ?e ev:type "purchase" .
+              FILTER(EXISTS { ?x ev:type "error" }) }
+        """).collect()
+
+
+def test_filter_exists_nested_in_or_rejected(spark):
+    t = _mini_graph(spark)
+    with pytest.raises(SparqlError):
+        execute(t, """
+            SELECT ?e WHERE { ?e ev:by ?u .
+              FILTER(bound(?u) || EXISTS { ?x ev:by ?u }) }
+        """).collect()
+
+
+def test_bind_lcase_ucase_strlen(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?t ?up ?n WHERE { ?e ev:type ?t .
+          BIND(UCASE(?t) AS ?up) . BIND(STRLEN(?t) AS ?n) .
+          FILTER(?t = "error") }
+    """))
+    assert got == [("error", "ERROR", 5)]
