@@ -962,6 +962,83 @@ SPARQL_EXISTS_ORACLE = (
 )
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """Nested { SELECT ... } (SPARQL 1.1 §12, ARQ-parity): the inner
+    grouped COUNT evaluates bottom-up, then equi-joins the outer BGP on
+    its projected variable — purchase events of users with ≥ 70 events."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    by_user = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:by_user").alias("pred"),
+        F.col("user_id").cast("string").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    typed = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:type").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        by_user.unionByName(typed),
+        """
+        SELECT ?e ?u ?n WHERE {
+          ?e ev:type "purchase" . ?e ev:by_user ?u .
+          { SELECT ?u (COUNT(*) AS ?n) WHERE { ?x ev:by_user ?u }
+            GROUP BY ?u }
+          FILTER(?n >= 70)
+        }
+        """,
+    )
+
+
+SPARQL_SUBQUERY_ORACLE = (
+    "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS u, count(*) AS n "
+    "FROM events GROUP BY 1) "
+    "SELECT DISTINCT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "CAST(user_id AS VARCHAR) AS u, CAST(n AS BIGINT) AS n "
+    "FROM events JOIN c ON c.u = CAST(user_id AS VARCHAR) "
+    "WHERE event_type = 'purchase' AND n >= 70"
+)
+
+
+def q_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT (sorted for distributed determinism; ARQ emits
+    solution order, which no shuffled plan can promise) + SAMPLE (min
+    witness) — the remaining ARQ aggregates."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.col("user_id").cast("string").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?u (GROUP_CONCAT(?p; SEPARATOR="|") AS ?preds)
+               (SAMPLE(?x) AS ?first_event)
+        WHERE { ?x ?p ?u } GROUP BY ?u
+        """,
+    )
+
+
+SPARQL_GROUP_CONCAT_ORACLE = (
+    "SELECT CAST(user_id AS VARCHAR) AS u, "
+    "string_agg('ev:did_' || event_type, '|' ORDER BY 'ev:did_' || event_type) "
+    "AS preds, "
+    "min('event-' || CAST(event_id AS VARCHAR)) AS first_event "
+    "FROM events GROUP BY 1"
+)
+
+
 def q_sparql_path(spark, sf_dir):
     """SPARQL one-or-more property path (`pred+`): compiles to the
     distributed path-doubling closure (operators.transitive_closure,
@@ -1238,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bind_values": q_sparql_bind_values,
         "sparql_filter_expr": q_sparql_filter_expr,
         "sparql_exists": q_sparql_exists,
+        "sparql_subquery": q_sparql_subquery,
+        "sparql_group_concat": q_sparql_group_concat,
         "sparql_describe": q_sparql_describe,
         "sparql_path": q_sparql_path,
         "sparql_select": q_sparql_select,
@@ -1478,6 +1557,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bind_values": SPARQL_BIND_VALUES_ORACLE,
         "sparql_filter_expr": SPARQL_FILTER_EXPR_ORACLE,
         "sparql_exists": SPARQL_EXISTS_ORACLE,
+        "sparql_subquery": SPARQL_SUBQUERY_ORACLE,
+        "sparql_group_concat": SPARQL_GROUP_CONCAT_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

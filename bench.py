@@ -73,6 +73,8 @@ EXTRA_QUERIES = [
     "sparql_exists",
     "corpus_decontam",
     "text_pii",
+    "sparql_subquery",
+    "sparql_group_concat",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -15,8 +15,13 @@ Supported subset (documented, validated — anything else raises SparqlError):
     DESCRIBE term [term ...]                    -- → subject triples, no WHERE
     SELECT [DISTINCT] ?a ?b | *                 -- projection
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
-           (MIN(?v) AS ?lo) ...                 --   MIN, MAX, AVG (SUM/AVG
-    WHERE { s p o . s p o .                     --   cast lexical -> double)
+           (MIN(?v) AS ?lo)                     --   MIN, MAX, AVG (lexical
+           (GROUP_CONCAT(?v; SEPARATOR=",")     --   -> double), SAMPLE (min
+                AS ?cs) ...                     --   witness), GROUP_CONCAT
+    WHERE { s p o . s p o .                     --   (sorted, deterministic)
+            { SELECT ... } .                    -- subquery (SPARQL 1.1 §12):
+                                                --   evaluates bottom-up, then
+                                                --   joins on projected vars
             ?a path ?b .                        -- property paths, see below
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
@@ -111,7 +116,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>+/|^&])
+  | (?P<punct>[{}().=!,*<>+/|^&;])
     """,
     re.VERBOSE,
 )
@@ -189,10 +194,11 @@ BindExpr = tuple
 
 @dataclass
 class Agg:
-    func: str             # 'count' | 'sum' | 'min' | 'max'
+    func: str             # 'count'|'sum'|'min'|'max'|'avg'|'sample'|'group_concat'
     var: str | None       # None = COUNT(*)
     distinct: bool
     alias: str            # output column name (no '?')
+    sep: str = " "        # GROUP_CONCAT separator (SEPARATOR=".." clause)
 
 
 @dataclass
@@ -206,6 +212,7 @@ class SelectQuery:
     # (s, PathExpr, o) — any non-plain predicate position (+ * / | ^)
     path_patterns: list[tuple] = field(default_factory=list)
     unions: list[list[list[Pattern]]] = field(default_factory=list)  # chains of branches
+    subqueries: list["SelectQuery"] = field(default_factory=list)
     optionals: list[list[Pattern]] = field(default_factory=list)
     minuses: list[list[Pattern]] = field(default_factory=list)
     binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
@@ -367,7 +374,8 @@ class _Parser:
         self.i += 1
         return out
 
-    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+    _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                  "GROUP_CONCAT")
 
     def _parse_projection(self) -> None:
         kind, tok = self._peek()
@@ -411,13 +419,26 @@ class _Parser:
             var = arg[1:]
         else:
             raise SparqlError(f"aggregate argument must be ?var or *, got {arg!r}")
+        sep = " "
+        if self._peek()[1] == ";":  # GROUP_CONCAT(?v; SEPARATOR=", ")
+            if func != "group_concat":
+                raise SparqlError("SEPARATOR is only valid in GROUP_CONCAT")
+            self.i += 1
+            if not self._kw("SEPARATOR"):
+                raise SparqlError("expected SEPARATOR after ';'")
+            self._expect("=")
+            kind, lit = self._next()
+            if kind != "lit":
+                raise SparqlError("SEPARATOR needs a string literal")
+            sep = _unescape_literal(lit[1:-1])
         self._expect(")")
         self._expect("AS")
         kind, alias = self._next()
         if kind != "var":
             raise SparqlError("AS needs a ?alias variable")
         self._expect(")")
-        return Agg(func=func, var=var, distinct=distinct, alias=alias[1:])
+        return Agg(func=func, var=var, distinct=distinct, alias=alias[1:],
+                   sep=sep)
 
     def _parse_group(self) -> None:
         while True:
@@ -426,13 +447,22 @@ class _Parser:
                 self.i += 1
                 return
             if tok == "{":
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else ("eof", ""))
+                if nxt[0] == "word" and nxt[1].upper() == "SELECT":
+                    self.i += 1
+                    self.q.subqueries.append(self._parse_subquery())
+                    self._expect("}")
+                    if self._peek()[1] == ".":
+                        self.i += 1
+                    continue
                 branches = [self._parse_braced_patterns()]
                 while self._kw("UNION"):
                     branches.append(self._parse_braced_patterns())
                 if len(branches) < 2:
                     raise SparqlError(
                         "a braced group must be a UNION chain "
-                        "({ ... } UNION { ... })"
+                        "({ ... } UNION { ... }) or a { SELECT ... } subquery"
                     )
                 self.q.unions.append(branches)
             elif kind == "word" and tok.upper() == "FILTER":
@@ -464,6 +494,26 @@ class _Parser:
                     self.q.path_patterns.append((s, p, o))
             if self._peek()[1] == ".":
                 self.i += 1
+
+    def _parse_subquery(self) -> SelectQuery:
+        """{ SELECT ... WHERE { ... } [modifiers] } — a nested child parser
+        shares the token stream and namespace table; the inner query
+        evaluates fully (its own grouping/ordering/LIMIT), then joins the
+        outer solutions on its PROJECTED variables, per SPARQL 1.1 §12."""
+        sub = _Parser([], None)
+        sub.toks = self.toks
+        sub.i = self.i
+        sub.ns = self.ns
+        sub.q.prefixes = dict(self.q.prefixes)
+        sub._expect("SELECT")
+        sub.q.distinct = sub._kw("DISTINCT")
+        sub._parse_projection()
+        sub._expect("WHERE")
+        sub._expect("{")
+        sub._parse_group()
+        sub._parse_modifiers()
+        self.i = sub.i
+        return sub.q
 
     def _parse_bind(self) -> None:
         """BIND ( expr AS ?v ) — expr: term | STR(?v) | CONCAT(e1, e2, ...)."""
@@ -974,7 +1024,8 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     """The WHERE clause's solution set: BGP joins + property-path relations +
     UNION/OPTIONAL/MINUS blocks + VALUES/BIND columns + FILTER row
     predicates, one column per bound variable."""
-    if not q.patterns and not q.path_patterns and not q.unions:
+    if (not q.patterns and not q.path_patterns and not q.unions
+            and not q.subqueries):
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
@@ -1053,6 +1104,16 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
                         "patterns"
                     )
             df = df.join(u, shared)
+    for subq in q.subqueries:
+        # SPARQL 1.1 §12: the subquery evaluates bottom-up in full (own
+        # grouping / ordering / LIMIT), then its projected variables join
+        # the outer solutions — one more equi-join in the same plan
+        sdf = _finish_select(_solutions(triples, subq, repo), subq)
+        if df is None:
+            df = sdf
+        else:
+            shared = [c for c in sdf.columns if c in df.columns]
+            df = df.join(sdf, shared) if shared else df.crossJoin(sdf)
     for block in q.optionals:
         opt = bgp(triples, block, repo=repo)
         shared = [c for c in opt.columns if c in df.columns]
@@ -1172,7 +1233,12 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
     q = parse(query, repo=repo)
     if q.form != "select":
         raise SparqlError(f"{q.form.upper()} query: use the matching function")
-    df = _solutions(triples, q, repo)
+    return _finish_select(_solutions(triples, q, repo), q)
+
+
+def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
+    """Projection / aggregation / HAVING / ORDER / LIMIT over a solution
+    set — shared by execute() and subquery evaluation."""
     if q.having and not q.aggregates:
         raise SparqlError("HAVING requires an aggregate projection")
     if q.aggregates:
@@ -1206,8 +1272,18 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
                 c = agg_fn(F.col(a.var).cast("double"))
             elif a.func == "min":
                 c = F.min(a.var)
-            else:
+            elif a.func == "max":
                 c = F.max(a.var)
+            elif a.func == "sample":
+                # SPARQL SAMPLE is implementation-defined; pick min for a
+                # deterministic (and oracle-reproducible) witness
+                c = F.min(a.var)
+            else:  # group_concat — sorted for determinism (ARQ emits
+                # solution order, which a distributed plan cannot promise)
+                c = F.array_join(
+                    F.array_sort(F.collect_list(F.col(a.var).cast("string"))),
+                    a.sep,
+                )
             if a.distinct and a.func != "count":
                 raise SparqlError("DISTINCT is supported on COUNT only")
             cols.append(c.alias(a.alias))

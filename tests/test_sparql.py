@@ -1180,3 +1180,41 @@ def test_bind_lcase_ucase_strlen(spark):
           FILTER(?t = "error") }
     """))
     assert got == [("error", "ERROR", 5)]
+
+
+def test_subquery_joins_outer(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e ?u ?n WHERE {
+          ?e ev:type "purchase" . ?e ev:by ?u .
+          { SELECT ?u (COUNT(*) AS ?n) WHERE { ?x ev:by ?u } GROUP BY ?u }
+          FILTER(?n >= 2)
+        }
+    """))
+    # u1 owns e1+e2 (n=2); only its purchase e1 survives
+    assert got == [("e1", "u1", 2)]
+
+
+def test_subquery_limit_evaluates_bottom_up(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?u WHERE {
+          { SELECT ?u WHERE { ?x ev:by ?u } ORDER BY ASC(?u) LIMIT 1 }
+        }
+    """))
+    assert got == [("u1",)]
+
+
+def test_group_concat_and_sample(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?u (GROUP_CONCAT(?tp; SEPARATOR="|") AS ?types)
+               (SAMPLE(?x) AS ?one)
+        WHERE { ?x ev:by ?u . ?x ev:type ?tp } GROUP BY ?u
+        ORDER BY ASC(?u)
+    """))
+    assert got == [
+        ("u1", "error|purchase", "e1"),
+        ("u2", "purchase", "e3"),
+        ("u3", "signup", "e4"),
+    ]
