@@ -259,6 +259,7 @@ def lsh_index_matches(
     perms: list[tuple[int, int]] | None = None,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
+    max_broadcast_keys: int = 5_000_000,
 ) -> DataFrame:
     """Ingest-time near-dup gate: (new_id, match_id, n_shared_bands) for
     every NEW document colliding with anything already in the band
@@ -279,9 +280,18 @@ def lsh_index_matches(
     genuine other-doc matches."""
     nb = lsh_bands(new_docs, n=n, id_col=id_col, perms=perms, bands=bands, rows=rows)
     probe_keys = nb.select("band", "sig").distinct()
+    # broadcast guard: any sane micro-batch fits (|batch| × bands keys of
+    # 2 ints), but a bulk "batch" the size of a corpus would OOM the
+    # driver — above the cap, fall back to a shuffled equi-join (same
+    # result, costs one exchange of the index's hit candidates). The
+    # bound is counted on the RAW batch (cheap scan, ≤ cap+1 rows pulled),
+    # since |probe keys| ≤ |batch| × bands.
+    batch_cap = max(1, max_broadcast_keys // bands)
+    if new_docs.limit(batch_cap + 1).count() <= batch_cap:
+        probe_keys = F.broadcast(probe_keys)
     hits = (
         index.unionByName(nb)
-        .join(F.broadcast(probe_keys), ["band", "sig"])
+        .join(probe_keys, ["band", "sig"])
         # a re-ingested doc_id sits on BOTH sides of the union with
         # identical band rows — without the dedup its partners would
         # double-count n_shared_bands (asymmetric, oracle-divergent)

@@ -146,8 +146,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 #   ('regex', ve, pattern)
 #   ('bound', varname)
 #   ('boolfn', 'strstarts'|'strends'|'contains', [ve, ve])
-#   ('exists', patterns, negated)  — compiled to a semi/anti join, so it is
-#                                    only legal as a top-level conjunct
+#   ('exists', patterns, filters, negated) — compiled to a semi/anti join,
+#                                    so it is only legal as a top-level conjunct
 # value expressions (ve) are BindExpr (shared with BIND), extended with
 # ('num', tok) numeric literals and lcase/ucase/strlen functions.
 FilterExpr = tuple
@@ -211,10 +211,11 @@ class SelectQuery:
     patterns: list[Pattern] = field(default_factory=list)
     # (s, PathExpr, o) — any non-plain predicate position (+ * / | ^)
     path_patterns: list[tuple] = field(default_factory=list)
-    unions: list[list[list[Pattern]]] = field(default_factory=list)  # chains of branches
+    # UNION chains: each branch is (patterns, block-scoped filters)
+    unions: list[list[tuple]] = field(default_factory=list)
     subqueries: list["SelectQuery"] = field(default_factory=list)
-    optionals: list[list[Pattern]] = field(default_factory=list)
-    minuses: list[list[Pattern]] = field(default_factory=list)
+    optionals: list[tuple] = field(default_factory=list)  # (patterns, filters)
+    minuses: list[tuple] = field(default_factory=list)    # (patterns, filters)
     binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[Filter] = field(default_factory=list)
@@ -360,19 +361,36 @@ class _Parser:
         return PathInv(prim) if inverse else prim
 
     def _parse_braced_patterns(self) -> list[Pattern]:
+        patterns, filters = self._parse_block()
+        if filters:
+            raise SparqlError("FILTER is not allowed in this block")
+        return patterns
+
+    def _parse_block(self) -> tuple[list[Pattern], list[FilterExpr]]:
+        """{ s p o . ... FILTER(...) ... } — triple patterns plus any
+        block-scoped FILTERs (applied to the block's own solutions before
+        it joins the outer group, SPARQL group-scoping)."""
         self._expect("{")
         out: list[Pattern] = []
+        filters: list[FilterExpr] = []
         while self._peek()[1] != "}":
-            if self._peek()[0] == "eof":
+            kind, tok = self._peek()
+            if kind == "eof":
                 raise SparqlError("unterminated pattern group")
-            s = self._term(as_pattern=True)
-            p = self._term(as_pattern=True, predicate=True)
-            o = self._term(as_pattern=True)
-            out.append((s, p, o))
+            if kind == "word" and tok.upper() == "FILTER":
+                self.i += 1
+                self._expect("(")
+                filters.append(self._parse_f_or())
+                self._expect(")")
+            else:
+                s = self._term(as_pattern=True)
+                p = self._term(as_pattern=True, predicate=True)
+                o = self._term(as_pattern=True)
+                out.append((s, p, o))
             if self._peek()[1] == ".":
                 self.i += 1
         self.i += 1
-        return out
+        return out, filters
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
                   "GROUP_CONCAT")
@@ -456,14 +474,16 @@ class _Parser:
                     if self._peek()[1] == ".":
                         self.i += 1
                     continue
-                branches = [self._parse_braced_patterns()]
+                branches = [self._parse_block()]
                 while self._kw("UNION"):
-                    branches.append(self._parse_braced_patterns())
+                    branches.append(self._parse_block())
                 if len(branches) < 2:
                     raise SparqlError(
                         "a braced group must be a UNION chain "
                         "({ ... } UNION { ... }) or a { SELECT ... } subquery"
                     )
+                if any(not pats for pats, _ in branches):
+                    raise SparqlError("empty UNION branch")
                 self.q.unions.append(branches)
             elif kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
@@ -471,8 +491,8 @@ class _Parser:
             elif kind == "word" and tok.upper() in ("OPTIONAL", "MINUS"):
                 keyword = tok.upper()
                 self.i += 1
-                block = self._parse_braced_patterns()
-                if not block:
+                block = self._parse_block()
+                if not block[0]:
                     raise SparqlError(f"empty {keyword} block")
                 if keyword == "OPTIONAL":
                     self.q.optionals.append(block)
@@ -646,10 +666,10 @@ class _Parser:
             self.i += 1
             if negated and not self._kw("EXISTS"):
                 raise SparqlError("expected EXISTS after NOT in FILTER")
-            block = self._parse_braced_patterns()
-            if not block:
+            pats, filts = self._parse_block()
+            if not pats:
                 raise SparqlError("empty EXISTS block")
-            return ("exists", block, negated)
+            return ("exists", pats, filts, negated)
         if up == "BOUND":
             self.i += 1
             self._expect("(")
@@ -1004,8 +1024,10 @@ def _apply_filters(
             conjuncts.append(e)
     for e in conjuncts:
         if e[0] == "exists":
-            patterns, negated = e[1], e[2]
+            patterns, inner_filters, negated = e[1], e[2], e[3]
             ex = bgp(triples, patterns, repo=repo)
+            if inner_filters:
+                ex = _apply_filters(ex, inner_filters, triples, repo)
             shared = [c for c in ex.columns if c in df.columns]
             if not shared:
                 raise SparqlError(
@@ -1067,9 +1089,12 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
             shared = [c for c in rel.columns if c in df.columns]
             df = df.join(rel, shared) if shared else df.crossJoin(rel)
     for branches in q.unions:
-        if any(not b for b in branches):
+        if any(not pats for pats, _ in branches):
             raise SparqlError("empty UNION branch")
-        dfs = [bgp(triples, b, repo=repo) for b in branches]
+        dfs = [
+            _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
+            for pats, filts in branches
+        ]
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d, allowMissingColumns=True)
@@ -1092,7 +1117,7 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
                 raise SparqlError(
                     "UNION group shares no variable with the other patterns"
                 )
-            for b in branches:
+            for b, _bf in branches:
                 bound = {t[1:] for pat in b for t in pat if t.startswith("?")}
                 missing = [v for v in shared if v not in bound]
                 if missing:
@@ -1114,18 +1139,21 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         else:
             shared = [c for c in sdf.columns if c in df.columns]
             df = df.join(sdf, shared) if shared else df.crossJoin(sdf)
-    for block in q.optionals:
-        opt = bgp(triples, block, repo=repo)
+    for pats, filts in q.optionals:
+        # block-scoped FILTERs apply to the block's own solutions before
+        # the left join (group scoping; a filter referencing only outer
+        # vars is out of subset — _bind_col raises on unbound)
+        opt = _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
         shared = [c for c in opt.columns if c in df.columns]
         if not shared:
             raise SparqlError(
                 "OPTIONAL block shares no variable with the required patterns"
             )
         df = df.join(opt, shared, "left")
-    for block in q.minuses:
+    for pats, filts in q.minuses:
         # SPARQL MINUS: drop solutions compatible (equal on shared vars)
         # with some minus solution; disjoint domains remove nothing
-        m = bgp(triples, block, repo=repo)
+        m = _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
         shared = [c for c in m.columns if c in df.columns]
         if shared:
             df = df.join(m.select(*shared).distinct(), shared, "left_anti")

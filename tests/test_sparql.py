@@ -221,7 +221,7 @@ def test_parse_optional_and_in():
         """
     )
     assert q.patterns == [("?e", "rdf:type", "prov:Entity")]
-    assert q.optionals == [[("?e", "prov:wasDerivedFrom", "?d")]]
+    assert q.optionals == [([("?e", "prov:wasDerivedFrom", "?d")], [])]
     assert q.filters == [
         ("in", ("var", "e"), ["gitprov:a", "gitprov:b"], False)
     ]
@@ -649,7 +649,9 @@ def test_parse_fuzz_aggregates_unions_roundtrip():
                 f"{{ ?g ex:p{b} ?v }}" for b in range(n_br)
             )
             src += f"WHERE {{ ?g ex:k ?v . {union_src} }} "
-            want_unions = [[[("?g", f"ex:p{b}", "?v")] for b in range(n_br)]]
+            want_unions = [
+                [([("?g", f"ex:p{b}", "?v")], []) for b in range(n_br)]
+            ]
         else:
             src += "WHERE { ?g ex:k ?v } "
             want_unions = []
@@ -1218,3 +1220,50 @@ def test_group_concat_and_sample(spark):
         ("u2", "purchase", "e3"),
         ("u3", "signup", "e4"),
     ]
+
+
+def test_filter_inside_optional_block(spark):
+    """Block-scoped FILTER: applies to the OPTIONAL's own solutions before
+    the left join (SPARQL group scoping) — bound() then distinguishes
+    matched from unmatched rows."""
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e WHERE {
+          ?e ev:by ?u .
+          OPTIONAL { ?e ev:type ?tp . FILTER(?tp = "error") } .
+          FILTER(bound(?tp))
+        }
+    """))
+    assert got == [("e2",)]
+
+
+def test_filter_inside_union_branches(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?x ?v WHERE {
+          { ?x ev:type ?v . FILTER(?v = "error") }
+          UNION
+          { ?x ev:note ?v . FILTER(STRSTARTS(?v, "b")) }
+        }
+    """))
+    assert got == [("e2", "bad"), ("e2", "error")]
+
+
+def test_filter_inside_exists_block(spark):
+    t = _mini_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e ?u WHERE {
+          ?e ev:by ?u .
+          FILTER(EXISTS { ?x ev:by ?u . ?x ev:type ?tp .
+                          FILTER(?tp = "error") })
+        }
+    """))
+    assert got == [("e1", "u1"), ("e2", "u1")]
+
+
+def test_filter_rejected_in_construct_template():
+    with pytest.raises(SparqlError):
+        parse("""
+            CONSTRUCT { ?s ev:x ?o . FILTER(?o = "y") }
+            WHERE { ?s ev:p ?o }
+        """)
