@@ -1039,6 +1039,78 @@ SPARQL_GROUP_CONCAT_ORACLE = (
 )
 
 
+def q_sparql_arith(spark, sf_dir):
+    """Arithmetic value expressions in BIND and FILTER (SPARQL 1.1 ops,
+    double promotion): BIND(?u * 2 + 1 AS ?score), FILTER((?score - 1) /
+    2 >= 100) — all folded into one Catalyst projection + predicate."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:by_user").alias("pred"),
+        F.col("user_id").cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?e ?score WHERE {
+          ?e ev:by_user ?u .
+          BIND(?u * 2 + 1 AS ?score) .
+          FILTER((?score - 1) / 2 >= 100)
+        }
+        """,
+    )
+
+
+SPARQL_ARITH_ORACLE = (
+    "SELECT DISTINCT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "CAST(user_id AS DOUBLE) * 2 + 1 AS score FROM events "
+    "WHERE (CAST(user_id AS DOUBLE) * 2 + 1 - 1) / 2 >= 100"
+)
+
+
+def q_sparql_path_in_optional(spark, sf_dir):
+    """Property path INSIDE an OPTIONAL block (round-3 group widening):
+    the `+` closure evaluates as the block's own relation, then
+    left-joins the outer tag pattern — users keep their row when they
+    have no successors (null ?far), like ARQ's group-graph-pattern
+    evaluation."""
+    from git_prov_spark.sparql import execute
+
+    chain = _chain_triples(spark, sf_dir)
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    tags = users.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("ev:tag").alias("pred"),
+        (F.col("user_id") % 7).cast("string").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        chain.unionByName(tags),
+        """
+        SELECT ?u ?far WHERE {
+          ?u ev:tag ?t . OPTIONAL { ?u ev:next+ ?far } .
+          FILTER(?t = "3")
+        }
+        """,
+    )
+
+
+SPARQL_PATH_IN_OPTIONAL_ORACLE = (
+    f"WITH RECURSIVE {CHAIN_EDGES_CTE}, "
+    "r(s, d) AS (SELECT s, d FROM e "
+    "UNION SELECT r.s, e.d FROM r JOIN e ON e.s = r.d), "
+    "tagged AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 3) "
+    "SELECT 'user-' || CAST(t.user_id AS VARCHAR) AS u, "
+    "'user-' || CAST(r.d AS VARCHAR) AS far "
+    "FROM tagged t LEFT JOIN r ON r.s = t.user_id"
+)
+
+
 def q_sparql_path(spark, sf_dir):
     """SPARQL one-or-more property path (`pred+`): compiles to the
     distributed path-doubling closure (operators.transitive_closure,
@@ -1317,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists": q_sparql_exists,
         "sparql_subquery": q_sparql_subquery,
         "sparql_group_concat": q_sparql_group_concat,
+        "sparql_arith": q_sparql_arith,
+        "sparql_path_in_optional": q_sparql_path_in_optional,
         "sparql_describe": q_sparql_describe,
         "sparql_path": q_sparql_path,
         "sparql_select": q_sparql_select,
@@ -1559,6 +1633,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_exists": SPARQL_EXISTS_ORACLE,
         "sparql_subquery": SPARQL_SUBQUERY_ORACLE,
         "sparql_group_concat": SPARQL_GROUP_CONCAT_ORACLE,
+        "sparql_arith": SPARQL_ARITH_ORACLE,
+        "sparql_path_in_optional": SPARQL_PATH_IN_OPTIONAL_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),
         # incremental fold over the same input ends at the same store
         "kg_streaming_build": _kg_pred_counts_oracle(),

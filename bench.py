@@ -75,6 +75,8 @@ EXTRA_QUERIES = [
     "text_pii",
     "sparql_subquery",
     "sparql_group_concat",
+    "sparql_arith",
+    "sparql_path_in_optional",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

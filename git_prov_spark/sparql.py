@@ -35,7 +35,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
       ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   STRLEN, else codepoint
       bound(?v), STRSTARTS/STRENDS/CONTAINS     --   string order (like ARQ
       (ve, ve), [NOT] EXISTS { patterns }       --   on simple literals);
-                                                -- ve = BIND expressions.
+                                                -- ve = BIND expressions,
+      with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
       EXISTS compiles to ONE left-semi/anti join on the block's shared
       variables — top-level conjunct position only (not under ||/!).
     GROUP BY ?g ...                             -- required iff aggregates
@@ -67,8 +68,10 @@ DISTINCT — the store is a triple SET, so patterns cannot produce duplicate
 bindings anyway) with ONE bag-semantics carve-out: aggregates over UNION
 keep cross-branch duplicates, matching ARQ's multiset UNION (a solution
 produced by both branches counts twice under COUNT — see _solutions).
-Paths inside OPTIONAL / UNION / MINUS / CONSTRUCT templates are out of
-subset (plain predicates only there).
+Property paths and block-scoped FILTERs work inside OPTIONAL / UNION /
+MINUS / FILTER-EXISTS groups (each group evaluates as BGP ⋈ path
+relations → its own FILTERs, then joins the outer solutions); CONSTRUCT
+templates stay plain-predicate only.
 """
 
 from __future__ import annotations
@@ -116,7 +119,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>+/|^&;])
+  | (?P<punct>[{}().=!,*<>+/|^&;-])
     """,
     re.VERBOSE,
 )
@@ -146,8 +149,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 #   ('regex', ve, pattern)
 #   ('bound', varname)
 #   ('boolfn', 'strstarts'|'strends'|'contains', [ve, ve])
-#   ('exists', patterns, filters, negated) — compiled to a semi/anti join,
-#                                    so it is only legal as a top-level conjunct
+#   ('exists', Group, negated)     — compiled to a semi/anti join, so it
+#                                    is only legal as a top-level conjunct
 # value expressions (ve) are BindExpr (shared with BIND), extended with
 # ('num', tok) numeric literals and lcase/ucase/strlen functions.
 FilterExpr = tuple
@@ -189,7 +192,18 @@ PathExpr = PathPred | PathInv | PathSeq | PathAlt | PathPlus | PathStar
 
 # BIND / value expression AST: ('const', value) | ('num', tok) |
 # ('var', name) | ('concat', [exprs]) | ('str'|'lcase'|'ucase'|'strlen', expr)
+# | ('arith', '+'|'-'|'*'|'/', expr, expr)
 BindExpr = tuple
+
+
+@dataclass
+class Group:
+    """A braced graph-pattern group: plain triple patterns + property-path
+    patterns + block-scoped FILTERs (the shape of OPTIONAL / MINUS / UNION
+    branches and FILTER-EXISTS blocks)."""
+    patterns: list = field(default_factory=list)   # [(s, pred, o)]
+    paths: list = field(default_factory=list)      # [(s, PathExpr, o)]
+    filters: list = field(default_factory=list)    # [FilterExpr]
 
 
 @dataclass
@@ -211,11 +225,10 @@ class SelectQuery:
     patterns: list[Pattern] = field(default_factory=list)
     # (s, PathExpr, o) — any non-plain predicate position (+ * / | ^)
     path_patterns: list[tuple] = field(default_factory=list)
-    # UNION chains: each branch is (patterns, block-scoped filters)
-    unions: list[list[tuple]] = field(default_factory=list)
+    unions: list[list[Group]] = field(default_factory=list)  # UNION chains
     subqueries: list["SelectQuery"] = field(default_factory=list)
-    optionals: list[tuple] = field(default_factory=list)  # (patterns, filters)
-    minuses: list[tuple] = field(default_factory=list)    # (patterns, filters)
+    optionals: list[Group] = field(default_factory=list)
+    minuses: list[Group] = field(default_factory=list)
     binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[Filter] = field(default_factory=list)
@@ -361,18 +374,20 @@ class _Parser:
         return PathInv(prim) if inverse else prim
 
     def _parse_braced_patterns(self) -> list[Pattern]:
-        patterns, filters = self._parse_block()
-        if filters:
+        g = self._parse_block()
+        if g.filters:
             raise SparqlError("FILTER is not allowed in this block")
-        return patterns
+        if g.paths:
+            raise SparqlError("property paths are not allowed in this block")
+        return g.patterns
 
-    def _parse_block(self) -> tuple[list[Pattern], list[FilterExpr]]:
-        """{ s p o . ... FILTER(...) ... } — triple patterns plus any
-        block-scoped FILTERs (applied to the block's own solutions before
-        it joins the outer group, SPARQL group-scoping)."""
+    def _parse_block(self) -> Group:
+        """{ s p o . ... FILTER(...) ... } — triple patterns (property
+        paths allowed in predicate position) plus block-scoped FILTERs
+        (applied to the block's own solutions before it joins the outer
+        group, SPARQL group-scoping)."""
         self._expect("{")
-        out: list[Pattern] = []
-        filters: list[FilterExpr] = []
+        g = Group()
         while self._peek()[1] != "}":
             kind, tok = self._peek()
             if kind == "eof":
@@ -380,17 +395,20 @@ class _Parser:
             if kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
                 self._expect("(")
-                filters.append(self._parse_f_or())
+                g.filters.append(self._parse_f_or())
                 self._expect(")")
             else:
                 s = self._term(as_pattern=True)
-                p = self._term(as_pattern=True, predicate=True)
+                p = self._pred_position()
                 o = self._term(as_pattern=True)
-                out.append((s, p, o))
+                if isinstance(p, str):
+                    g.patterns.append((s, p, o))
+                else:
+                    g.paths.append((s, p, o))
             if self._peek()[1] == ".":
                 self.i += 1
         self.i += 1
-        return out, filters
+        return g
 
     _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
                   "GROUP_CONCAT")
@@ -482,7 +500,7 @@ class _Parser:
                         "a braced group must be a UNION chain "
                         "({ ... } UNION { ... }) or a { SELECT ... } subquery"
                     )
-                if any(not pats for pats, _ in branches):
+                if any(not b.patterns and not b.paths for b in branches):
                     raise SparqlError("empty UNION branch")
                 self.q.unions.append(branches)
             elif kind == "word" and tok.upper() == "FILTER":
@@ -492,7 +510,7 @@ class _Parser:
                 keyword = tok.upper()
                 self.i += 1
                 block = self._parse_block()
-                if not block[0]:
+                if not block.patterns and not block.paths:
                     raise SparqlError(f"empty {keyword} block")
                 if keyword == "OPTIONAL":
                     self.q.optionals.append(block)
@@ -550,7 +568,28 @@ class _Parser:
                       "STRLEN": "strlen"}
 
     def _parse_bind_expr(self) -> BindExpr:
+        """Value expression with arithmetic: add/sub over mul/div over
+        primaries (numeric promotion to double, SPARQL operator mapping)."""
+        left = self._parse_mul_expr()
+        while self._peek()[1] in ("+", "-"):
+            op = self._next()[1]
+            left = ("arith", op, left, self._parse_mul_expr())
+        return left
+
+    def _parse_mul_expr(self) -> BindExpr:
+        left = self._parse_prim_expr()
+        while self._peek()[1] in ("*", "/"):
+            op = self._next()[1]
+            left = ("arith", op, left, self._parse_prim_expr())
+        return left
+
+    def _parse_prim_expr(self) -> BindExpr:
         kind, tok = self._peek()
+        if tok == "(":
+            self.i += 1
+            inner = self._parse_bind_expr()
+            self._expect(")")
+            return inner
         if kind == "word" and (
             tok.upper() == "CONCAT" or tok.upper() in self._UNARY_STR_FNS
         ):
@@ -657,19 +696,30 @@ class _Parser:
         kind, tok = self._peek()
         up = tok.upper() if kind == "word" else ""
         if tok == "(":
-            self.i += 1
-            inner = self._parse_f_or()
-            self._expect(")")
-            return inner
+            # '(' opens either a boolean group — (?a = 1 || ?b = 2) — or a
+            # parenthesized ARITHMETIC operand — (?a + 1) > 2. Try boolean
+            # first; on failure rewind and re-parse as a comparison whose
+            # left side is the parenthesized value expression. Both parses
+            # only advance self.i (no q mutation), so rewinding is safe.
+            mark = self.i
+            try:
+                self.i += 1
+                inner = self._parse_f_or()
+                self._expect(")")
+                return inner
+            except SparqlError:
+                self.i = mark
+                ve = self._parse_bind_expr()
+                return self._parse_f_comparison(ve)
         if up in ("EXISTS", "NOT"):
             negated = up == "NOT"
             self.i += 1
             if negated and not self._kw("EXISTS"):
                 raise SparqlError("expected EXISTS after NOT in FILTER")
-            pats, filts = self._parse_block()
-            if not pats:
+            g = self._parse_block()
+            if not g.patterns and not g.paths:
                 raise SparqlError("empty EXISTS block")
-            return ("exists", pats, filts, negated)
+            return ("exists", g, negated)
         if up == "BOUND":
             self.i += 1
             self._expect("(")
@@ -696,7 +746,9 @@ class _Parser:
             b = self._parse_bind_expr()
             self._expect(")")
             return ("boolfn", up.lower(), [a, b])
-        ve = self._parse_bind_expr()
+        return self._parse_f_comparison(self._parse_bind_expr())
+
+    def _parse_f_comparison(self, ve: BindExpr) -> FilterExpr:
         kind2, tok2 = self._peek()
         up2 = tok2.upper() if kind2 == "word" else ""
         if up2 == "IN" or (
@@ -937,7 +989,12 @@ def _seeded_path_rel(
 
 
 def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
-    kind, payload = expr
+    kind, payload = expr[0], expr[1]
+    if kind == "arith":
+        op, a, b = expr[1], expr[2], expr[3]
+        ca = _bind_col(a, df).cast("double")
+        cb = _bind_col(b, df).cast("double")
+        return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[op]
     if kind in ("const", "num"):
         # numeric literals stay string-typed here (BIND output parity);
         # comparisons re-cast both sides to double via _is_numeric_expr
@@ -958,7 +1015,7 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
 
 
 def _is_numeric_expr(expr: BindExpr) -> bool:
-    return expr[0] in ("num", "strlen")
+    return expr[0] in ("num", "strlen", "arith")
 
 
 def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
@@ -1024,10 +1081,8 @@ def _apply_filters(
             conjuncts.append(e)
     for e in conjuncts:
         if e[0] == "exists":
-            patterns, inner_filters, negated = e[1], e[2], e[3]
-            ex = bgp(triples, patterns, repo=repo)
-            if inner_filters:
-                ex = _apply_filters(ex, inner_filters, triples, repo)
+            g, negated = e[1], e[2]
+            ex = _group_solutions(triples, g, repo)
             shared = [c for c in ex.columns if c in df.columns]
             if not shared:
                 raise SparqlError(
@@ -1042,6 +1097,63 @@ def _apply_filters(
     return df
 
 
+def _join_path_pattern(
+    triples: DataFrame, df: DataFrame | None,
+    s: str, raw_expr: PathExpr, o: str,
+    repo: str | None, pp_idx: int,
+) -> DataFrame:
+    """Join one (s, PathExpr, o) relation into the running solution set
+    (None → this relation starts it). Constant-endpoint `+`/`*` take the
+    seeded fast path; const-const becomes a 0/1-row existence marker."""
+    expr = _push_inv(raw_expr)
+    gdf = triples
+    if repo is not None:
+        gdf = gdf.where(F.col("repo") == repo)
+    seedable = isinstance(expr, (PathPlus, PathStar)) and (
+        not s.startswith("?") or not o.startswith("?")
+    )
+    rel = (
+        _seeded_path_rel(gdf, expr, s, o)
+        if seedable
+        else _path_rel(gdf, expr)
+    )
+    cols: dict[str, str] = {}
+    for term, col in ((s, "src"), (o, "dst")):
+        if term.startswith("?"):
+            name = term[1:]
+            if name in cols:
+                rel = rel.where(F.col(col) == F.col(cols[name]))
+            else:
+                cols[name] = col
+        else:
+            rel = rel.where(F.col(col) == term)
+    if not cols:
+        # both endpoints constant: the pattern is an existence test —
+        # a 0-or-1-row relation cross-joined in acts as the filter
+        # (ASK { c1 pred+ c2 } is the reachability question, answered
+        # by the seeded traversal above, never a full closure)
+        marker = f"_pp_exists_{pp_idx}"
+        rel = rel.limit(1).select(F.lit(True).alias(marker))
+        return rel if df is None else df.crossJoin(rel).drop(marker)
+    rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()]).distinct()
+    if df is None:
+        return rel
+    shared = [c for c in rel.columns if c in df.columns]
+    return df.join(rel, shared) if shared else df.crossJoin(rel)
+
+
+def _group_solutions(triples: DataFrame, g: Group, repo: str | None) -> DataFrame:
+    """Solution set of one braced group: BGP ⋈ path relations, then the
+    group's own FILTERs — the evaluation unit behind OPTIONAL / MINUS /
+    UNION branches and FILTER-EXISTS blocks."""
+    df = bgp(triples, g.patterns, repo=repo) if g.patterns else None
+    for pp_idx, (s, raw_expr, o) in enumerate(g.paths):
+        df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
+    if df is None:
+        raise SparqlError("empty pattern group")
+    return _apply_filters(df, g.filters, triples, repo)
+
+
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
     """The WHERE clause's solution set: BGP joins + property-path relations +
     UNION/OPTIONAL/MINUS blocks + VALUES/BIND columns + FILTER row
@@ -1051,50 +1163,11 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
-        expr = _push_inv(raw_expr)
-        gdf = triples
-        if repo is not None:
-            gdf = gdf.where(F.col("repo") == repo)
-        seedable = isinstance(expr, (PathPlus, PathStar)) and (
-            not s.startswith("?") or not o.startswith("?")
-        )
-        rel = (
-            _seeded_path_rel(gdf, expr, s, o)
-            if seedable
-            else _path_rel(gdf, expr)
-        )
-        cols: dict[str, str] = {}
-        for term, col in ((s, "src"), (o, "dst")):
-            if term.startswith("?"):
-                name = term[1:]
-                if name in cols:
-                    rel = rel.where(F.col(col) == F.col(cols[name]))
-                else:
-                    cols[name] = col
-            else:
-                rel = rel.where(F.col(col) == term)
-        if not cols:
-            # both endpoints constant: the pattern is an existence test —
-            # a 0-or-1-row relation cross-joined in acts as the filter
-            # (ASK { c1 pred+ c2 } is the reachability question, answered
-            # by the seeded traversal above, never a full closure)
-            marker = f"_pp_exists_{pp_idx}"
-            rel = rel.limit(1).select(F.lit(True).alias(marker))
-            df = rel if df is None else df.crossJoin(rel).drop(marker)
-            continue
-        rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()]).distinct()
-        if df is None:
-            df = rel
-        else:
-            shared = [c for c in rel.columns if c in df.columns]
-            df = df.join(rel, shared) if shared else df.crossJoin(rel)
+        df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
     for branches in q.unions:
-        if any(not pats for pats, _ in branches):
+        if any(not b.patterns and not b.paths for b in branches):
             raise SparqlError("empty UNION branch")
-        dfs = [
-            _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
-            for pats, filts in branches
-        ]
+        dfs = [_group_solutions(triples, b, repo) for b in branches]
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d, allowMissingColumns=True)
@@ -1117,8 +1190,15 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
                 raise SparqlError(
                     "UNION group shares no variable with the other patterns"
                 )
-            for b, _bf in branches:
-                bound = {t[1:] for pat in b for t in pat if t.startswith("?")}
+            for b in branches:
+                bound = {
+                    t[1:]
+                    for pat in b.patterns for t in pat if t.startswith("?")
+                } | {
+                    t[1:]
+                    for s_, _p, o_ in b.paths for t in (s_, o_)
+                    if t.startswith("?")
+                }
                 missing = [v for v in shared if v not in bound]
                 if missing:
                     # an unbound shared var would null the join key and
@@ -1139,21 +1219,21 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         else:
             shared = [c for c in sdf.columns if c in df.columns]
             df = df.join(sdf, shared) if shared else df.crossJoin(sdf)
-    for pats, filts in q.optionals:
+    for g in q.optionals:
         # block-scoped FILTERs apply to the block's own solutions before
         # the left join (group scoping; a filter referencing only outer
         # vars is out of subset — _bind_col raises on unbound)
-        opt = _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
+        opt = _group_solutions(triples, g, repo)
         shared = [c for c in opt.columns if c in df.columns]
         if not shared:
             raise SparqlError(
                 "OPTIONAL block shares no variable with the required patterns"
             )
         df = df.join(opt, shared, "left")
-    for pats, filts in q.minuses:
+    for g in q.minuses:
         # SPARQL MINUS: drop solutions compatible (equal on shared vars)
         # with some minus solution; disjoint domains remove nothing
-        m = _apply_filters(bgp(triples, pats, repo=repo), filts, triples, repo)
+        m = _group_solutions(triples, g, repo)
         shared = [c for c in m.columns if c in df.columns]
         if shared:
             df = df.join(m.select(*shared).distinct(), shared, "left_anti")

@@ -221,7 +221,10 @@ def test_parse_optional_and_in():
         """
     )
     assert q.patterns == [("?e", "rdf:type", "prov:Entity")]
-    assert q.optionals == [([("?e", "prov:wasDerivedFrom", "?d")], [])]
+    from git_prov_spark.sparql import Group
+    assert q.optionals == [
+        Group(patterns=[("?e", "prov:wasDerivedFrom", "?d")])
+    ]
     assert q.filters == [
         ("in", ("var", "e"), ["gitprov:a", "gitprov:b"], False)
     ]
@@ -649,8 +652,10 @@ def test_parse_fuzz_aggregates_unions_roundtrip():
                 f"{{ ?g ex:p{b} ?v }}" for b in range(n_br)
             )
             src += f"WHERE {{ ?g ex:k ?v . {union_src} }} "
+            from git_prov_spark.sparql import Group
             want_unions = [
-                [([("?g", f"ex:p{b}", "?v")], []) for b in range(n_br)]
+                [Group(patterns=[("?g", f"ex:p{b}", "?v")])
+                 for b in range(n_br)]
             ]
         else:
             src += "WHERE { ?g ex:k ?v } "
@@ -1267,3 +1272,65 @@ def test_filter_rejected_in_construct_template():
             CONSTRUCT { ?s ev:x ?o . FILTER(?o = "y") }
             WHERE { ?s ev:p ?o }
         """)
+
+
+def test_arithmetic_in_filter_and_bind(spark):
+    rows = [("r", f"e{i}", "ev:v", str(i), "xsd:int") for i in range(10)]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+    got = _rows(execute(t, """
+        SELECT ?e ?twice WHERE {
+          ?e ev:v ?n .
+          BIND(?n * 2 AS ?twice) .
+          FILTER((?n + 1) * 2 > 14 && !(?n - 8 >= 1))
+        }
+    """))
+    # (n+1)*2 > 14 → n > 6; n-8 >= 1 → n >= 9 excluded → n in {7, 8}
+    assert got == [("e7", 14.0), ("e8", 16.0)]
+
+
+def test_path_inside_optional_and_union(spark):
+    # chain a -> b -> c via ev:next; d isolated
+    rows = [
+        ("r", "a", "ev:next", "b", "iri"), ("r", "b", "ev:next", "c", "iri"),
+        ("r", "a", "ev:tag", "root", "xsd:string"),
+        ("r", "d", "ev:tag", "lone", "xsd:string"),
+    ]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+    got = _rows(execute(t, """
+        SELECT ?s ?far WHERE {
+          ?s ev:tag ?tag . OPTIONAL { ?s ev:next+ ?far }
+        }
+    """))
+    assert got == [("a", "b"), ("a", "c"), ("d", None)]
+    got = _rows(execute(t, """
+        SELECT ?x ?y WHERE {
+          { ?x ev:next+ ?y . FILTER(?y = "c") } UNION { ?x ev:tag ?y }
+        }
+    """))
+    assert got == [("a", "c"), ("a", "root"), ("b", "c"), ("d", "lone")]
+
+
+def test_path_inside_exists(spark):
+    rows = [
+        ("r", "a", "ev:next", "b", "iri"), ("r", "b", "ev:next", "c", "iri"),
+        ("r", "a", "ev:tag", "root", "xsd:string"),
+        ("r", "d", "ev:tag", "lone", "xsd:string"),
+    ]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+    got = _rows(execute(t, """
+        SELECT ?s WHERE {
+          ?s ev:tag ?tag . FILTER(EXISTS { ?s ev:next+ ?z })
+        }
+    """))
+    assert got == [("a",)]
+
+
+def test_construct_template_rejects_paths():
+    with pytest.raises(SparqlError):
+        parse("CONSTRUCT { ?s ev:x+ ?o } WHERE { ?s ev:p ?o }")
