@@ -610,6 +610,19 @@ def q_text_pii(spark, sf_dir):
     return ctext.pii_scrub(_pii_augmented(spark, sf_dir))
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Training-mix construction (curate.stratified_sample): deterministic
+    per-stratum Bernoulli — keep all lang='en' docs, downsample 'other' to
+    25 % — by portable-md5(salt:id) bucketing, so composition is re-run/
+    growth-stable and the oracle verifies every keep/drop decision."""
+    strata = ctext.lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("lang_pred").alias("stratum")
+    )
+    return curate.stratified_sample(
+        strata, rates={"en": 10_000, "other": 2_500}
+    )
+
+
 def q_text_langid(spark, sf_dir):
     df = ctext.lang_id(_t(spark, sf_dir, "documents"))
     return df.select(
@@ -1408,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "corpus_decontam": q_corpus_decontam,
+        "corpus_mix": q_corpus_mix,
         "text_pii": q_text_pii,
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
@@ -1578,6 +1592,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
         "corpus_decontam": oracles.sql_contamination("documents", n=4),
+        "corpus_mix": oracles.sql_stratified_sample(
+            f"(SELECT doc_id, lang_pred AS stratum "
+            f"FROM ({oracles.sql_lang_id('documents')}))",
+            rates=[("en", 10_000), ("other", 2_500)],
+        ),
         "text_pii": oracles.sql_pii_scrub(f"({PII_AUG_SQL})"),
         "corpus_manifest": oracles.sql_training_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "

@@ -77,6 +77,7 @@ EXTRA_QUERIES = [
     "sparql_group_concat",
     "sparql_arith",
     "sparql_path_in_optional",
+    "corpus_mix",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

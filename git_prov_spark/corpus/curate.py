@@ -234,3 +234,44 @@ def dataset_splits(
         cond = bucket < cum
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return documents.select(F.col(id_col), expr.alias("split"))
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int],
+    salt: str = "mix-v1",
+    id_col: str = "doc_id",
+    stratum_col: str = "stratum",
+    default_rate: int = 0,
+) -> DataFrame:
+    """(doc_id, stratum, sampled) — deterministic per-stratum Bernoulli
+    sampling: the training-MIX constructor (keep all of stratum A,
+    downsample stratum B to 25 %, drop C), the step that turns a curated
+    pool into a dataset with chosen composition.
+
+    `rates` maps stratum value → keep-rate in basis points (10 000 = keep
+    all); strata not listed get `default_rate`. The keep decision is
+    portable-md5(salt:id) % 10000 < rate — the same machinery as
+    dataset_splits, with the same load-bearing properties: re-run/
+    growth-stable (a new doc never flips an old doc's fate), executor-
+    count-independent, auditable from (salt, id) alone, and re-mixable
+    under a fresh salt. Map-side only, no shuffle; bit-exact in the
+    DuckDB oracle (oracles.sql_stratified_sample).
+    """
+    from .hashing import spark_h64
+
+    if not rates or any(not (0 <= r <= 10_000) for r in rates.values()):
+        raise ValueError("rates are basis points in [0, 10000]")
+    bucket = F.expr(
+        spark_h64(f"concat('{salt}', ':', cast({id_col} as string))")
+    ) % 10_000
+    rate = None
+    for name, share in rates.items():
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, share) if rate is None else rate.when(cond, share)
+    rate = rate.otherwise(F.lit(default_rate))
+    return documents.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        (bucket < rate).alias("sampled"),
+    )

@@ -635,3 +635,19 @@ def sql_pii_scrub(src: str = "documents") -> str:
         f"CAST(len(regexp_extract_all({t2}, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums, "
         f"{t3} AS scrubbed, sha256({t3}) AS scrubbed_sha FROM {src}"
     )
+
+
+def sql_stratified_sample(src: str, rates: list[tuple[str, int]],
+                          salt: str = "mix-v1",
+                          default_rate: int = 0) -> str:
+    """DuckDB twin of curate.stratified_sample — `src` must yield
+    (doc_id, stratum)."""
+    bucket = duck_h64(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    cases = " ".join(
+        f"WHEN stratum = '{name}' THEN {share}" for name, share in rates
+    )
+    return (
+        f"SELECT doc_id, stratum, "
+        f"({bucket}) < (CASE {cases} ELSE {default_rate} END) AS sampled "
+        f"FROM {src}"
+    )

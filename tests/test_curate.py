@@ -219,3 +219,48 @@ def test_reingested_doc_counts_bands_once(spark):
     m = {(r.new_id, r.match_id): r.n_shared_bands
          for r in lsh_index_matches(batch, index, n=4).collect()}
     assert m[(2, 1)] == m[(1, 2)]  # symmetric, not inflated
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from git_prov_spark.corpus.curate import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "other") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    got = stratified_sample(
+        df, rates={"en": 10_000, "other": 2_500}
+    ).toPandas().set_index("doc_id")
+    en = got[got.stratum == "en"]
+    other = got[got.stratum == "other"]
+    assert en.sampled.all()                       # rate 10000 keeps all
+    frac = other.sampled.mean()
+    assert 0.18 <= frac <= 0.32, frac             # ~25 % of 'other'
+    # deterministic: identical on re-run; unlisted strata get default_rate
+    again = stratified_sample(
+        df, rates={"en": 10_000, "other": 2_500}
+    ).toPandas().set_index("doc_id")
+    assert (got.sampled == again.sampled).all()
+    df2 = spark.createDataFrame([(1, "zz")], "doc_id long, stratum string")
+    r = stratified_sample(df2, rates={"en": 10_000}).collect()[0]
+    assert r.sampled is False
+    # growth-stable: adding docs never flips an existing decision
+    grown = spark.createDataFrame(
+        rows + [(i, "en") for i in range(3000, 4000)],
+        "doc_id long, stratum string",
+    )
+    g2 = stratified_sample(
+        grown, rates={"en": 10_000, "other": 2_500}
+    ).toPandas().set_index("doc_id")
+    assert (g2.loc[got.index].sampled == got.sampled).all()
+
+
+def test_stratified_sample_is_map_side(spark):
+    from git_prov_spark.corpus.curate import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, stratum string"
+    )
+    plan = (
+        stratified_sample(df, rates={"en": 5_000})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
