@@ -518,8 +518,17 @@ def q_ann_topk_ivf(spark, sf_dir):
     spherical k-means, K ~ √N, per-cluster list caps, 4-probe inverted-list
     search): the cluster-adaptive alternative to hyperplane LSH. The oracle
     twin trains the identical centroids from the same parquet (bit-exact
-    float64 numpy) and embeds them as double literals."""
-    return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
+    float64 numpy) and embeds them as double literals.
+
+    Train-once contract (r3 verdict #1): `source_path` resolves a persisted
+    fingerprint-keyed centroid artifact (.artifacts/ivf), so the query run
+    itself launches no count/sample/Lloyd jobs; first-ever contact with a
+    new corpus snapshot trains and persists. Determinism makes the cached
+    index bit-identical to a retrain (tests/test_ivf_index.py)."""
+    return similarity.topk_ivf(
+        _t(spark, sf_dir, "embeddings"),
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 def q_ann_topk_pandas(spark, sf_dir):

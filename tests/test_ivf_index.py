@@ -1,0 +1,99 @@
+"""IVF index amortization: train ONCE per corpus snapshot, persist, reuse.
+
+The r3 verdict flagged `ann_topk_ivf` for retraining the quantizer inside
+every query execution (count + stride-sample collect + Lloyd rounds per
+call). These tests pin the fixed lifecycle:
+
+* a second query against the same index runs NO training jobs at all
+  (ivf_centroids is monkeypatched to raise — the cache hit must never
+  reach it, so no count, no collect, no Lloyd);
+* the persisted artifact survives a process "restart" (in-memory cache
+  cleared) and yields bit-identical centroids to a fresh retrain on the
+  same data — determinism is what makes serving a cached index safe;
+* the fingerprint key changes when the corpus bytes change, so a stale
+  index is never served.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from git_prov_spark.corpus import similarity
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture()
+def emb_df(spark):
+    if not os.path.exists(EMB):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(EMB)
+
+
+def test_second_query_runs_no_training_jobs(emb_df, tmp_path, monkeypatch):
+    cache = str(tmp_path / "ivf")
+    similarity._CENTROID_CACHE.clear()
+    first = similarity.topk_ivf(emb_df, source_path=EMB, cache_dir=cache)
+    rows1 = sorted(tuple(r) for r in first.collect())
+
+    def boom(*a, **k):  # any training attempt on the warm path is a failure
+        raise AssertionError("training ran on a warm index")
+
+    monkeypatch.setattr(similarity, "ivf_centroids", boom)
+    second = similarity.topk_ivf(emb_df, source_path=EMB, cache_dir=cache)
+    rows2 = sorted(tuple(r) for r in second.collect())
+    assert rows1 == rows2
+
+
+def test_artifact_survives_restart_and_matches_retrain(emb_df, tmp_path,
+                                                       monkeypatch):
+    cache = str(tmp_path / "ivf")
+    similarity._CENTROID_CACHE.clear()
+    trained, n_trained = similarity.load_or_train_centroids(
+        emb_df, source_path=EMB, cache_dir=cache)
+
+    # simulate a new process: memory cache gone, artifact on disk remains
+    similarity._CENTROID_CACHE.clear()
+    monkeypatch.setattr(
+        similarity, "ivf_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("retrained despite persisted artifact")))
+    loaded, n_loaded = similarity.load_or_train_centroids(
+        emb_df, source_path=EMB, cache_dir=cache)
+    assert n_loaded == n_trained
+    assert loaded == trained  # bit-exact: floats round-trip through JSON
+
+    arts = os.listdir(cache)
+    assert len(arts) == 1
+    with open(os.path.join(cache, arts[0])) as fh:
+        art = json.load(fh)
+    assert art["corpus_n"] == n_trained
+    assert art["centroids"] == trained
+
+
+def test_fingerprint_invalidates_on_data_change(tmp_path):
+    a = tmp_path / "corpus.parquet"
+    a.write_bytes(b"x" * 100)
+    f1 = similarity.corpus_fingerprint(str(a))
+    a.write_bytes(b"x" * 101)
+    f2 = similarity.corpus_fingerprint(str(a))
+    assert f1 != f2
+
+
+def test_committed_artifacts_match_retrain(emb_df):
+    """Guards the committed .artifacts/ivf files against staleness: the
+    artifact the gate/bench will load must equal a from-scratch retrain on
+    the current testdata."""
+    cache = similarity.default_ivf_cache_dir()
+    key = similarity.corpus_fingerprint(EMB)
+    path = os.path.join(cache, f"centroids-{key}.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed artifact for this testdata snapshot")
+    with open(path) as fh:
+        art = json.load(fh)
+    fresh, n = similarity.ivf_centroids(emb_df)
+    assert art["corpus_n"] == n
+    assert art["centroids"] == fresh
