@@ -78,6 +78,14 @@ EXTRA_QUERIES = [
     "sparql_arith",
     "sparql_path_in_optional",
     "corpus_mix",
+    # round-4 additions: scalar builtins, datetime accessors, path ?/!(),
+    # GRAPH ?g, isIRI/isLiteral
+    "sparql_funcs",
+    "sparql_datetime",
+    "sparql_path_optmod",
+    "sparql_path_neg",
+    "sparql_graph",
+    "sparql_termfns",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

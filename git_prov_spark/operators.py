@@ -247,7 +247,12 @@ def reachable_from(
         e.where(F.col("src") == seed).select("dst").distinct()
         .localCheckpoint(eager=True)
     )
-    frontiers = [frontier]
+    # `reached` accumulates INCREMENTALLY, checkpointed once per round: its
+    # lazy plan stays one node deep however many rounds run. Rebuilding it
+    # from a list of per-round frontiers made both the anti-join input and
+    # the final union grow linearly in round count (quadratic total plan
+    # work on deep graphs).
+    reached = frontier
     hops = 1
     while hops < max_hops and frontier.take(1):
         batch = frontier
@@ -260,19 +265,15 @@ def reachable_from(
             )
             grown = grown.unionByName(batch)
             hops += 1
-        reached = frontiers[0]
-        for f in frontiers[1:]:
-            reached = reached.unionByName(f)
         frontier = (
             grown.distinct()
             .join(reached, "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
-        frontiers.append(frontier)
-    out = frontiers[0]
-    for f in frontiers[1:]:
-        out = out.unionByName(f)
-    return out.select(F.col("dst").alias(dst))
+        reached = (
+            reached.unionByName(frontier).localCheckpoint(eager=True)
+        )
+    return reached.select(F.col("dst").alias(dst))
 
 
 def global_cumsum(

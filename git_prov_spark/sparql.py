@@ -26,28 +26,39 @@ Supported subset (documented, validated — anything else raises SparqlError):
             { s p o } UNION { s p o } .         -- alternative branches
             OPTIONAL { s p o . ... } .          -- left-join blocks
             MINUS { s p o . ... } .             -- anti-join on shared vars
-            BIND(expr AS ?v) .                  -- expr: term | STR | CONCAT
-            VALUES ?v { t1 t2 } .               --   | LCASE | UCASE | STRLEN
+            GRAPH ?g { s p o . ... } .          -- ?g binds the graph (repo)
+            GRAPH "owner/name" { ... } .        --   name; constant scopes
+            BIND(expr AS ?v) .                  -- value expressions below
+            VALUES ?v { t1 t2 } .
             VALUES (?a ?b) { (t1 t2) (t3 t4) }  -- inline data (no UNDEF)
             FILTER(expr) }                      -- boolean expressions:
+    Value expressions (BIND / FILTER operands / ORDER BY):
+      term | STR | CONCAT | LCASE | UCASE | STRLEN | IF(cond, ve, ve) |
+      COALESCE(ve, ...) | STRBEFORE/STRAFTER(ve, ve) |
+      REPLACE(ve, pat, rep) (regex) | SUBSTR(ve, start[, len]) (1-based) |
+      YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS(ve) (xsd:dateTime lexical) |
+      LANG(ve) (always "": the store carries no language-tagged literals),
+      with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
     FILTER grammar: e || e, e && e, !e, (e),    --   numeric comparison when
       ve OP ve with OP in = != < <= > >=,       --   a side is a number or
-      ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   STRLEN, else codepoint
-      bound(?v), STRSTARTS/STRENDS/CONTAINS     --   string order (like ARQ
-      (ve, ve), [NOT] EXISTS { patterns }       --   on simple literals);
-                                                -- ve = BIND expressions,
-      with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
-      EXISTS compiles to ONE left-semi/anti join on the block's shared
-      variables — top-level conjunct position only (not under ||/!).
+      ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   numeric fn, else code-
+      bound(?v), STRSTARTS/STRENDS/CONTAINS     --   point string order
+      (ve, ve), [NOT] EXISTS { patterns },      --   (like ARQ on simple
+      isIRI/isURI/isLiteral(?v)                 --   literals)
+      EXISTS and isIRI/isLiteral compile to ONE left-semi/anti join
+      (EXISTS on the block's shared variables; is* against the graph's
+      IRI-term set) — top-level conjunct position only (not under ||/!).
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
-    ORDER BY [ASC|DESC](?v) ...                 --   aggregated columns
+    ORDER BY [ASC|DESC](?v | expr) ...          --   aggregated columns;
+                                                --   expr sort keys allowed
     LIMIT n OFFSET m                            -- optional (either order)
 
-Property paths (predicate position; SPARQL 1.1 [88]-[91] subset):
+Property paths (predicate position; SPARQL 1.1 [88]-[95] subset):
 
     pred            plain predicate        ^elt     inverse
     elt+            one-or-more            elt*     zero-or-more
+    elt?            zero-or-one            !(p1|^p2|...)  negated prop set
     elt1 / elt2     sequence               elt1 | elt2   alternation
     ( path )        grouping
 
@@ -119,7 +130,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
   | (?P<num>[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=!,*<>+/|^&;-])
+  | (?P<punct>[{}().=!,*<>+/|^&;?-])
     """,
     re.VERBOSE,
 )
@@ -188,7 +199,24 @@ class PathStar:
     inner: "PathExpr"
 
 
-PathExpr = PathPred | PathInv | PathSeq | PathAlt | PathPlus | PathStar
+@dataclass(frozen=True)
+class PathOpt:
+    """`elt?` — zero-or-one: inner ∪ the identity relation over graph terms."""
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    """`!(iri | ^iri | ...)` — negated property set (SPARQL 1.1 [95]):
+    forward edges whose predicate is NOT in `fwd`, plus reversed edges
+    whose predicate is NOT in `inv` (either tuple may be empty; at least
+    one is populated). A single-member set parses as !iri / !^iri."""
+    fwd: tuple
+    inv: tuple
+
+
+PathExpr = (PathPred | PathInv | PathSeq | PathAlt | PathPlus | PathStar
+            | PathOpt | PathNeg)
 
 # BIND / value expression AST: ('const', value) | ('num', tok) |
 # ('var', name) | ('concat', [exprs]) | ('str'|'lcase'|'ucase'|'strlen', expr)
@@ -231,10 +259,14 @@ class SelectQuery:
     minuses: list[Group] = field(default_factory=list)
     binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
-    filters: list[Filter] = field(default_factory=list)
+    filters: list[FilterExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    # (var-name | BindExpr, asc) — plain vars stay strings, expression sort
+    # keys carry their BindExpr
+    order_by: list[tuple] = field(default_factory=list)
+    # (graph-term, Group): GRAPH ?g { ... } / GRAPH "owner/name" { ... }
+    graphs: list[tuple] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     construct: list[Pattern] | None = None  # CONSTRUCT template
@@ -355,9 +387,12 @@ class _Parser:
         if self._peek()[1] == "^":
             self.i += 1
             inverse = True
-        if self._peek()[1] == "(":
+        if self._peek()[1] == "!":
             self.i += 1
-            prim: PathExpr = self._parse_path()
+            prim: PathExpr = self._parse_negated_set()
+        elif self._peek()[1] == "(":
+            self.i += 1
+            prim = self._parse_path()
             self._expect(")")
         else:
             term = self._term(as_pattern=True, predicate=True)
@@ -371,7 +406,37 @@ class _Parser:
         elif mod == "*":
             self.i += 1
             prim = PathStar(prim)
+        elif mod == "?":
+            self.i += 1
+            prim = PathOpt(prim)
         return PathInv(prim) if inverse else prim
+
+    def _parse_negated_set(self) -> PathNeg:
+        """After '!': iri | ^iri | '(' iri-or-^iri ('|' ...)* ')' — the
+        PathNegatedPropertySet production ([95]); members must be plain
+        (possibly inverted) predicates, no nested path operators."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def member() -> None:
+            inverted = self._peek()[1] == "^"
+            if inverted:
+                self.i += 1
+            term = self._term(as_pattern=True, predicate=True)
+            if term.startswith("?"):
+                raise SparqlError("negated property sets need constant IRIs")
+            (inv if inverted else fwd).append(term)
+
+        if self._peek()[1] == "(":
+            self.i += 1
+            member()
+            while self._peek()[1] == "|":
+                self.i += 1
+                member()
+            self._expect(")")
+        else:
+            member()
+        return PathNeg(tuple(fwd), tuple(inv))
 
     def _parse_braced_patterns(self) -> list[Pattern]:
         g = self._parse_block()
@@ -506,6 +571,17 @@ class _Parser:
             elif kind == "word" and tok.upper() == "FILTER":
                 self.i += 1
                 self._parse_filter()
+            elif kind == "word" and tok.upper() == "GRAPH":
+                # GRAPH term { patterns }: the term is ?var (binds each
+                # solution's graph name — the repo column, the analog of the
+                # reference's named TDB models, StoreService.java:38-44) or
+                # a constant naming one graph ("owner/name" literal or IRI)
+                self.i += 1
+                gterm = self._term(as_pattern=True)
+                block = self._parse_block()
+                if not block.patterns and not block.paths:
+                    raise SparqlError("empty GRAPH block")
+                self.q.graphs.append((gterm, block))
             elif kind == "word" and tok.upper() in ("OPTIONAL", "MINUS"):
                 keyword = tok.upper()
                 self.i += 1
@@ -583,6 +659,23 @@ class _Parser:
             left = ("arith", op, left, self._parse_prim_expr())
         return left
 
+    _DT_FNS = {"YEAR": "year", "MONTH": "month", "DAY": "day",
+               "HOURS": "hours", "MINUTES": "minutes", "SECONDS": "seconds"}
+    _STR2_FNS = {"STRBEFORE": "strbefore", "STRAFTER": "strafter"}
+
+    def _parse_fn_args(self, lo: int, hi: int, what: str) -> list:
+        """'(' expr (',' expr)* ')' with arity validation."""
+        self._expect("(")
+        args = [self._parse_bind_expr()]
+        while self._peek()[1] == ",":
+            self.i += 1
+            args.append(self._parse_bind_expr())
+        self._expect(")")
+        if not (lo <= len(args) <= hi):
+            want = str(lo) if lo == hi else f"{lo}-{hi}"
+            raise SparqlError(f"{what} takes {want} argument(s)")
+        return args
+
     def _parse_prim_expr(self) -> BindExpr:
         kind, tok = self._peek()
         if tok == "(":
@@ -590,6 +683,37 @@ class _Parser:
             inner = self._parse_bind_expr()
             self._expect(")")
             return inner
+        up = tok.upper() if kind == "word" else ""
+        if up == "IF":
+            # IF(boolean-condition, then, else) — the condition re-uses the
+            # FILTER grammar (minus EXISTS, which is a join, not a value)
+            self.i += 1
+            self._expect("(")
+            cond = self._parse_f_or()
+            self._expect(",")
+            a = self._parse_bind_expr()
+            self._expect(",")
+            b = self._parse_bind_expr()
+            self._expect(")")
+            return ("if", cond, a, b)
+        if up == "COALESCE":
+            self.i += 1
+            return ("coalesce", self._parse_fn_args(1, 99, "COALESCE"))
+        if up in self._STR2_FNS:
+            self.i += 1
+            return (self._STR2_FNS[up], self._parse_fn_args(2, 2, up))
+        if up == "REPLACE":
+            self.i += 1
+            return ("replace", self._parse_fn_args(3, 3, "REPLACE"))
+        if up == "SUBSTR":
+            self.i += 1
+            return ("substr", self._parse_fn_args(2, 3, "SUBSTR"))
+        if up in self._DT_FNS:
+            self.i += 1
+            return (self._DT_FNS[up], self._parse_fn_args(1, 1, up)[0])
+        if up == "LANG":
+            self.i += 1
+            return ("lang", self._parse_fn_args(1, 1, "LANG")[0])
         if kind == "word" and (
             tok.upper() == "CONCAT" or tok.upper() in self._UNARY_STR_FNS
         ):
@@ -720,6 +844,15 @@ class _Parser:
             if not g.patterns and not g.paths:
                 raise SparqlError("empty EXISTS block")
             return ("exists", g, negated)
+        if up in ("ISIRI", "ISURI", "ISLITERAL"):
+            self.i += 1
+            self._expect("(")
+            kind, var = self._next()
+            if kind != "var":
+                raise SparqlError(f"{up}() needs a ?var argument")
+            self._expect(")")
+            return ("termfn",
+                    "isliteral" if up == "ISLITERAL" else "isiri", var[1:])
         if up == "BOUND":
             self.i += 1
             self._expect("(")
@@ -812,20 +945,32 @@ class _Parser:
             self.q.having.append((var[1:], op, float(num)))
         if self._kw("ORDER"):
             self._expect("BY")
+            # sort keys: ?var | ASC/DESC(expr) | (expr) | fn(...) — plain
+            # vars keep the (name, asc) string shape; expression keys carry
+            # the BindExpr (compiled by _bind_col at sort time, so aggregate
+            # aliases and arithmetic both work)
+            expr_words = (set(self._UNARY_STR_FNS) | set(self._DT_FNS)
+                          | set(self._STR2_FNS)
+                          | {"CONCAT", "IF", "COALESCE", "SUBSTR",
+                             "REPLACE", "LANG"})
             while True:
                 kind, tok = self._peek()
+                up = tok.upper() if kind == "word" else ""
                 if kind == "var":
                     self.i += 1
                     self.q.order_by.append((tok[1:], True))
-                elif kind == "word" and tok.upper() in ("ASC", "DESC"):
-                    asc = tok.upper() == "ASC"
+                elif up in ("ASC", "DESC"):
+                    asc = up == "ASC"
                     self.i += 1
                     self._expect("(")
-                    kind, v = self._next()
-                    if kind != "var":
-                        raise SparqlError("ORDER BY ASC/DESC needs a ?var")
+                    if (self._peek()[0] == "var"
+                            and self.toks[self.i + 1][1] == ")"):
+                        self.q.order_by.append((self._next()[1][1:], asc))
+                    else:
+                        self.q.order_by.append((self._parse_bind_expr(), asc))
                     self._expect(")")
-                    self.q.order_by.append((v[1:], asc))
+                elif tok == "(" or up in expr_words:
+                    self.q.order_by.append((self._parse_bind_expr(), True))
                 else:
                     break
             if not self.q.order_by:
@@ -899,6 +1044,11 @@ def _push_inv(expr: PathExpr, inv: bool = False) -> PathExpr:
         return PathAlt(tuple(_push_inv(p, inv) for p in expr.parts))
     if isinstance(expr, PathPlus):
         return PathPlus(_push_inv(expr.inner, inv))
+    if isinstance(expr, PathOpt):
+        return PathOpt(_push_inv(expr.inner, inv))
+    if isinstance(expr, PathNeg):
+        # ^!(p1|^p2) = !(^p1|p2): inversion swaps the member sets
+        return PathNeg(expr.inv, expr.fwd) if inv else expr
     return PathStar(_push_inv(expr.inner, inv))
 
 
@@ -945,6 +1095,33 @@ def _path_rel(gdf: DataFrame, expr: PathExpr) -> DataFrame:
         return rel.distinct()
     if isinstance(expr, PathPlus):
         return transitive_closure(_path_rel(gdf, expr.inner))
+    if isinstance(expr, PathNeg):
+        # negated property set: one scan per direction, NOT IN on the
+        # predicate (a map-side filter — no closure, no join)
+        parts = []
+        if expr.fwd:
+            parts.append(
+                gdf.where(~F.col("pred").isin(*expr.fwd)).select(
+                    F.col("subj").alias("src"), F.col("obj").alias("dst")
+                )
+            )
+        if expr.inv:
+            parts.append(
+                gdf.where(~F.col("pred").isin(*expr.inv)).select(
+                    F.col("obj").alias("src"), F.col("subj").alias("dst")
+                )
+            )
+        rel = parts[0]
+        for p in parts[1:]:
+            rel = rel.unionByName(p)
+        return rel.distinct() if len(parts) > 1 else rel
+    if isinstance(expr, PathOpt):
+        # zero-or-one: inner ∪ identity over every graph term (the
+        # zero-length component, same domain as PathStar's)
+        ident = _graph_terms(gdf).select(
+            F.col("node").alias("src"), F.col("node").alias("dst")
+        )
+        return _path_rel(gdf, expr.inner).unionByName(ident).distinct()
     # PathStar: closure ∪ identity over every graph term (SPARQL zero-length
     # path semantics — any term relates to itself)
     ident = _graph_terms(gdf).select(
@@ -1011,11 +1188,56 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
         return F.upper(_bind_col(payload, df).cast("string"))
     if kind == "strlen":
         return F.length(_bind_col(payload, df).cast("string"))
+    if kind == "if":
+        # payload is a FilterExpr condition (EXISTS — a join — raises below)
+        return F.when(_filter_col(payload, df), _bind_col(expr[2], df)) \
+                .otherwise(_bind_col(expr[3], df))
+    if kind == "coalesce":
+        return F.coalesce(*[_bind_col(a, df) for a in payload])
+    if kind in ("strbefore", "strafter"):
+        a = _bind_col(payload[0], df).cast("string")
+        b = _bind_col(payload[1], df).cast("string")
+        pos = F.instr(a, b)
+        if kind == "strbefore":
+            # SPARQL §17.4.3.8: empty separator → "", not found → ""
+            return (F.when(b == F.lit(""), F.lit(""))
+                    .when(pos > 0, a.substr(F.lit(1), pos - 1))
+                    .otherwise(F.lit("")))
+        # STRAFTER: empty separator → the whole string, not found → ""
+        return (F.when(b == F.lit(""), a)
+                .when(pos > 0, a.substr(pos + F.length(b), F.length(a)))
+                .otherwise(F.lit("")))
+    if kind == "replace":
+        # SPARQL REPLACE is regex-based (fn:replace)
+        return F.regexp_replace(
+            _bind_col(payload[0], df).cast("string"),
+            _bind_col(payload[1], df).cast("string"),
+            _bind_col(payload[2], df).cast("string"),
+        )
+    if kind == "substr":
+        # XPath fn:substring: 1-based start; no length = through the end
+        a = _bind_col(payload[0], df).cast("string")
+        start = _bind_col(payload[1], df).cast("int")
+        length = (_bind_col(payload[2], df).cast("int")
+                  if len(payload) > 2 else F.length(a))
+        return a.substr(start, length)
+    if kind in ("year", "month", "day", "hours", "minutes", "seconds"):
+        # accessors over the store's xsd:dateTime lexical forms (ISO-8601;
+        # statements.py date_format emits them); SECONDS truncates to the
+        # integer second (the store never writes fractional seconds)
+        fn = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+              "hours": F.hour, "minutes": F.minute, "seconds": F.second}[kind]
+        return fn(F.to_timestamp(_bind_col(payload, df).cast("string")))
+    if kind == "lang":
+        # the store carries no language-tagged literals (the reference emits
+        # none either: plain + typed literals only), so LANG is "" everywhere
+        return F.lit("")
     return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
 
 
 def _is_numeric_expr(expr: BindExpr) -> bool:
-    return expr[0] in ("num", "strlen", "arith")
+    return expr[0] in ("num", "strlen", "arith",
+                       "year", "month", "day", "hours", "minutes", "seconds")
 
 
 def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
@@ -1059,7 +1281,8 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
         return {"=": c1 == c2, "!=": c1 != c2, "<": c1 < c2,
                 "<=": c1 <= c2, ">": c1 > c2, ">=": c1 >= c2}[op]
     raise SparqlError(
-        "EXISTS is only supported as a top-level FILTER conjunct "
+        f"{'EXISTS' if kind == 'exists' else 'isIRI/isLiteral'} is only "
+        "supported as a top-level FILTER conjunct "
         "(it compiles to a join, not a row predicate)"
     )
 
@@ -1092,9 +1315,43 @@ def _apply_filters(
                 ex.select(*shared), shared,
                 "left_anti" if negated else "left_semi",
             )
+        elif e[0] == "termfn":
+            # isIRI(?v) / isLiteral(?v): ONE semi/anti join against the
+            # graph's distinct IRI-term set (term typing is store-level —
+            # obj_type on the triple — so it cannot be a row predicate over
+            # the lexical form). Unbound (null) args are errors per SPARQL
+            # §17.2, i.e. the row drops either way.
+            fn, var = e[1], e[2]
+            if var not in df.columns:
+                df = df.where(F.lit(False))
+                continue
+            iri = _iri_terms(triples, repo).withColumnRenamed("term", var)
+            df = df.where(F.col(var).isNotNull()).join(
+                iri, var, "left_semi" if fn == "isiri" else "left_anti"
+            )
         else:
             df = df.where(_filter_col(e, df))
     return df
+
+
+def _iri_terms(triples: DataFrame, repo: str | None) -> DataFrame:
+    """Distinct terms known to be IRIs in the (repo-scoped) graph: all
+    subjects, all predicates, and objects whose triple is typed
+    obj_type='iri' (the store's term-typing column; on a bare (s,p,o)
+    frame without it, objects are conservatively non-IRI). A lexical form
+    appearing as both an IRI and a literal somewhere classifies as IRI."""
+    gdf = triples
+    if repo is not None:
+        gdf = gdf.where(F.col("repo") == repo)
+    terms = gdf.select(F.col("subj").alias("term")).unionByName(
+        gdf.select(F.col("pred").alias("term"))
+    )
+    if "obj_type" in gdf.columns:
+        terms = terms.unionByName(
+            gdf.where(F.col("obj_type") == "iri")
+            .select(F.col("obj").alias("term"))
+        )
+    return terms.distinct()
 
 
 def _join_path_pattern(
@@ -1142,6 +1399,20 @@ def _join_path_pattern(
     return df.join(rel, shared) if shared else df.crossJoin(rel)
 
 
+def _drop_pp_markers(df: DataFrame) -> DataFrame:
+    """Strip internal `_pp_exists_N` existence-marker columns once all path
+    relations have joined in. When a const-const path STARTS the solution
+    set (df was None in _join_path_pattern) the marker is the frame's only
+    column until later relations cross-join against it — without this, a
+    query like `SELECT * WHERE { <c1> p+ <c2> . ?s p2+ ?o }` leaked the
+    marker into its results. Kept only when it is the sole column (a pure
+    existence query, e.g. ASK over one const-const path, needs the row)."""
+    markers = [c for c in df.columns if c.startswith("_pp_exists_")]
+    if markers and len(markers) < len(df.columns):
+        return df.drop(*markers)
+    return df
+
+
 def _group_solutions(triples: DataFrame, g: Group, repo: str | None) -> DataFrame:
     """Solution set of one braced group: BGP ⋈ path relations, then the
     group's own FILTERs — the evaluation unit behind OPTIONAL / MINUS /
@@ -1151,7 +1422,52 @@ def _group_solutions(triples: DataFrame, g: Group, repo: str | None) -> DataFram
         df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
     if df is None:
         raise SparqlError("empty pattern group")
+    df = _drop_pp_markers(df)
     return _apply_filters(df, g.filters, triples, repo)
+
+
+def _graph_var_solutions(
+    triples: DataFrame, g: Group, gvar: str, repo: str | None
+) -> DataFrame:
+    """GRAPH ?g { patterns }: like a BGP, but every pattern additionally
+    projects the triple's repo column as ?g — and because ?g is then a
+    SHARED column across the block's patterns, the equi-join keeps all of a
+    solution's triples inside ONE named graph, which is exactly SPARQL's
+    GRAPH semantics over the reference's per-repo models. ?g in a term
+    position (e.g. GRAPH ?g { ?g prov:label ?l }) equates graph name and
+    term, same as any repeated variable. Property paths inside GRAPH ?var
+    are out of subset (a closure must not hop across graphs; use a constant
+    graph term, which scopes the whole block)."""
+    if g.paths:
+        raise SparqlError(
+            "property paths inside GRAPH ?var are out of subset "
+            "(use a constant graph term)"
+        )
+    if not g.patterns:
+        raise SparqlError("empty GRAPH block")
+    gdf = triples
+    if repo is not None:
+        gdf = gdf.where(F.col("repo") == repo)
+    result: DataFrame | None = None
+    for s, p, o in g.patterns:
+        df = gdf
+        cols = {gvar: "repo"}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if term.startswith("?"):
+                name = term[1:]
+                if name in cols:
+                    df = df.where(F.col(col) == F.col(cols[name]))
+                else:
+                    cols[name] = col
+            else:
+                df = df.where(F.col(col) == term)
+        proj = df.select(*[F.col(c).alias(v) for v, c in cols.items()])
+        if result is None:
+            result = proj
+        else:
+            shared = [c for c in proj.columns if c in result.columns]
+            result = result.join(proj, shared)
+    return _apply_filters(result.distinct(), g.filters, triples, repo)
 
 
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
@@ -1159,11 +1475,13 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     UNION/OPTIONAL/MINUS blocks + VALUES/BIND columns + FILTER row
     predicates, one column per bound variable."""
     if (not q.patterns and not q.path_patterns and not q.unions
-            and not q.subqueries):
+            and not q.subqueries and not q.graphs):
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
         df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
+    if df is not None:
+        df = _drop_pp_markers(df)
     for branches in q.unions:
         if any(not b.patterns and not b.paths for b in branches):
             raise SparqlError("empty UNION branch")
@@ -1219,6 +1537,21 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         else:
             shared = [c for c in sdf.columns if c in df.columns]
             df = df.join(sdf, shared) if shared else df.crossJoin(sdf)
+    for gterm, g in q.graphs:
+        if gterm.startswith("?"):
+            gsol = _graph_var_solutions(triples, g, gterm[1:], repo)
+        elif repo is not None and gterm != repo:
+            # dataset already scoped to one named graph; a different
+            # constant graph matches nothing
+            gsol = _group_solutions(triples, g, repo).where(F.lit(False))
+        else:
+            # constant graph = evaluate the block repo-scoped to it
+            gsol = _group_solutions(triples, g, gterm)
+        if df is None:
+            df = gsol
+        else:
+            shared = [c for c in gsol.columns if c in df.columns]
+            df = df.join(gsol, shared) if shared else df.crossJoin(gsol)
     for g in q.optionals:
         # block-scoped FILTERs apply to the block's own solutions before
         # the left join (group scoping; a filter referencing only outer
@@ -1415,9 +1748,11 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             raise SparqlError(f"SELECT of unbound variables: {missing}")
         df = df.select(*q.variables).distinct()  # set semantics (see module doc)
     if q.order_by:
-        df = df.orderBy(*[
-            F.asc(v) if asc else F.desc(v) for v, asc in q.order_by
-        ])
+        keys = []
+        for v, asc in q.order_by:
+            c = F.col(v) if isinstance(v, str) else _bind_col(v, df)
+            keys.append(c.asc() if asc else c.desc())
+        df = df.orderBy(*keys)
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:

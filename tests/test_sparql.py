@@ -57,7 +57,7 @@ def test_parse_star_and_user_prefix():
     [
         "INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",      # update form
         "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
-        "SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?s)) }",  # unsupported fn
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(isNumeric(?s)) }",  # unsupported fn
         "SELECT WHERE { ?s ?p ?o }",                   # no projection
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",        # bad limit
         "SELECT ?s WHERE { ?s ?p ?o } garbage",        # trailing input
@@ -1334,3 +1334,169 @@ def test_path_inside_exists(spark):
 def test_construct_template_rejects_paths():
     with pytest.raises(SparqlError):
         parse("CONSTRUCT { ?s ev:x+ ?o } WHERE { ?s ev:p ?o }")
+
+
+# --------------------------------------------------------------------------
+# Round-4 widening: scalar builtins, path ?/!(), GRAPH, ORDER BY exprs,
+# isIRI/isLiteral
+# --------------------------------------------------------------------------
+
+def _r4_graph(spark):
+    rows = [
+        ("g1", "u:a", "ev:next", "u:b", "iri"),
+        ("g1", "u:b", "ev:next", "u:c", "iri"),
+        ("g1", "u:a", "ev:knows", "u:c", "iri"),
+        ("g1", "u:a", "rdfs:label", "alice", "xsd:string"),
+        ("g1", "u:a", "ev:when", "2024-03-05T10:20:30Z", "xsd:dateTime"),
+        ("g2", "u:x", "ev:next", "u:y", "iri"),
+        ("g2", "u:x", "rdfs:label", "xavier", "xsd:string"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+
+
+def test_bind_if_coalesce(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?s ?v ?c WHERE {
+          ?s rdfs:label ?l .
+          OPTIONAL { ?s ev:missing ?m } .
+          BIND(IF(STRLEN(?l) > 5, "long", "short") AS ?v) .
+          BIND(COALESCE(?m, "fallback") AS ?c)
+        }
+    """))
+    assert got == [("u:a", "short", "fallback"), ("u:x", "long", "fallback")]
+
+
+def test_bind_strbefore_strafter_edge_semantics(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?b ?a ?be ?ae ?bm ?am WHERE {
+          "u:a" rdfs:label ?l .
+          BIND(STRBEFORE(?l, "i") AS ?b) . BIND(STRAFTER(?l, "i") AS ?a) .
+          BIND(STRBEFORE(?l, "") AS ?be) . BIND(STRAFTER(?l, "") AS ?ae) .
+          BIND(STRBEFORE(?l, "zz") AS ?bm) . BIND(STRAFTER(?l, "zz") AS ?am)
+        }
+    """))
+    # SPARQL §17.4.3.7/8: empty sep -> ("", whole string); missing -> ("","")
+    assert got == [("al", "ce", "", "alice", "", "")]
+
+
+def test_bind_substr_replace(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?s2 ?s3 ?r WHERE {
+          "u:a" rdfs:label ?l .
+          BIND(SUBSTR(?l, 2) AS ?s2) . BIND(SUBSTR(?l, 2, 3) AS ?s3) .
+          BIND(REPLACE(?l, "[aeiou]", "_") AS ?r)
+        }
+    """))
+    assert got == [("lice", "lic", "_l_c_")]
+
+
+def test_datetime_accessors(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?yr ?mo ?dd ?hh ?mi ?ss WHERE {
+          ?s ev:when ?d .
+          BIND(YEAR(?d) AS ?yr) . BIND(MONTH(?d) AS ?mo) .
+          BIND(DAY(?d) AS ?dd) . BIND(HOURS(?d) AS ?hh) .
+          BIND(MINUTES(?d) AS ?mi) . BIND(SECONDS(?d) AS ?ss) .
+          FILTER(YEAR(?d) >= 2020)
+        }
+    """))
+    assert got == [(2024, 3, 5, 10, 20, 30)]
+
+
+def test_lang_is_empty(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?l ?g WHERE { ?s rdfs:label ?l . BIND(LANG(?l) AS ?g) .
+                             FILTER(LANG(?l) = "") }
+    """))
+    assert got == [("alice", ""), ("xavier", "")]
+
+
+def test_path_zero_or_one(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, 'SELECT ?b WHERE { "u:a" ev:next? ?b }'))
+    assert got == [("u:a",), ("u:b",)]
+
+
+def test_path_negated_property_set(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, 'SELECT ?o WHERE { "u:a" !(ev:next|rdfs:label) ?o }'))
+    assert got == [("2024-03-05T10:20:30Z",), ("u:c",)]
+    # inverse member: reversed edges whose pred is not ev:next
+    got = _rows(execute(t, 'SELECT ?o WHERE { "u:c" !(^ev:next) ?o }'))
+    assert got == [("u:a",)]  # only via reversed ev:knows
+
+
+def test_path_negated_set_inverted_swaps(spark):
+    t = _r4_graph(spark)
+    a = _rows(execute(t, 'SELECT ?o WHERE { "u:c" ^!(ev:knows) ?o }'))
+    b = _rows(execute(t, 'SELECT ?o WHERE { "u:c" !(^ev:knows) ?o }'))
+    assert a == b == [("u:b",)]  # forward-not-knows edges into u:c, reversed
+
+
+def test_graph_var_binds_and_same_graph_join(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?g ?s ?l WHERE { GRAPH ?g { ?s rdfs:label ?l } }
+    """))
+    assert got == [("g1", "u:a", "alice"), ("g2", "u:x", "xavier")]
+    # same-graph join: label + next must come from ONE graph
+    got = _rows(execute(t, """
+        SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s rdfs:label ?l . ?s ev:next ?n } }
+    """))
+    assert got == [("g1", "u:a", "u:b"), ("g2", "u:x", "u:y")]
+
+
+def test_graph_constant_scopes(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?s ?l WHERE { GRAPH "g2" { ?s rdfs:label ?l } }
+    """))
+    assert got == [("u:x", "xavier")]
+
+
+def test_graph_var_rejects_paths(spark):
+    t = _r4_graph(spark)
+    with pytest.raises(SparqlError):
+        execute(t, 'SELECT ?g ?b WHERE { GRAPH ?g { "u:a" ev:next+ ?b } }')
+
+
+def test_order_by_expression(spark):
+    t = _r4_graph(spark)
+    got = [tuple(r) for r in execute(t, """
+        SELECT ?l WHERE { ?s rdfs:label ?l }
+        ORDER BY DESC(STRLEN(?l)) LIMIT 1
+    """).collect()]
+    assert got == [("xavier",)]
+
+
+def test_isiri_isliteral(spark):
+    t = _r4_graph(spark)
+    got = _rows(execute(t,
+        'SELECT ?o WHERE { "u:a" ?p ?o . FILTER(isIRI(?o)) }'))
+    assert got == [("u:b",), ("u:c",)]
+    got = _rows(execute(t,
+        'SELECT ?o WHERE { "u:a" ?p ?o . FILTER(isLiteral(?o)) }'))
+    assert got == [("2024-03-05T10:20:30Z",), ("alice",)]
+
+
+def test_isiri_rejected_under_or(spark):
+    t = _r4_graph(spark)
+    with pytest.raises(SparqlError):
+        execute(t, 'SELECT ?o WHERE { ?s ?p ?o . '
+                   'FILTER(isIRI(?o) || ?o = "alice") }').collect()
+
+
+def test_const_const_path_marker_not_leaked(spark):
+    t = _r4_graph(spark)
+    df = execute(t, """
+        SELECT ?s ?o WHERE { "u:a" ev:next+ "u:c" . ?s ev:knows ?o }
+    """)
+    assert df.columns == ["s", "o"]
+    assert _rows(df) == [("u:a", "u:c")]
