@@ -1435,6 +1435,97 @@ SPARQL_TERMFNS_ORACLE = (
 )
 
 
+def q_sparql_scalar_math(spark, sf_dir):
+    """Numeric / hash / URI-encoding scalar builtins (round-4 widening
+    toward ARQ, services/SparqlService.java:26): ABS, CEIL, FLOOR, ROUND
+    (XPath fn:round — ties toward +INF, exercised by the exact .5 halves of
+    ?o/2), MD5, SHA256, and ENCODE_FOR_URI, all single Catalyst expressions
+    (sparql.py _bind_col). Divisors are powers of two so every quotient is
+    exact in binary and the DuckDB twin hash-compares bit-for-bit."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("ev:num").alias("pred"),
+        F.col("event_id").cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?u ?o ?a ?ce ?fl ?ro ?m ?sh ?enc WHERE {
+          ?u ev:num ?o .
+          BIND(ABS(?o - 500) AS ?a) .
+          BIND(CEIL(?o / 4) AS ?ce) .
+          BIND(FLOOR(?o / 4) AS ?fl) .
+          BIND(ROUND(?o / 2) AS ?ro) .
+          BIND(MD5(?u) AS ?m) .
+          BIND(SHA256(?o) AS ?sh) .
+          BIND(ENCODE_FOR_URI(CONCAT(?u, " & ", ?o)) AS ?enc)
+        }
+        """,
+    )
+
+
+SPARQL_SCALAR_MATH_ORACLE = (
+    # floor(n/2 + 0.5) is XPath fn:round (ties toward +INF) — deliberately
+    # NOT DuckDB's round(), which is half-away-from-zero
+    "WITH t AS (SELECT DISTINCT 'user-' || CAST(user_id AS VARCHAR) AS u, "
+    "CAST(event_id AS VARCHAR) AS o, event_id AS n FROM events) "
+    "SELECT u, o, CAST(abs(n - 500) AS DOUBLE) AS a, "
+    "ceil(n / 4.0) AS ce, floor(n / 4.0) AS fl, "
+    "floor(n / 2.0 + 0.5) AS ro, md5(u) AS m, sha256(o) AS sh, "
+    "replace(replace(u || ' & ' || o, ' ', '%20'), '&', '%26') AS enc "
+    "FROM t"
+)
+
+
+def q_sparql_datatype(spark, sf_dir):
+    """DATATYPE(?v) in BIND + isNumeric(?v) in FILTER: both are term-level
+    typing, which lives on the TRIPLE (obj_type), so DATATYPE compiles to
+    ONE equi left join against the graph's distinct literal→datatype map
+    (sparql.py _bind_datatype; AQE picks broadcast at this scale) and
+    isNumeric to ONE semi join against the numeric-typed term set — never a
+    lexical-shape heuristic (the view's even event ids are IRIs whose
+    lexical form is 'event-N', odd ids are xsd:int literals, so each path
+    genuinely discriminates). isBlank is constant false (the KG mints an
+    IRI for every node; the reference emits no bnodes either)."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.where(F.col("user_id") < 130).select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("ev:ref").alias("pred"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.concat(F.lit("event-"), F.col("event_id").cast("string")))
+        .otherwise(F.col("event_id").cast("string")).alias("obj"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("iri"))
+        .otherwise(F.lit("xsd:int")).alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?u ?o ?dt WHERE {
+          ?u ev:ref ?o .
+          BIND(DATATYPE(?o) AS ?dt) .
+          FILTER(isNumeric(?o)) . FILTER(!isBlank(?o))
+        }
+        """,
+    )
+
+
+SPARQL_DATATYPE_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS u, "
+    "CASE WHEN event_id % 2 = 0 THEN 'event-' || CAST(event_id AS VARCHAR) "
+    "     ELSE CAST(event_id AS VARCHAR) END AS o, "
+    "event_id % 2 = 0 AS is_iri FROM events WHERE user_id < 130) "
+    "SELECT DISTINCT u, o, 'xsd:int' AS dt FROM t WHERE NOT is_iri"
+)
+
+
 def q_sparql_construct(spark, sf_dir):
     """SPARQL CONSTRUCT (subset): template patterns instantiated per WHERE
     solution — the graph-rewriting query form Jena ARQ serves for the
@@ -1646,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_graph": q_sparql_graph,
         "sparql_termfns": q_sparql_termfns,
+        "sparql_scalar_math": q_sparql_scalar_math,
+        "sparql_datatype": q_sparql_datatype,
         # -- corpus / training-data suite -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1883,6 +1976,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_neg": SPARQL_PATH_NEG_ORACLE,
         "sparql_graph": SPARQL_GRAPH_ORACLE,
         "sparql_termfns": SPARQL_TERMFNS_ORACLE,
+        "sparql_scalar_math": SPARQL_SCALAR_MATH_ORACLE,
+        "sparql_datatype": SPARQL_DATATYPE_ORACLE,
         "sparql_describe": SPARQL_DESCRIBE_ORACLE,
         "sparql_path": SPARQL_PATH_ORACLE,
         "sparql_path_seeded": SPARQL_PATH_SEEDED_ORACLE,

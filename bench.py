@@ -86,6 +86,10 @@ EXTRA_QUERIES = [
     "sparql_path_neg",
     "sparql_graph",
     "sparql_termfns",
+    # round-4 additions, second batch: numeric/hash/encode builtins,
+    # DATATYPE + isNumeric term typing
+    "sparql_scalar_math",
+    "sparql_datatype",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

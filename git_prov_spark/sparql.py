@@ -37,6 +37,10 @@ Supported subset (documented, validated — anything else raises SparqlError):
       COALESCE(ve, ...) | STRBEFORE/STRAFTER(ve, ve) |
       REPLACE(ve, pat, rep) (regex) | SUBSTR(ve, start[, len]) (1-based) |
       YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS(ve) (xsd:dateTime lexical) |
+      ABS/CEIL/FLOOR/ROUND(ve) (XPath: ROUND ties toward +INF) |
+      MD5/SHA1/SHA256/SHA384/SHA512(ve) (lowercase hex) |
+      ENCODE_FOR_URI(ve) | IRI/URI(ve) (≡ STR: all-string term model) |
+      DATATYPE(?v) (BIND-only: one equi join on the store's obj_type) |
       LANG(ve) (always "": the store carries no language-tagged literals),
       with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
     FILTER grammar: e || e, e && e, !e, (e),    --   numeric comparison when
@@ -44,10 +48,11 @@ Supported subset (documented, validated — anything else raises SparqlError):
       ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   numeric fn, else code-
       bound(?v), STRSTARTS/STRENDS/CONTAINS     --   point string order
       (ve, ve), [NOT] EXISTS { patterns },      --   (like ARQ on simple
-      isIRI/isURI/isLiteral(?v)                 --   literals)
-      EXISTS and isIRI/isLiteral compile to ONE left-semi/anti join
-      (EXISTS on the block's shared variables; is* against the graph's
-      IRI-term set) — top-level conjunct position only (not under ||/!).
+      isIRI/isURI/isLiteral/isNumeric(?v),      --   literals)
+      isBlank(?v) (constant false: no bnodes in this store or the reference)
+      EXISTS and isIRI/isLiteral/isNumeric compile to ONE left-semi/anti
+      join (EXISTS on the block's shared variables; is* against the graph's
+      IRI-term / numeric-literal set) — top-level conjunct position only.
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) ...                      -- =  != > >= < <= over the
     ORDER BY [ASC|DESC](?v | expr) ...          --   aggregated columns;
@@ -662,6 +667,10 @@ class _Parser:
     _DT_FNS = {"YEAR": "year", "MONTH": "month", "DAY": "day",
                "HOURS": "hours", "MINUTES": "minutes", "SECONDS": "seconds"}
     _STR2_FNS = {"STRBEFORE": "strbefore", "STRAFTER": "strafter"}
+    _NUM_FNS = {"ABS": "abs", "CEIL": "ceil", "FLOOR": "floor",
+                "ROUND": "round"}
+    _HASH_FNS = {"MD5": "md5", "SHA1": "sha1", "SHA256": "sha256",
+                 "SHA384": "sha384", "SHA512": "sha512"}
 
     def _parse_fn_args(self, lo: int, hi: int, what: str) -> list:
         """'(' expr (',' expr)* ')' with arity validation."""
@@ -711,6 +720,26 @@ class _Parser:
         if up in self._DT_FNS:
             self.i += 1
             return (self._DT_FNS[up], self._parse_fn_args(1, 1, up)[0])
+        if up in self._NUM_FNS:
+            self.i += 1
+            return (self._NUM_FNS[up], self._parse_fn_args(1, 1, up)[0])
+        if up in self._HASH_FNS:
+            self.i += 1
+            return (self._HASH_FNS[up], self._parse_fn_args(1, 1, up)[0])
+        if up == "ENCODE_FOR_URI":
+            self.i += 1
+            return ("encode_for_uri", self._parse_fn_args(1, 1, up)[0])
+        if up in ("IRI", "URI"):
+            # the term model is all-string lexical forms (constants are
+            # already prefix-expanded by the term parser; no BASE support),
+            # so IRI(e) is the string value of e — same compile as STR
+            self.i += 1
+            return ("str", self._parse_fn_args(1, 1, up)[0])
+        if up == "DATATYPE":
+            # term-level typing lives on the triple (obj_type), not in the
+            # lexical form — compiled as a left join at BIND-apply time
+            self.i += 1
+            return ("datatype", self._parse_fn_args(1, 1, up)[0])
         if up == "LANG":
             self.i += 1
             return ("lang", self._parse_fn_args(1, 1, "LANG")[0])
@@ -844,15 +873,29 @@ class _Parser:
             if not g.patterns and not g.paths:
                 raise SparqlError("empty EXISTS block")
             return ("exists", g, negated)
-        if up in ("ISIRI", "ISURI", "ISLITERAL"):
+        if up in ("ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC"):
             self.i += 1
             self._expect("(")
             kind, var = self._next()
             if kind != "var":
                 raise SparqlError(f"{up}() needs a ?var argument")
             self._expect(")")
-            return ("termfn",
-                    "isliteral" if up == "ISLITERAL" else "isiri", var[1:])
+            fn = {"ISIRI": "isiri", "ISURI": "isiri",
+                  "ISLITERAL": "isliteral", "ISNUMERIC": "isnumeric"}[up]
+            return ("termfn", fn, var[1:])
+        if up == "ISBLANK":
+            # the KG mints a full IRI for every node (iri.py) and the
+            # reference emits no blank nodes either (qualified names
+            # throughout GitProvService.java), so isBlank is constant false.
+            # Divergence note: SPARQL says isBlank(unbound) is an error
+            # (row drops); here !isBlank(?unbound) keeps the row.
+            self.i += 1
+            self._expect("(")
+            kind, var = self._next()
+            if kind != "var":
+                raise SparqlError("isBlank() needs a ?var argument")
+            self._expect(")")
+            return ("litbool", False)
         if up == "BOUND":
             self.i += 1
             self._expect("(")
@@ -950,9 +993,11 @@ class _Parser:
             # the BindExpr (compiled by _bind_col at sort time, so aggregate
             # aliases and arithmetic both work)
             expr_words = (set(self._UNARY_STR_FNS) | set(self._DT_FNS)
-                          | set(self._STR2_FNS)
+                          | set(self._STR2_FNS) | set(self._NUM_FNS)
+                          | set(self._HASH_FNS)
                           | {"CONCAT", "IF", "COALESCE", "SUBSTR",
-                             "REPLACE", "LANG"})
+                             "REPLACE", "LANG", "ENCODE_FOR_URI", "IRI",
+                             "URI"})
             while True:
                 kind, tok = self._peek()
                 up = tok.upper() if kind == "word" else ""
@@ -1232,11 +1277,46 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
         # the store carries no language-tagged literals (the reference emits
         # none either: plain + typed literals only), so LANG is "" everywhere
         return F.lit("")
+    if kind == "abs":
+        return F.abs(_bind_col(payload, df).cast("double"))
+    if kind in ("ceil", "floor"):
+        # XPath fn:ceiling / fn:floor; result kept double (Spark's ceil/floor
+        # return LONG — cast back so comparisons and oracles see one type)
+        fn = F.ceil if kind == "ceil" else F.floor
+        return fn(_bind_col(payload, df).cast("double")).cast("double")
+    if kind == "round":
+        # XPath fn:round rounds ties toward +INF (round(-2.5) = -2), which is
+        # floor(x + 0.5) — NOT Spark's / DuckDB's half-away-from-zero round()
+        c = _bind_col(payload, df).cast("double")
+        return F.floor(c + F.lit(0.5)).cast("double")
+    if kind in ("md5", "sha1"):
+        fn = F.md5 if kind == "md5" else F.sha1
+        return fn(_bind_col(payload, df).cast("string").cast("binary"))
+    if kind in ("sha256", "sha384", "sha512"):
+        return F.sha2(_bind_col(payload, df).cast("string").cast("binary"),
+                      int(kind[3:]))
+    if kind == "encode_for_uri":
+        # SPARQL §17.4.2.8: percent-encode everything outside RFC 3986
+        # unreserved. url_encode is application/x-www-form-urlencoded (Java
+        # URLEncoder): space→'+', '*' kept verbatim, '~'→'%7E'. Those are the
+        # ONLY divergences, and each fix-up below is unambiguous post-encode:
+        # a '+' can only come from a space (literal '+' became '%2B'), '%7E'
+        # only from '~', '*' only from a literal '*'. Hex case already upper.
+        c = F.url_encode(_bind_col(payload, df).cast("string"))
+        c = F.replace(c, F.lit("+"), F.lit("%20"))
+        c = F.replace(c, F.lit("%7E"), F.lit("~"))
+        return F.replace(c, F.lit("*"), F.lit("%2A"))
+    if kind == "datatype":
+        raise SparqlError(
+            "DATATYPE needs the graph's term typing and is only supported "
+            "as a direct BIND expression: BIND(DATATYPE(?v) AS ?dt)"
+        )
     return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
 
 
 def _is_numeric_expr(expr: BindExpr) -> bool:
     return expr[0] in ("num", "strlen", "arith",
+                       "abs", "ceil", "floor", "round",
                        "year", "month", "day", "hours", "minutes", "seconds")
 
 
@@ -1256,6 +1336,8 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
         return cond
     if kind == "not":
         return ~_filter_col(expr[1], df)
+    if kind == "litbool":
+        return F.lit(expr[1])
     if kind == "bound":
         # a var never bound anywhere in the query is simply false, matching
         # SPARQL's bound() over an unbound variable
@@ -1325,6 +1407,15 @@ def _apply_filters(
             if var not in df.columns:
                 df = df.where(F.lit(False))
                 continue
+            if fn == "isnumeric":
+                # isNumeric(?v): semi join against the graph's distinct
+                # numeric-typed literal terms (same store-level-typing
+                # argument as isIRI above)
+                num = _numeric_terms(triples, repo) \
+                    .withColumnRenamed("term", var)
+                df = df.where(F.col(var).isNotNull()) \
+                       .join(num, var, "left_semi")
+                continue
             iri = _iri_terms(triples, repo).withColumnRenamed("term", var)
             df = df.where(F.col(var).isNotNull()).join(
                 iri, var, "left_semi" if fn == "isiri" else "left_anti"
@@ -1332,6 +1423,31 @@ def _apply_filters(
         else:
             df = df.where(_filter_col(e, df))
     return df
+
+
+#: xsd numeric datatypes (SPARQL §17.1 operand data types + derived ints)
+_NUMERIC_XSD = (
+    "xsd:int", "xsd:integer", "xsd:long", "xsd:short", "xsd:byte",
+    "xsd:decimal", "xsd:float", "xsd:double", "xsd:nonNegativeInteger",
+    "xsd:positiveInteger", "xsd:unsignedInt", "xsd:unsignedLong",
+)
+
+
+def _numeric_terms(triples: DataFrame, repo: str | None) -> DataFrame:
+    """Distinct lexical forms typed with a numeric xsd datatype somewhere in
+    the (repo-scoped) graph. On a bare (s,p,o) frame without obj_type, no
+    term classifies numeric (conservative, mirrors _iri_terms' object
+    rule)."""
+    gdf = triples
+    if repo is not None and "repo" in gdf.columns:
+        gdf = gdf.where(F.col("repo") == repo)
+    if "obj_type" not in gdf.columns:
+        return gdf.select(F.col("obj").alias("term")).limit(0)
+    return (
+        gdf.where(F.col("obj_type").isin(*_NUMERIC_XSD))
+        .select(F.col("obj").alias("term"))
+        .distinct()
+    )
 
 
 def _iri_terms(triples: DataFrame, repo: str | None) -> DataFrame:
@@ -1584,8 +1700,45 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     for expr, name in q.binds:
         if name in df.columns:
             raise SparqlError(f"BIND would rebind already-bound ?{name}")
-        df = df.withColumn(name, _bind_col(expr, df))
+        if expr[0] == "datatype":
+            df = _bind_datatype(df, expr[1], name, triples, repo)
+        else:
+            df = df.withColumn(name, _bind_col(expr, df))
     return _apply_filters(df, q.filters, triples, repo)
+
+
+def _bind_datatype(
+    df: DataFrame, arg: BindExpr, name: str,
+    triples: DataFrame, repo: str | None,
+) -> DataFrame:
+    """BIND(DATATYPE(?v) AS ?dt): term typing is store-level (the obj_type
+    column on each triple), not derivable from the lexical form, so this is
+    ONE equi left join against the graph's distinct literal→datatype map
+    (AQE picks broadcast when the map is small; at full scale the distinct
+    literal set is large and must shuffle — never force-broadcast it).
+    IRI terms and unknown lexical forms get NULL (SPARQL: type error →
+    unbound). A lexical form stored under two datatypes resolves to min()
+    deterministically — a documented divergence of the lexical term model
+    (rare: the KG emitter types each attribute consistently). Datatypes are
+    returned in the store's own CURIE spelling ('xsd:int', matching every
+    serializer in store.py)."""
+    if arg[0] != "var":
+        raise SparqlError("DATATYPE takes a single ?var argument")
+    var = arg[1]
+    if var not in df.columns:
+        raise SparqlError(f"DATATYPE references unbound variable ?{var}")
+    gdf = triples
+    if repo is not None and "repo" in gdf.columns:
+        gdf = gdf.where(F.col("repo") == repo)
+    if "obj_type" not in gdf.columns:
+        # bare (s,p,o) frame: no typing available — every term is unbound
+        return df.withColumn(name, F.lit(None).cast("string"))
+    dtmap = (
+        gdf.where(F.col("obj_type") != "iri")
+        .groupBy(F.col("obj").alias(var))
+        .agg(F.min("obj_type").alias(name))
+    )
+    return df.join(dtmap, var, "left")
 
 
 def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:

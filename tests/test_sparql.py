@@ -57,7 +57,7 @@ def test_parse_star_and_user_prefix():
     [
         "INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }",      # update form
         "SELECT ?s WHERE { ?s ?p }",                   # truncated pattern
-        "SELECT ?s WHERE { ?s ?p ?o . FILTER(isNumeric(?s)) }",  # unsupported fn
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(NOW() > ?s) }",   # unsupported fn
         "SELECT WHERE { ?s ?p ?o }",                   # no projection
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",        # bad limit
         "SELECT ?s WHERE { ?s ?p ?o } garbage",        # trailing input
@@ -1500,3 +1500,127 @@ def test_const_const_path_marker_not_leaked(spark):
     """)
     assert df.columns == ["s", "o"]
     assert _rows(df) == [("u:a", "u:c")]
+
+
+# --------------------------------------------------------------------------
+# Round-4 widening, second batch: numeric/hash/encode builtins, DATATYPE,
+# isNumeric/isBlank
+# --------------------------------------------------------------------------
+
+def _r4_numeric_graph(spark):
+    rows = [
+        ("g1", "e1", "ev:count", "3", "xsd:int"),
+        ("g1", "e1", "ev:name", "a b~* c", "xsd:string"),
+        ("g1", "e2", "ev:count", "-5", "xsd:int"),
+        ("g1", "e2", "ev:name", "zz", "xsd:string"),
+        ("g1", "e2", "ev:ref", "e1", "iri"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string"
+    )
+
+
+def test_bind_numeric_builtins_xpath_semantics(spark):
+    t = _r4_numeric_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?s ?a ?ce ?fl ?ro WHERE {
+          ?s ev:count ?c .
+          BIND(ABS(?c) AS ?a) . BIND(CEIL(?c / 2) AS ?ce) .
+          BIND(FLOOR(?c / 2) AS ?fl) . BIND(ROUND(?c / 2) AS ?ro)
+        }
+    """))
+    # fn:round ties go toward +INF: round(-2.5) = -2 (not -3)
+    assert got == [("e1", 3.0, 2.0, 1.0, 2.0),
+                   ("e2", 5.0, -2.0, -3.0, -2.0)]
+
+
+def test_bind_hash_builtins_match_hashlib(spark):
+    import hashlib
+
+    t = _r4_numeric_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?m ?s1 ?s256 ?s512 WHERE {
+          "e2" ev:name ?n .
+          BIND(MD5(?n) AS ?m) . BIND(SHA1(?n) AS ?s1) .
+          BIND(SHA256(?n) AS ?s256) . BIND(SHA512(?n) AS ?s512)
+        }
+    """))
+    assert got == [(hashlib.md5(b"zz").hexdigest(),
+                    hashlib.sha1(b"zz").hexdigest(),
+                    hashlib.sha256(b"zz").hexdigest(),
+                    hashlib.sha512(b"zz").hexdigest())]
+
+
+def test_bind_encode_for_uri_rfc3986(spark):
+    t = _r4_numeric_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?e WHERE { "e1" ev:name ?n . BIND(ENCODE_FOR_URI(?n) AS ?e) }
+    """))
+    # space -> %20 (not '+'), '~' kept, '*' -> %2A (RFC 3986 unreserved only)
+    assert got == [("a%20b~%2A%20c",)]
+
+
+def test_bind_iri_uri_are_str(spark):
+    t = _r4_numeric_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?u ?v WHERE {
+          ?s ev:ref ?o . BIND(IRI(?o) AS ?u) . BIND(URI(?s) AS ?v)
+        }
+    """))
+    assert got == [("e1", "e2")]
+
+
+def test_bind_datatype_literal_iri_unknown(spark):
+    t = _r4_numeric_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?s ?dc ?dn ?dr WHERE {
+          ?s ev:count ?c . ?s ev:name ?n .
+          OPTIONAL { ?s ev:ref ?r } .
+          BIND(DATATYPE(?c) AS ?dc) . BIND(DATATYPE(?n) AS ?dn) .
+          BIND(DATATYPE(?r) AS ?dr)
+        }
+    """))
+    # IRI term ('e1' via ev:ref) and unbound both -> NULL datatype
+    assert got == [("e1", "xsd:int", "xsd:string", None),
+                   ("e2", "xsd:int", "xsd:string", None)]
+
+
+def test_datatype_requires_direct_bind(spark):
+    t = _r4_numeric_graph(spark)
+    with pytest.raises(SparqlError):
+        execute(t, 'SELECT ?s WHERE { ?s ev:count ?c . '
+                   'BIND(CONCAT(DATATYPE(?c), "x") AS ?d) }').collect()
+
+
+def test_filter_isnumeric_is_term_typed(spark):
+    t = _r4_numeric_graph(spark)
+    # '3' and '-5' are numeric-typed; names and IRIs are not
+    got = _rows(execute(t,
+        "SELECT ?o WHERE { ?s ?p ?o . FILTER(isNumeric(?o)) }"))
+    assert got == [("-5",), ("3",)]
+    # lexical digits with a non-numeric datatype stay excluded
+    t2 = t.unionByName(t.sparkSession.createDataFrame(
+        [("g1", "e3", "ev:name", "42", "xsd:string")], t.schema))
+    got2 = _rows(execute(t2,
+        "SELECT ?o WHERE { ?s ?p ?o . FILTER(isNumeric(?o)) }"))
+    assert got2 == [("-5",), ("3",)]
+
+
+def test_filter_isblank_constant_false(spark):
+    t = _r4_numeric_graph(spark)
+    assert _rows(execute(t,
+        "SELECT ?s WHERE { ?s ev:count ?c . FILTER(isBlank(?s)) }")) == []
+    got = _rows(execute(t,
+        "SELECT ?s WHERE { ?s ev:count ?c . FILTER(!isBlank(?s)) }"))
+    assert got == [("e1",), ("e2",)]
+
+
+def test_order_by_numeric_expression(spark):
+    # expression sort keys see the projected solution set (the engine is
+    # set-semantics, so — like SPARQL's SELECT DISTINCT rule, §15.1 note —
+    # ORDER BY may only use projected variables)
+    t = _r4_numeric_graph(spark)
+    df = execute(t, """
+        SELECT ?s ?c WHERE { ?s ev:count ?c } ORDER BY DESC(ABS(?c))
+    """)
+    assert [r.s for r in df.collect()] == ["e2", "e1"]
