@@ -240,31 +240,49 @@ def ivf_list_cap(n: int, k: int) -> int:
     return max(16, IVF_LIST_CAP_FACTOR * ((n + k - 1) // k))
 
 
+def _det_scores(Xn, C, budget_bytes: int = 1 << 25):
+    """BLAS-free `Xn @ C.T`: each entry is an elementwise product reduced
+    with numpy's pairwise summation, whose add order is a fixed algorithm —
+    bit-identical on every CPU. BLAS dgemm is NOT: OpenBLAS picks a kernel
+    per microarchitecture, and round-4 proved it the hard way (committed
+    centroid artifacts drifted 1 ulp from a retrain after the sandbox moved
+    hosts). Row-blocked to a ~32 MB scratch buffer; this path is training-
+    only (once per corpus snapshot), never in a query plan."""
+    import numpy as np
+
+    out = np.empty((len(Xn), len(C)), dtype=np.float64)
+    block = max(1, budget_bytes // (C.shape[0] * C.shape[1] * 8))
+    for i in range(0, len(Xn), block):
+        out[i:i + block] = (Xn[i:i + block, None, :] * C[None, :, :]).sum(axis=2)
+    return out
+
+
 def train_centroids(sample_vecs, k: int,
                     rounds: int = IVF_LLOYD_ROUNDS) -> list[list[float]]:
     """Deterministic spherical k-means on a driver-side sample: evenly
     spaced init over the id-ordered sample, `rounds` Lloyd iterations
     (argmax-cosine assign, renormalized-mean update; empty cluster keeps
-    its centroid). Pure float64 numpy on an id-ordered sample → bit-exact
-    reproducible, so the same function seeds both the Spark plan and the
-    DuckDB oracle's centroid literals. The SAMPLE is driver-side (bounded:
-    ~32 rows/centroid); the corpus-wide assignment stays distributed."""
+    its centroid). Float64 numpy with NO BLAS calls (see _det_scores) on an
+    id-ordered sample → bit-exact reproducible ACROSS HOSTS, so the same
+    function seeds the Spark plan, the DuckDB oracle's centroid literals,
+    and the committed fingerprint-keyed artifacts. The SAMPLE is driver-side
+    (bounded: ~32 rows/centroid); corpus-wide assignment stays distributed."""
     import numpy as np
 
     X = np.asarray(sample_vecs, dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
     norms[norms == 0.0] = 1.0
     Xn = X / norms
     k = min(k, len(Xn))
     idx = (np.arange(k, dtype=np.int64) * len(Xn)) // k
     C = Xn[idx].copy()
     for _ in range(rounds):
-        assign = np.argmax(Xn @ C.T, axis=1)
+        assign = np.argmax(_det_scores(Xn, C), axis=1)
         for j in range(k):
             members = Xn[assign == j]
             if len(members):
                 v = members.sum(axis=0)
-                nv = np.linalg.norm(v)
+                nv = float(np.sqrt((v * v).sum()))
                 if nv > 0.0:
                     C[j] = v / nv
     return [[float(x) for x in row] for row in C]
@@ -517,4 +535,72 @@ def topk_pandas(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def semantic_dupes(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    centroids: list[list[float]] | None = None, corpus_size: int | None = None,
+    source_path: str | None = None, cache_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with the TRAINED IVF coarse quantizer, then inside
+    each cluster drop every vector that has a smaller-id neighbor with
+    cosine >= threshold (the deterministic keep-one rule; the paper keeps
+    the member farthest from the centroid — min-id is the oracle-friendly
+    analog and equally arbitrary within an epsilon-ball).
+
+    Scale story: the quadratic step is confined to within-cluster pairs via
+    an EQUI-join on cluster — total pair work is Σ|cluster|², i.e. ~N·⟨list⟩
+    when K tracks corpus size (K~√N here; K ~ N/⟨list⟩ in production, as in
+    the paper's 50k clusters for LAION). Hot clusters are bounded by the same
+    `ivf_list_cap` guard as the IVF index: members past the cap (in id order)
+    never enter pair generation and are reported kept — one degenerate
+    centroid can never re-create the full quadratic scan. Pair scoring uses
+    per-row precomputed norms (one dot per pair), all JVM-side codegen.
+
+    Index amortization: pass `centroids` + `corpus_size`, or `source_path`
+    to reuse the persisted fingerprint-keyed quantizer — the dedup run then
+    launches zero training jobs.
+
+    Output: one row per corpus vector — (vec_id, cluster, kept).
+    """
+    if centroids is not None:
+        if corpus_size is None:
+            raise ValueError("corpus_size is required with precomputed centroids")
+        n = corpus_size
+    else:
+        centroids, n = load_or_train_centroids(
+            emb, id_col, n_centroids, source_path=source_path,
+            cache_dir=cache_dir)
+    cap = ivf_list_cap(n, len(centroids))
+    assign = ivf_assign(emb, id_col, centroids)
+    wc = Window.partitionBy("cluster").orderBy(F.asc(id_col))
+    capped = (
+        assign.withColumn("_ln", F.row_number().over(wc))
+        .where(F.col("_ln") <= cap)
+        .drop("_ln")
+    )
+    vecs = spread(emb).select(
+        F.col(id_col), F.col("embedding").alias("e"),
+        F.expr(norm_expr("embedding")).alias("en"),
+    ).join(capped, id_col)
+    a = vecs.select(F.col(id_col).alias("a_id"), F.col("e").alias("ae"),
+                    F.col("en").alias("an"), "cluster")
+    b = vecs.select(F.col(id_col).alias("b_id"), F.col("e").alias("be"),
+                    F.col("en").alias("bn"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.expr(cosine_dot_expr("ae", "be", "an", "bn"))
+               >= F.lit(threshold))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("_dropped", F.lit(True)),
+                    id_col, "left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"))
     )
