@@ -492,6 +492,23 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_dupe_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.4  # demo cut: the synthetic 64-dim testdata is
+# near-orthogonal (max pairwise cos ≈ 0.51 at sf0.01), so the production-style
+# 0.95 epsilon-ball would be empty here; 0.4 yields ~23 within-cluster drops.
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster with the persisted trained IVF
+    quantizer (zero training jobs on a warm artifact), drop every vector
+    whose cluster holds a smaller-id neighbor at cosine >= threshold.
+    Output is one verdict row per corpus vector (vec_id, cluster, kept)."""
+    return similarity.semantic_dupes(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     return similarity.topk_bruteforce(_t(spark, sf_dir, "embeddings"))
 
@@ -1749,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_semantic": q_dedup_semantic,
         "corpus_decontam": q_corpus_decontam,
         "corpus_mix": q_corpus_mix,
         "text_pii": q_text_pii,
@@ -1794,12 +1812,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(sorted(grouped.items()))
 
 
-def _ivf_oracle_sql() -> str:
-    """Train the IVF centroids for the oracle twin from the SAME parquet the
+def _oracle_centroids() -> tuple[list[list[float]], int]:
+    """Train the IVF centroids for an oracle twin from the SAME parquet the
     driver's gate reads (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides,
     e.g. tools/check_queries.py at another sf): identical id-stride sample,
-    identical float64 Lloyd rounds → bit-identical centroids, embedded as
-    double literals in the SQL."""
+    identical BLAS-free float64 Lloyd rounds → bit-identical centroids
+    (across hosts — similarity._det_scores), embedded as double literals."""
     import os
 
     import duckdb as _duckdb
@@ -1821,8 +1839,18 @@ def _ivf_oracle_sql() -> str:
         "ORDER BY vec_id"
     ).fetchall()
     con.close()
-    cents = train_centroids([list(r[0]) for r in rows], k)
+    return train_centroids([list(r[0]) for r in rows], k), n
+
+
+def _ivf_oracle_sql() -> str:
+    cents, n = _oracle_centroids()
     return oracles.sql_topk_ivf("embeddings", cents, n)
+
+
+def _semantic_oracle_sql() -> str:
+    cents, n = _oracle_centroids()
+    return oracles.sql_dedup_semantic("embeddings", cents, n,
+                                      SEMANTIC_DEDUP_THRESHOLD)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1951,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
+        "dedup_semantic": _semantic_oracle_sql(),
         # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
         # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
         # which can only flip a rank at an exact cosine tie — the testdata

@@ -90,6 +90,8 @@ EXTRA_QUERIES = [
     # DATATYPE + isNumeric term typing
     "sparql_scalar_math",
     "sparql_datatype",
+    # round-4 additions, third batch: SemDeDup-style embedding-cluster dedup
+    "dedup_semantic",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

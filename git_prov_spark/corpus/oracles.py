@@ -651,3 +651,43 @@ def sql_stratified_sample(src: str, rates: list[tuple[str, int]],
         f"({bucket}) < (CASE {cases} ELSE {default_rate} END) AS sampled "
         f"FROM {src}"
     )
+
+
+def sql_dedup_semantic(src: str, centroids: list[list[float]], corpus_n: int,
+                       threshold: float) -> str:
+    """DuckDB twin of similarity.semantic_dupes: trained centroids injected
+    as double literals, same argmax-cosine assignment, same ivf_list_cap on
+    pair participation, same min-id keep rule. duck_cosine's fold order
+    matches cosine_dot_expr (hoisted norms are the identical IEEE ops), so
+    the >= threshold cut lands on bit-identical doubles."""
+    from .similarity import ivf_list_cap
+
+    cap = ivf_list_cap(corpus_n, len(centroids))
+    vals = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[])"
+        for i, row in enumerate(centroids)
+    )
+    a_cos = duck_cosine("e.embedding", "c.cemb")
+    p_cos = duck_cosine("ea.embedding", "eb.embedding")
+    return (
+        f"WITH cents(cid, cemb) AS (VALUES {vals}), "
+        f"assign AS (SELECT vec_id, cluster FROM ("
+        f"SELECT e.vec_id, c.cid AS cluster, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {a_cos} DESC, c.cid) AS rn "
+        f"FROM {src} e, cents c) WHERE rn = 1), "
+        f"capped AS (SELECT vec_id, cluster FROM ("
+        f"SELECT vec_id, cluster, row_number() OVER ("
+        f"PARTITION BY cluster ORDER BY vec_id) AS ln FROM assign) "
+        f"WHERE ln <= {cap}), "
+        f"dropped AS (SELECT DISTINCT b.vec_id "
+        f"FROM capped a JOIN capped b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"JOIN {src} ea ON ea.vec_id = a.vec_id "
+        f"JOIN {src} eb ON eb.vec_id = b.vec_id "
+        f"WHERE {p_cos} >= {threshold!r}) "
+        f"SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, "
+        f"d.vec_id IS NULL AS kept "
+        f"FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id"
+    )

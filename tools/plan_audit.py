@@ -116,6 +116,7 @@ def main() -> None:
         "ann_topk": "brute-force baseline (scale twin: ann_topk_lsh/multiprobe)",
         "ann_topk_pandas": "brute-force baseline (mapInPandas matmul)",
         "ann_topk_ivf": "trained K(√N)-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on capped cluster lists",
+        "dedup_semantic": "same trained-centroid broadcast fan-out as ann_topk_ivf (linear K*N assignment); the epsilon-ball prune itself is an equi-join on capped cluster lists",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
