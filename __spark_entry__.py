@@ -649,6 +649,16 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_corpus_quota(spark, sf_dir):
+    """Per-source quota cap (curate.source_quota): at most 15 docs per
+    source, winners drawn by deterministic portable-hash lottery — the
+    anti-spam per-domain cap applied before training-mix construction.
+    Two-phase (partition-then-global) rank so a viral domain never funnels
+    through one window task; the oracle's single global rank is the
+    semantics twin."""
+    return curate.source_quota(_t(spark, sf_dir, "documents"), quota=15)
+
+
 def q_text_langid(spark, sf_dir):
     df = ctext.lang_id(_t(spark, sf_dir, "documents"))
     return df.select(
@@ -1769,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "corpus_decontam": q_corpus_decontam,
         "corpus_mix": q_corpus_mix,
+        "corpus_quota": q_corpus_quota,
         "text_pii": q_text_pii,
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
@@ -1954,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({oracles.sql_lang_id('documents')}))",
             rates=[("en", 10_000), ("other", 2_500)],
         ),
+        "corpus_quota": oracles.sql_source_quota("documents", quota=15),
         "text_pii": oracles.sql_pii_scrub(f"({PII_AUG_SQL})"),
         "corpus_manifest": oracles.sql_training_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "

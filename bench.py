@@ -91,7 +91,9 @@ EXTRA_QUERIES = [
     "sparql_scalar_math",
     "sparql_datatype",
     # round-4 additions, third batch: SemDeDup-style embedding-cluster dedup
+    # and the per-source anti-spam quota cap
     "dedup_semantic",
+    "corpus_quota",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -275,3 +275,55 @@ def stratified_sample(
         F.col(stratum_col),
         (bucket < rate).alias("sampled"),
     )
+
+
+def source_quota(
+    documents: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """(doc_id, source, kept) — hard per-source cap: keep at most `quota`
+    docs per source/domain (the anti-spam quota every web-corpus pipeline
+    applies before mixing — one viral domain must not dominate the
+    training set). Winners are the `quota` smallest portable-hash values
+    (hash(salt:id), ties by id) — a deterministic lottery: re-run-stable,
+    auditable from (salt, id) alone, and re-drawable under a fresh salt.
+
+    Skew story (the reason this is not one `row_number` over source): a
+    hot domain at 10^12-doc scale would funnel its entire row set through
+    ONE window task. Phase 1 ranks within (shuffle-partition, source) —
+    the hot key is spread across all partitions — and discards everything
+    past `quota` per partition, a semantics-preserving superset of the
+    final winners. Phase 2 ranks the ≤ quota·P survivors per source
+    globally. Both phases move only (id, source, hash) rows; the verdict
+    joins back on id, so document text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from .hashing import spark_h64
+
+    if quota < 0:
+        raise ValueError("quota must be >= 0")
+    h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))
+    narrow = documents.select(F.col(id_col), F.col(source_col), h.alias("_h"))
+    pre_w = Window.partitionBy("_pid", source_col).orderBy(
+        F.asc("_h"), F.asc(id_col))
+    survivors = (
+        narrow.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(pre_w))
+        .where(F.col("_pr") <= quota)
+        .drop("_pid", "_pr")
+    )
+    fin_w = Window.partitionBy(source_col).orderBy(F.asc("_h"), F.asc(id_col))
+    winners = (
+        survivors.withColumn("_r", F.row_number().over(fin_w))
+        .where(F.col("_r") <= quota)
+        .select(F.col(id_col), F.lit(True).alias("_win"))
+    )
+    return (
+        narrow.join(winners, id_col, "left")
+        .select(F.col(id_col), F.col(source_col),
+                F.coalesce(F.col("_win"), F.lit(False)).alias("kept"))
+    )

@@ -691,3 +691,15 @@ def sql_dedup_semantic(src: str, centroids: list[list[float]], corpus_n: int,
         f"d.vec_id IS NULL AS kept "
         f"FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id"
     )
+
+
+def sql_source_quota(src: str, quota: int, salt: str = "quota-v1") -> str:
+    """DuckDB twin of curate.source_quota: the two-phase Spark cap is
+    semantics-preserving, so one global rank reproduces it exactly."""
+    h = duck_h64(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH hashed AS (SELECT doc_id, source, {h} AS hv FROM {src}), "
+        f"ranked AS (SELECT doc_id, source, row_number() OVER ("
+        f"PARTITION BY source ORDER BY hv, doc_id) AS rk FROM hashed) "
+        f"SELECT doc_id, source, rk <= {quota} AS kept FROM ranked"
+    )

@@ -288,13 +288,29 @@ def train_centroids(sample_vecs, k: int,
     return [[float(x) for x in row] for row in C]
 
 
+def _fp_file(h, name: str, path: str) -> None:
+    import os
+
+    h.update(name.encode())
+    size = os.path.getsize(path)
+    h.update(str(size).encode())
+    # head + tail content samples: a regenerated corpus whose byte SIZE
+    # happens to collide still changes the key (parquet footers carry
+    # row-group stats, so any value change reaches the tail sample)
+    with open(path, "rb") as fh:
+        h.update(fh.read(4096))
+        if size > 4096:
+            fh.seek(max(4096, size - 4096))
+            h.update(fh.read(4096))
+
+
 def corpus_fingerprint(source_path: str) -> str:
     """Cheap identity key for an on-disk corpus: sha256 over the sorted
-    (relative-name, byte-size) pairs of the parquet file/directory. Metadata
-    only — no Spark job, no data read. Any regeneration of the testdata (or
-    a different snapshot of a production table) changes a file size and
-    therefore the key, so a stale index can never be served; at production
-    scale the analogous key is the Iceberg snapshot id."""
+    (relative-name, byte-size, head-4KB, tail-4KB) of the parquet file/
+    directory — no Spark job, ≤8 KB read per file. Any regeneration of the
+    testdata (or a different snapshot of a production table) changes the
+    key even on a size collision, so a stale index can never be served; at
+    production scale the analogous key is the Iceberg snapshot id."""
     import hashlib
     import os
 
@@ -305,11 +321,9 @@ def corpus_fingerprint(source_path: str) -> str:
             dirs.sort()
             for fn in sorted(files):
                 fp = os.path.join(root, fn)
-                h.update(os.path.relpath(fp, p).encode())
-                h.update(str(os.path.getsize(fp)).encode())
+                _fp_file(h, os.path.relpath(fp, p), fp)
     else:
-        h.update(os.path.basename(p).encode())
-        h.update(str(os.path.getsize(p)).encode())
+        _fp_file(h, os.path.basename(p), p)
     return h.hexdigest()[:16]
 
 
