@@ -10,6 +10,7 @@ git_prov_spark/corpus/hashing.py and corpus/oracles.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -647,6 +648,44 @@ def q_corpus_mix(spark, sf_dir):
     return curate.stratified_sample(
         strata, rates={"en": 10_000, "other": 2_500}
     )
+
+
+def q_corpus_stream_dedup(spark, sf_dir):
+    """Keyed-state streaming dedup (streaming.stateful_dedup_transform,
+    applyInPandasWithState): originals stream as micro-batch 0, the planted
+    +2,000,000 copies as micro-batch 1, so every copy is flagged against
+    engine-managed per-sha GroupState written by an earlier batch. The
+    oracle exploits that batch ids are monotone in doc_id: is_dup ≡
+    doc_id > canonical, canonical ≡ min same-sha id in batches ≤ mine."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.streaming import stream_dedup
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        aug = _aug_exact_df(spark, sf_dir)
+        for i, batch in enumerate((
+            aug.where(F.col("doc_id") < 2_000_000),
+            aug.where(F.col("doc_id") >= 2_000_000),
+        )):
+            stage = os.path.join(work, f"stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet") and not p.startswith("_"))
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        out = stream_dedup(
+            spark, src, "doc_id long, text string",
+            os.path.join(work, "out"), os.path.join(work, "ckpt"))
+        # the parquet sink is lazy; materialize before the temp dir dies
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_corpus_quota(spark, sf_dir):
@@ -1780,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontam": q_corpus_decontam,
         "corpus_mix": q_corpus_mix,
         "corpus_quota": q_corpus_quota,
+        "corpus_stream_dedup": q_corpus_stream_dedup,
         "text_pii": q_text_pii,
         "corpus_manifest": q_corpus_manifest,
         "corpus_manifest_incr": q_corpus_manifest_incr,
@@ -1966,6 +2006,23 @@ def oracle_sql() -> dict[str, str]:
             rates=[("en", 10_000), ("other", 2_500)],
         ),
         "corpus_quota": oracles.sql_source_quota("documents", quota=15),
+        # batches are monotone in doc_id (originals then +2M copies), so the
+        # stateful stream's earlier-in-(batch,id)-order relation reduces to
+        # plain id order; canonical looks only at batches <= the row's own.
+        "corpus_stream_dedup": (
+            f"WITH aug AS ({AUG_EXACT_SQL}), "
+            "h AS (SELECT doc_id, sha256(COALESCE(text, '')) AS content_sha "
+            "FROM aug), "
+            "m AS (SELECT doc_id, content_sha, "
+            "min(CASE WHEN doc_id < 2000000 THEN doc_id END) "
+            "OVER (PARTITION BY content_sha) AS min0, "
+            "min(doc_id) OVER (PARTITION BY content_sha) AS ming FROM h) "
+            "SELECT doc_id, content_sha, "
+            "doc_id > (CASE WHEN doc_id < 2000000 THEN min0 ELSE ming END) "
+            "AS is_dup, "
+            "CASE WHEN doc_id < 2000000 THEN min0 ELSE ming END "
+            "AS canonical_id FROM m"
+        ),
         "text_pii": oracles.sql_pii_scrub(f"({PII_AUG_SQL})"),
         "corpus_manifest": oracles.sql_training_manifest(
             f"({AUG_NEAR_SQL} UNION ALL SELECT doc_id + 2000000 AS doc_id, "

@@ -90,10 +90,11 @@ EXTRA_QUERIES = [
     # DATATYPE + isNumeric term typing
     "sparql_scalar_math",
     "sparql_datatype",
-    # round-4 additions, third batch: SemDeDup-style embedding-cluster dedup
-    # and the per-source anti-spam quota cap
+    # round-4 additions, third batch: SemDeDup-style embedding-cluster dedup,
+    # the per-source anti-spam quota cap, and keyed-state streaming dedup
     "dedup_semantic",
     "corpus_quota",
+    "corpus_stream_dedup",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

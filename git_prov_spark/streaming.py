@@ -667,3 +667,103 @@ def stream_curate(
     )
     query.awaitTermination()
     return cur.manifest()
+
+
+# ---------------------------------------------------------------------------
+# Keyed-state streaming dedup (applyInPandasWithState)
+#
+# The LSM-overlay classes above carry their state in versioned parquet
+# because foreachBatch needs replay-safe external state. This operator is
+# the OTHER production shape the module doc promises: state held by the
+# engine's keyed state store (HDFS-backed here; RocksDB provider on a real
+# cluster), one state row per distinct content hash, checkpointed and
+# restored by Structured Streaming itself.
+
+
+def stateful_dedup_transform(docs, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Cross-micro-batch streaming exact dedup: every arriving document is
+    flagged against ALL content ever streamed, not just its own batch.
+
+    groupBy(content sha) → applyInPandasWithState with per-key state
+    (n_seen, first_id). Rows inside a batch are processed in ascending id
+    order, so the operator is deterministic for a fixed batch sequence:
+    `is_dup` is true iff the same sha was seen in an earlier batch or at a
+    smaller id in this one; `canonical_id` is the smallest id seen for the
+    sha up to and including the row's batch.
+
+    Scale story: state is O(distinct shas) — one (int, long) per unique
+    document — partitioned by the shuffle on sha like any streaming agg;
+    the text column itself never enters state. Arrow-batched pandas on
+    both sides of the state boundary, no per-row python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pandas as pd
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha"),
+    )
+
+    def flag(key, pdfs, state):
+        n_seen, first_id = state.get if state.exists else (0, None)
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        out_dup, out_canon = [], []
+        for i in ids:
+            if first_id is None or i < first_id:
+                first_id = i
+            out_dup.append(n_seen > 0)
+            out_canon.append(first_id)
+            n_seen += 1
+        state.update((n_seen, first_id))
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "content_sha": [key[0]] * len(ids),
+            "is_dup": out_dup,
+            "canonical_id": out_canon,
+        })
+
+    return hashed.groupBy("content_sha").applyInPandasWithState(
+        flag,
+        outputStructType="doc_id long, content_sha string, "
+                         "is_dup boolean, canonical_id long",
+        stateStructType="n_seen integer, first_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Structured-Streaming driver: document file-source →
+    stateful_dedup_transform → availableNow drain into a parquet sink
+    (a file sink, unlike the memory sink, recovers from the checkpoint —
+    so a later run over the same checkpoint resumes the keyed state and
+    appends only the new batches' verdicts). Returns the accumulated
+    verdicts (doc_id, content_sha, is_dup, canonical_id), one row per
+    streamed document."""
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    query = (
+        stateful_dedup_transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

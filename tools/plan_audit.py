@@ -131,6 +131,7 @@ def main() -> None:
         "corpus_manifest": "near gate runs components (as above); gate joins are plain equi-joins",
         "corpus_manifest_incr": "probes the LSH index (equi-joins); shares gates with corpus_manifest",
         "sparql_path": "closure iterations localCheckpoint; per-round plan is one self-equi-join",
+        "corpus_stream_dedup": "availableNow streaming drain materializes verdicts; the stateful plan (groupBy sha -> applyInPandasWithState) is fixed by construction and covered by tests/test_stateful_dedup.py",
     }
     for q, fn in qs.items():
         if q in MATERIALIZED_SKIP:
