@@ -343,6 +343,283 @@ def _dot_doc(g: _Graph, repo: str, max_edges: int = 50_000) -> str:
 
 
 # --------------------------------------------------------------------------
+# Graph visualization: SVG and PDF documents
+#
+# The reference serves image/svg+xml and application/pdf renderings of the
+# per-repo PROV graph (ProvController.java:69, rendered by ProvToolbox's
+# InteropFramework, which shells out to graphviz). Capability parity here
+# is a dependency-free deterministic renderer over the same _Graph
+# assembly: longest-path layering (PROV edges point newer→older, so the
+# oldest elements form the top row), lexicographic within-row order, and
+# the PROV diagram convention the reference's own output uses — yellow
+# ellipse per prov:Entity, blue rectangle per prov:Activity, orange
+# pentagon per prov:Agent (ProvToolbox fills; identity is double-encoded
+# by SHAPE, every node carries a dark outline and a direct black label,
+# full IRI in the SVG <title> tooltip). PNG/JPEG stay out of scope:
+# raster encoders need codecs this container doesn't ship.
+# --------------------------------------------------------------------------
+
+_VIZ_FILL = {"entity": (1.0, 0.988, 0.529),     # #FFFC87
+             "activity": (0.624, 0.694, 0.988),  # #9FB1FC
+             "agent": (0.996, 0.827, 0.498),     # #FED37F
+             "other": (1.0, 1.0, 1.0)}
+_VIZ_W, _VIZ_H, _VIZ_GX, _VIZ_GY, _VIZ_M = 150, 42, 30, 70, 24
+
+
+def _hex(rgb: tuple[float, float, float]) -> str:
+    return "#" + "".join(f"{round(c * 255):02X}" for c in rgb)
+
+
+def _viz_label(node: str, limit: int = 22) -> str:
+    return node if len(node) <= limit else node[: limit - 1] + "…"
+
+
+def _viz_layout(g: _Graph, max_nodes: int = 2_000, max_edges: int = 8_000):
+    """Deterministic layered layout: rank = longest path to a sink (Kahn
+    over reversed edges, O(V+E)); any cycle leftovers (not expected in a
+    PROV DAG) drop into one extra bottom row. Returns (positions, kinds,
+    edges, width, height)."""
+    from collections import deque
+
+    edges = sorted(
+        (s, p, o) for p, so in g.edges.items() for s, o in so
+    )
+    if len(edges) > max_edges:
+        raise ValueError(
+            f"graph exceeds max_edges={max_edges}; export a subset"
+        )
+    nodes = sorted({n for s, _, o in edges for n in (s, o)} | set(g.types))
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"graph exceeds max_nodes={max_nodes}; export a subset"
+        )
+    out_adj: dict[str, list[str]] = {}
+    in_adj: dict[str, list[str]] = {}
+    for s, _, o in edges:
+        if s != o:
+            out_adj.setdefault(s, []).append(o)
+            in_adj.setdefault(o, []).append(s)
+    pending = {n: len(out_adj.get(n, ())) for n in nodes}
+    ready = deque(n for n in nodes if pending[n] == 0)
+    rank: dict[str, int] = {}
+    while ready:
+        n = ready.popleft()
+        rank[n] = max(
+            (rank[o] + 1 for o in out_adj.get(n, ()) if o in rank), default=0
+        )
+        for p in in_adj.get(n, ()):
+            pending[p] -= 1
+            if pending[p] == 0:
+                ready.append(p)
+    if len(rank) < len(nodes):  # cycle leftovers
+        extra = 1 + max(rank.values(), default=-1)
+        for n in nodes:
+            rank.setdefault(n, extra)
+    rows: dict[int, list[str]] = {}
+    for n in nodes:
+        rows.setdefault(rank[n], []).append(n)
+    pos: dict[str, tuple[int, int]] = {}
+    for r in sorted(rows):
+        for i, n in enumerate(sorted(rows[r])):
+            pos[n] = (_VIZ_M + i * (_VIZ_W + _VIZ_GX),
+                      _VIZ_M + r * (_VIZ_H + _VIZ_GY))
+    width = _VIZ_M * 2 + max(
+        (len(v) for v in rows.values()), default=1
+    ) * (_VIZ_W + _VIZ_GX) - _VIZ_GX
+    height = _VIZ_M * 2 + (max(rows, default=0) + 1) * (_VIZ_H + _VIZ_GY) \
+        - _VIZ_GY
+    kinds = {
+        n: _ELEMENT_TYPES.get(g.types.get(n, ""), "other") for n in nodes
+    }
+    return pos, kinds, edges, width, height
+
+
+def svg_text(triples: DataFrame, repo: str,
+             max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    """image/svg+xml rendering of one repo's PROV graph
+    (ProvController.java:69)."""
+    return _svg_doc(_collect_graph(triples, repo), repo,
+                    max_nodes=max_nodes, max_edges=max_edges)
+
+
+def _svg_lines(g: _Graph, repo: str,
+               max_nodes: int = 2_000, max_edges: int = 8_000):
+    from xml.sax.saxutils import escape, quoteattr
+
+    pos, kinds, edges, width, height = _viz_layout(
+        g, max_nodes=max_nodes, max_edges=max_edges
+    )
+    yield '<?xml version="1.0" encoding="UTF-8"?>'
+    yield (f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+           f'height="{height}" viewBox="0 0 {width} {height}">')
+    yield f"  <title>PROV graph of {escape(repo)}</title>"
+    yield ("  <defs><marker id=\"arrow\" viewBox=\"0 0 8 8\" refX=\"7\" "
+           "refY=\"4\" markerWidth=\"7\" markerHeight=\"7\" "
+           "orient=\"auto-start-reverse\"><path d=\"M0,0 L8,4 L0,8 z\" "
+           "fill=\"#444444\"/></marker></defs>")
+    # edges under nodes: center-to-center, arrowhead at the object end,
+    # predicate label at the midpoint in muted ink
+    for s, p, o in edges:
+        (x1, y1), (x2, y2) = pos[s], pos[o]
+        cx1, cy1 = x1 + _VIZ_W // 2, y1 + _VIZ_H // 2
+        cx2, cy2 = x2 + _VIZ_W // 2, y2 + _VIZ_H // 2
+        yield (f'  <line x1="{cx1}" y1="{cy1}" x2="{cx2}" y2="{cy2}" '
+               'stroke="#444444" stroke-width="1" marker-end="url(#arrow)"/>')
+        mx, my = (cx1 + cx2) // 2, (cy1 + cy2) // 2
+        yield (f'  <text x="{mx}" y="{my - 3}" font-size="8" '
+               f'fill="#555555" text-anchor="middle" '
+               f'font-family="Helvetica,sans-serif">{escape(p)}</text>')
+    for n in sorted(pos):
+        x, y = pos[n]
+        kind, fill = kinds[n], _hex(_VIZ_FILL[kinds[n]])
+        style = f'fill="{fill}" stroke="#333333" stroke-width="1"'
+        if kind == "activity":
+            shape = (f'<rect x="{x}" y="{y}" width="{_VIZ_W}" '
+                     f'height="{_VIZ_H}" rx="4" {style}/>')
+        elif kind == "agent":  # pentagon (PROV-O diagram convention)
+            pts = (f"{x + _VIZ_W // 2},{y} {x + _VIZ_W},{y + _VIZ_H // 2} "
+                   f"{x + _VIZ_W - 25},{y + _VIZ_H} {x + 25},{y + _VIZ_H} "
+                   f"{x},{y + _VIZ_H // 2}")
+            shape = f'<polygon points="{pts}" {style}/>'
+        elif kind == "entity":
+            shape = (f'<ellipse cx="{x + _VIZ_W // 2}" cy="{y + _VIZ_H // 2}" '
+                     f'rx="{_VIZ_W // 2}" ry="{_VIZ_H // 2}" {style}/>')
+        else:
+            shape = (f'<rect x="{x}" y="{y}" width="{_VIZ_W}" '
+                     f'height="{_VIZ_H}" {style}/>')
+        yield f"  <g>{shape}<title>{escape(n)}</title>"
+        yield (f'    <text x="{x + _VIZ_W // 2}" y="{y + _VIZ_H // 2 + 3}" '
+               f'font-size="9" fill="#111111" text-anchor="middle" '
+               f'font-family="Helvetica,sans-serif">'
+               f"{escape(_viz_label(n))}</text>")
+        yield "  </g>"
+    yield "</svg>"
+
+
+def _svg_doc(g: _Graph, repo: str,
+             max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    return "\n".join(_svg_lines(g, repo,
+                                max_nodes=max_nodes, max_edges=max_edges))
+
+
+def _pdf_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif " " <= ch <= "~":
+            out.append(ch)
+        else:
+            b = ch.encode("latin-1", "replace")[0]  # '?' for non-latin-1
+            out.append(f"\\{b:03o}")
+    return "".join(out)
+
+
+def pdf_text(triples: DataFrame, repo: str,
+             max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    """application/pdf rendering of the same layout
+    (ProvController.java:69): a minimal self-contained PDF 1.4 — one page
+    sized to the graph, an uncompressed vector content stream, Helvetica.
+    Returned as a latin-1-safe str; `.encode("latin-1")` yields the file
+    bytes (pinned by tests/test_provviz.py round-trip through the xref)."""
+    return _pdf_doc(_collect_graph(triples, repo), repo,
+                    max_nodes=max_nodes, max_edges=max_edges)
+
+
+def _pdf_doc(g: _Graph, repo: str,
+             max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    pos, kinds, edges, width, height = _viz_layout(
+        g, max_nodes=max_nodes, max_edges=max_edges
+    )
+
+    def y_(y: float) -> float:  # SVG y-down → PDF y-up
+        return height - y
+
+    c: list[str] = ["0.267 0.267 0.267 RG 1 w"]
+    for s, p, o in edges:
+        (x1, y1), (x2, y2) = pos[s], pos[o]
+        cx1, cy1 = x1 + _VIZ_W / 2, y_(y1 + _VIZ_H / 2)
+        cx2, cy2 = x2 + _VIZ_W / 2, y_(y2 + _VIZ_H / 2)
+        c.append(f"{cx1:.1f} {cy1:.1f} m {cx2:.1f} {cy2:.1f} l S")
+        # arrowhead: filled triangle at the object end
+        dx, dy = cx2 - cx1, cy2 - cy1
+        ln = (dx * dx + dy * dy) ** 0.5 or 1.0
+        ux, uy = dx / ln, dy / ln
+        bx, by = cx2 - 8 * ux, cy2 - 8 * uy
+        px, py = -uy * 3.5, ux * 3.5
+        c.append("0.267 0.267 0.267 rg "
+                 f"{cx2:.1f} {cy2:.1f} m {bx + px:.1f} {by + py:.1f} l "
+                 f"{bx - px:.1f} {by - py:.1f} l f")
+        mx, my = (cx1 + cx2) / 2, (cy1 + cy2) / 2
+        c.append("BT /F1 7 Tf 0.333 0.333 0.333 rg "
+                 f"{mx - len(p) * 1.75:.1f} {my + 2:.1f} Td "
+                 f"({_pdf_escape(p)}) Tj ET")
+    k_bez = 0.5523  # 4-arc Bézier circle constant
+    for n in sorted(pos):
+        x, y = pos[n]
+        r, g_, b = _VIZ_FILL[kinds[n]]
+        c.append(f"{r:.3f} {g_:.3f} {b:.3f} rg 0.2 0.2 0.2 RG")
+        if kinds[n] == "entity":
+            cx, cy = x + _VIZ_W / 2, y_(y + _VIZ_H / 2)
+            rx, ry = _VIZ_W / 2, _VIZ_H / 2
+            kx, ky = rx * k_bez, ry * k_bez
+            c.append(
+                f"{cx + rx:.1f} {cy:.1f} m "
+                f"{cx + rx:.1f} {cy + ky:.1f} {cx + kx:.1f} {cy + ry:.1f} "
+                f"{cx:.1f} {cy + ry:.1f} c "
+                f"{cx - kx:.1f} {cy + ry:.1f} {cx - rx:.1f} {cy + ky:.1f} "
+                f"{cx - rx:.1f} {cy:.1f} c "
+                f"{cx - rx:.1f} {cy - ky:.1f} {cx - kx:.1f} {cy - ry:.1f} "
+                f"{cx:.1f} {cy - ry:.1f} c "
+                f"{cx + kx:.1f} {cy - ry:.1f} {cx + rx:.1f} {cy - ky:.1f} "
+                f"{cx + rx:.1f} {cy:.1f} c B"
+            )
+        elif kinds[n] == "agent":
+            c.append(
+                f"{x + _VIZ_W / 2:.1f} {y_(y):.1f} m "
+                f"{x + _VIZ_W:.1f} {y_(y + _VIZ_H / 2):.1f} l "
+                f"{x + _VIZ_W - 25:.1f} {y_(y + _VIZ_H):.1f} l "
+                f"{x + 25:.1f} {y_(y + _VIZ_H):.1f} l "
+                f"{x:.1f} {y_(y + _VIZ_H / 2):.1f} l h B"
+            )
+        else:
+            c.append(f"{x:.1f} {y_(y + _VIZ_H):.1f} {_VIZ_W} {_VIZ_H} re B")
+        label = _viz_label(n)
+        c.append("BT /F1 8 Tf 0.067 0.067 0.067 rg "
+                 f"{x + _VIZ_W / 2 - len(label) * 2.0:.1f} "
+                 f"{y_(y + _VIZ_H / 2) - 3:.1f} Td "
+                 f"({_pdf_escape(label)}) Tj ET")
+    stream = "\n".join(c)
+
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {width} {height}] "
+         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        f"<< /Length {len(stream.encode('latin-1', 'replace'))} >>\n"
+        f"stream\n{stream}\nendstream",
+        ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+         "/Encoding /WinAnsiEncoding >>"),
+    ]
+    parts = ["%PDF-1.4\n"]
+    offsets = []
+    pos_b = len(parts[0])
+    for i, body in enumerate(objs, start=1):
+        offsets.append(pos_b)
+        piece = f"{i} 0 obj\n{body}\nendobj\n"
+        parts.append(piece)
+        pos_b += len(piece.encode("latin-1", "replace"))
+    xref_at = pos_b
+    xref = ["xref", f"0 {len(objs) + 1}", "0000000000 65535 f "]
+    xref += [f"{off:010d} 00000 n " for off in offsets]
+    trailer = (
+        "trailer\n<< /Size "
+        f"{len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    )
+    return "".join(parts) + "\n".join(xref) + "\n" + trailer
+
+
+# --------------------------------------------------------------------------
 # Distributed bulk export: one document per repo, assembled on executors
 # --------------------------------------------------------------------------
 
@@ -351,6 +628,8 @@ _DOC_ASSEMBLERS = {
     "provjson": _provjson_doc,
     "provxml": _provxml_doc,
     "dot": _dot_doc,
+    "svg": _svg_doc,
+    "pdf": _pdf_doc,
 }
 
 # line-generator assemblers: formats whose documents can be EMITTED in
@@ -360,6 +639,7 @@ _LINE_ASSEMBLERS = {
     "provn": _provn_lines,
     "provxml": _provxml_lines,
     "dot": _dot_lines,
+    "svg": _svg_lines,
 }
 
 DOC_PART_LINES = 20_000

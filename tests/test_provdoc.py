@@ -106,8 +106,11 @@ def test_prov_documents_distributed_matches_driver(triples_df):
 
     repos = [r.repo for r in triples_df.select("repo").distinct().collect()]
     assert len(repos) >= 2  # fixtures carry a multi-repo corpus
+    from git_prov_spark.provdoc import pdf_text, svg_text
+
     driver_fn = {"provn": provn_text, "provjson": provjson_text,
-                 "provxml": provxml_text, "dot": dot_text}
+                 "provxml": provxml_text, "dot": dot_text,
+                 "svg": svg_text, "pdf": pdf_text}
     for fmt, fn in driver_fn.items():
         got = {r.repo: r.doc
                for r in prov_documents(triples_df, fmt).collect()}
@@ -121,7 +124,7 @@ def test_prov_documents_rejects_unknown_fmt(triples_df):
     from git_prov_spark.provdoc import prov_documents
 
     with pytest.raises(ValueError):
-        prov_documents(triples_df, "pdf")
+        prov_documents(triples_df, "png")  # raster stays out of scope
 
 
 def test_prov_document_parts_hot_repo_bounded_and_byte_exact(spark, triples_df):
