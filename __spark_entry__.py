@@ -1254,8 +1254,10 @@ SPARQL_DESCRIBE_ORACLE = (
 
 def q_sparql_union(spark, sf_dir):
     """SPARQL UNION branches: alternatives compile to unionByName of the
-    branch BGPs (null-padding unshared vars) + a set-dedup — no join, no
-    driver step."""
+    branch BGPs (null-padding unshared vars), multiset concatenation per
+    §18.4 — no join, no dedup, no driver step. (Here the branch patterns
+    are disjoint — every event has one type — so bag and set results
+    coincide; sparql_bag_union exercises the overlapping case.)"""
     from git_prov_spark.sparql import execute
 
     ev = _t(spark, sf_dir, "events")
@@ -1653,6 +1655,100 @@ SPARQL_SELECT_ORACLE = (
 )
 
 
+def q_sparql_bag_projection(spark, sf_dir):
+    """SPARQL bag semantics (§18.5), projection multiplicity: SELECT ?u
+    keeps ONE ROW PER SOLUTION — a user with k click events appears k
+    times, exactly what ARQ returns (services/SparqlService.java:26).
+    The engine compiles this with NO dedup shuffle anywhere; the DuckDB
+    twin is the natural bag-SQL projection (no DISTINCT), so the value
+    hash verifies multiplicities, not just the distinct value set."""
+    from git_prov_spark.sparql import execute
+
+    return execute(
+        _ev_triples(spark, sf_dir),
+        "SELECT ?u WHERE { ?u ev:did_click ?e }",
+    )
+
+
+SPARQL_BAG_PROJECTION_ORACLE = (
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS u FROM events "
+    "WHERE event_type = 'click'"
+)
+
+
+def q_sparql_distinct(spark, sf_dir):
+    """SELECT DISTINCT — the spec's only projection dedup (now that plain
+    SELECT is bag-correct): the same click pattern as sparql_bag_projection
+    collapsed to distinct users by the DISTINCT keyword alone."""
+    from git_prov_spark.sparql import execute
+
+    return execute(
+        _ev_triples(spark, sf_dir),
+        "SELECT DISTINCT ?u WHERE { ?u ev:did_click ?e }",
+    )
+
+
+SPARQL_DISTINCT_ORACLE = (
+    "SELECT DISTINCT 'user-' || CAST(user_id AS VARCHAR) AS u FROM events "
+    "WHERE event_type = 'click'"
+)
+
+
+def q_sparql_bag_union(spark, sf_dir):
+    """UNION is multiset concatenation (§18.4 Union): the first branch
+    matches click edges, the second a negated property set !(did_purchase)
+    that ALSO matches clicks — so every click solution appears twice and
+    every other non-purchase solution once, with no dedup anywhere
+    (ARQ-identical). The twin is the literal UNION ALL."""
+    from git_prov_spark.sparql import execute
+
+    return execute(
+        _ev_triples(spark, sf_dir),
+        """
+        SELECT ?u ?e WHERE {
+          { ?u ev:did_click ?e } UNION { ?u !(ev:did_purchase) ?e }
+        }
+        """,
+    )
+
+
+SPARQL_BAG_UNION_ORACLE = (
+    "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS u, "
+    "event_type, 'event-' || CAST(event_id AS VARCHAR) AS e FROM events) "
+    "SELECT u, e FROM t WHERE event_type = 'click' "
+    "UNION ALL SELECT u, e FROM t WHERE event_type <> 'purchase'"
+)
+
+
+def q_sparql_bag_path_seq(spark, sf_dir):
+    """Fixed-length path route multiplicity (§9.1 path translation): the
+    sequence ^ev:by_user/ev:by_user goes user ← event → user, so the spec
+    expands it through a fresh middle variable and projects it away WITHOUT
+    dedup — (u, u) appears once PER EVENT the user owns. The engine's
+    sequence join carries exactly that multiplicity (no distinct in
+    _path_rel's PathSeq); the twin is one row per event."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:by_user").alias("pred"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        "SELECT ?a ?b WHERE { ?a ^ev:by_user/ev:by_user ?b }",
+    )
+
+
+SPARQL_BAG_PATH_SEQ_ORACLE = (
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS a, "
+    "'user-' || CAST(user_id AS VARCHAR) AS b FROM events"
+)
+
+
 def q_kg_pred_counts(spark, sf_dir):
     """Flagship KG pipeline, reduced to per-predicate triple counts.
 
@@ -1805,6 +1901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_termfns": q_sparql_termfns,
         "sparql_scalar_math": q_sparql_scalar_math,
         "sparql_datatype": q_sparql_datatype,
+        "sparql_bag_projection": q_sparql_bag_projection,
+        "sparql_distinct": q_sparql_distinct,
+        "sparql_bag_union": q_sparql_bag_union,
+        "sparql_bag_path_seq": q_sparql_bag_path_seq,
         # -- corpus / training-data suite -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2076,6 +2176,10 @@ def oracle_sql() -> dict[str, str]:
         "sparql_termfns": SPARQL_TERMFNS_ORACLE,
         "sparql_scalar_math": SPARQL_SCALAR_MATH_ORACLE,
         "sparql_datatype": SPARQL_DATATYPE_ORACLE,
+        "sparql_bag_projection": SPARQL_BAG_PROJECTION_ORACLE,
+        "sparql_distinct": SPARQL_DISTINCT_ORACLE,
+        "sparql_bag_union": SPARQL_BAG_UNION_ORACLE,
+        "sparql_bag_path_seq": SPARQL_BAG_PATH_SEQ_ORACLE,
         "sparql_describe": SPARQL_DESCRIBE_ORACLE,
         "sparql_path": SPARQL_PATH_ORACLE,
         "sparql_path_seeded": SPARQL_PATH_SEEDED_ORACLE,

@@ -95,6 +95,12 @@ EXTRA_QUERIES = [
     "dedup_semantic",
     "corpus_quota",
     "corpus_stream_dedup",
+    # round-4 additions, fourth batch: SPARQL bag-semantics demos (plain
+    # SELECT is one-row-per-solution now; these exercise the multiplicity)
+    "sparql_bag_projection",
+    "sparql_distinct",
+    "sparql_bag_union",
+    "sparql_bag_path_seq",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

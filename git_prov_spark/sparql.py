@@ -79,11 +79,17 @@ Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
 the lexical form), and the keyword `a` (rdf:type). Full IRIs are reverse-
 mapped onto the store's CURIE vocabulary (iri.NAMESPACES + the per-repo
 gitprov namespace when `repo` is passed; longest namespace prefix wins).
-Bindings follow the BGP compiler's set semantics (SELECT behaves as SELECT
-DISTINCT — the store is a triple SET, so patterns cannot produce duplicate
-bindings anyway) with ONE bag-semantics carve-out: aggregates over UNION
-keep cross-branch duplicates, matching ARQ's multiset UNION (a solution
-produced by both branches counts twice under COUNT — see _solutions).
+Solution multiplicity is SPARQL's BAG semantics (§18.5), matching what ARQ
+gives the reference: projecting a subset of the bound variables keeps one
+row per WHERE solution (SELECT DISTINCT dedups), UNION concatenates branch
+multisets (a solution produced by both branches appears twice), fixed-
+length property paths (sequence `/`, alternation `|`, negated sets) carry
+route multiplicity, and aggregates count bag solutions. Only the spec's
+own set-valued forms dedup: `+` `*` `?` closures (ALP evaluation,
+§18.4), CONSTRUCT output (a graph is a set), and DISTINCT itself. Queried
+cross-repo (repo=None), the default graph is the set-union MERGE of the
+per-repo graphs — pattern relations dedup after the repo column projects
+away, so multiplicity never counts repo copies of one triple.
 Property paths and block-scoped FILTERs work inside OPTIONAL / UNION /
 MINUS / FILTER-EXISTS groups (each group evaluates as BGP ⋈ path
 relations → its own FILTERs, then joins the outer solutions); CONSTRUCT
@@ -1124,20 +1130,25 @@ def _path_rel(gdf: DataFrame, expr: PathExpr) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     if isinstance(expr, PathSeq):
+        # SPARQL §9.1 translates p1/p2 to triple patterns over a fresh
+        # middle variable and projects it away WITHOUT dedup, so a pair
+        # connected via k intermediates has multiplicity k (bag). The join
+        # below is exactly that — no distinct.
         rel = _path_rel(gdf, expr.parts[0])
         for part in expr.parts[1:]:
             nxt = _path_rel(gdf, part)
             rel = (
                 rel.join(nxt, rel["dst"] == nxt["src"])
                 .select(rel["src"].alias("src"), nxt["dst"].alias("dst"))
-                .distinct()
             )
         return rel
     if isinstance(expr, PathAlt):
+        # p1|p2 ≡ { s p1 o } UNION { s p2 o }: multiset union (§18.4) — a
+        # pair reachable through both alternatives counts twice
         rel = _path_rel(gdf, expr.parts[0])
         for part in expr.parts[1:]:
             rel = rel.unionByName(_path_rel(gdf, part))
-        return rel.distinct()
+        return rel
     if isinstance(expr, PathPlus):
         return transitive_closure(_path_rel(gdf, expr.inner))
     if isinstance(expr, PathNeg):
@@ -1158,8 +1169,10 @@ def _path_rel(gdf: DataFrame, expr: PathExpr) -> DataFrame:
             )
         rel = parts[0]
         for p in parts[1:]:
+            # two-direction NPS is the multiset union of the forward and
+            # inverse path patterns (§18.4) — keep cross-direction dups
             rel = rel.unionByName(p)
-        return rel.distinct() if len(parts) > 1 else rel
+        return rel
     if isinstance(expr, PathOpt):
         # zero-or-one: inner ∪ identity over every graph term (the
         # zero-length component, same domain as PathStar's)
@@ -1482,6 +1495,11 @@ def _join_path_pattern(
     gdf = triples
     if repo is not None:
         gdf = gdf.where(F.col("repo") == repo)
+    elif "repo" in gdf.columns:
+        # cross-repo: the queried graph is the MERGE (set-union) of the
+        # per-repo named graphs — dedup once so path multiplicity counts
+        # routes, never repo copies of the same edge
+        gdf = gdf.select("subj", "pred", "obj").distinct()
     seedable = isinstance(expr, (PathPlus, PathStar)) and (
         not s.startswith("?") or not o.startswith("?")
     )
@@ -1508,7 +1526,10 @@ def _join_path_pattern(
         marker = f"_pp_exists_{pp_idx}"
         rel = rel.limit(1).select(F.lit(True).alias(marker))
         return rel if df is None else df.crossJoin(rel).drop(marker)
-    rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()]).distinct()
+    # no dedup: the relation's multiplicity IS the path's solution
+    # multiplicity (closures arrive as sets from ALP evaluation; fixed-
+    # length composites carry spec bag multiplicity from _path_rel)
+    rel = rel.select(*[F.col(c).alias(v) for v, c in cols.items()])
     if df is None:
         return rel
     shared = [c for c in rel.columns if c in df.columns]
@@ -1583,7 +1604,9 @@ def _graph_var_solutions(
         else:
             shared = [c for c in proj.columns if c in result.columns]
             result = result.join(proj, shared)
-    return _apply_filters(result.distinct(), g.filters, triples, repo)
+    # no dedup needed: ?g (the repo column) is projected on every pattern,
+    # so each pattern relation is already a set of distinct rows
+    return _apply_filters(result, g.filters, triples, repo)
 
 
 def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFrame:
@@ -1605,17 +1628,11 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d, allowMissingColumns=True)
-        if q.aggregates and not q.distinct:
-            # SPARQL bag semantics (what ARQ gives the reference): UNION
-            # concatenates the branch solution multisets, so a solution
-            # produced by BOTH branches counts twice under COUNT/SUM. Each
-            # branch is itself duplicate-free (a BGP over a triple SET), so
-            # skipping the cross-branch dedup is exactly the bag result.
-            # Non-aggregate SELECTs dedup at projection time anyway (set
-            # semantics, module doc), so this changes aggregates only.
-            pass
-        else:
-            u = u.distinct()  # set semantics across branches
+        # SPARQL bag semantics (what ARQ gives the reference): UNION
+        # concatenates the branch solution multisets, so a solution
+        # produced by BOTH branches appears twice — under COUNT/SUM and
+        # in plain SELECT rows alike. SELECT DISTINCT (and only it)
+        # dedups, at projection time in _finish_select.
         if df is None:
             df = u
         else:
@@ -1813,9 +1830,14 @@ def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFra
     df = triples
     if repo is not None:
         df = df.where(F.col("repo") == repo)
-    return df.where(F.col("subj").isin(q.describe_terms)).select(
+    out = df.where(F.col("subj").isin(q.describe_terms)).select(
         "subj", "pred", "obj", "obj_type"
     )
+    if repo is None and "repo" in df.columns:
+        # a DESCRIBE result is a GRAPH: cross-repo, dedup the merge so a
+        # triple stored in several repos appears once
+        out = out.distinct()
+    return out
 
 
 def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
@@ -1899,7 +1921,14 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:
             raise SparqlError(f"SELECT of unbound variables: {missing}")
-        df = df.select(*q.variables).distinct()  # set semantics (see module doc)
+        # bag semantics (§18.5): the projection keeps one row per WHERE
+        # solution — duplicates under the narrower column set survive
+        # unless the query says DISTINCT
+        df = df.select(*q.variables)
+        if q.distinct:
+            df = df.distinct()
+    elif q.distinct:
+        df = df.distinct()  # SELECT DISTINCT *
     if q.order_by:
         keys = []
         for v, asc in q.order_by:

@@ -1047,11 +1047,17 @@ def test_union_aggregate_bag_semantics(spark):
         WHERE { { ?s ev:p ?o } UNION { ?s ev:q ?o } } GROUP BY ?s
     """).collect()
     assert [(r["s"], r["n"]) for r in got] == [("s", 2)]
-    # non-aggregate SELECT keeps set semantics
+    # non-aggregate SELECT is bag-correct too: the solution appears once
+    # per branch, and DISTINCT is what collapses it
     sel = _rows(execute(
         t, "SELECT ?s ?o WHERE { { ?s ev:p ?o } UNION { ?s ev:q ?o } }"
     ))
-    assert sel == [("s", "o")]
+    assert sel == [("s", "o"), ("s", "o")]
+    dis = _rows(execute(
+        t,
+        "SELECT DISTINCT ?s ?o WHERE { { ?s ev:p ?o } UNION { ?s ev:q ?o } }",
+    ))
+    assert dis == [("s", "o")]
 
 
 def test_reachable_from_operator(spark):
@@ -1106,8 +1112,9 @@ def test_filter_not_in_and_string_inequality(spark):
         SELECT ?t WHERE { ?e ev:type ?t .
           FILTER(?t NOT IN ("error")) FILTER(?t > "p") }
     """))
-    # codepoint string ordering, like ARQ on simple literals
-    assert got == [("purchase",), ("signup",)]
+    # codepoint string ordering, like ARQ on simple literals; bag
+    # semantics: one row per matching event, so "purchase" appears twice
+    assert got == [("purchase",), ("purchase",), ("signup",)]
 
 
 def test_filter_bound_with_optional(spark):
