@@ -502,6 +502,77 @@ def _svg_doc(g: _Graph, repo: str,
                                 max_nodes=max_nodes, max_edges=max_edges))
 
 
+def html_text(triples: DataFrame, repo: str,
+              max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    """Self-contained text/html visualization of one repo's PROV graph.
+
+    Capability parity with the reference's /viz endpoint
+    (ProvOVizController.java:33-46), which turtle-serializes the repo's
+    model and POSTs it to the external provoviz.org service, returning
+    that service's HTML. Calling out to a third-party renderer is neither
+    possible nor desirable here, so the same user-facing artifact — an
+    HTML page visualizing the repo's provenance — is produced locally and
+    deterministically: summary tiles (element/edge counts), a legend in
+    the PROV diagram convention the SVG renderer pins, the embedded SVG
+    itself, and a per-predicate edge-count table. Zero external fetches
+    (no scripts, no fonts, no CSS URLs), so the document is archival."""
+    return _html_doc(_collect_graph(triples, repo), repo,
+                     max_nodes=max_nodes, max_edges=max_edges)
+
+
+def _html_lines(g: _Graph, repo: str,
+                max_nodes: int = 2_000, max_edges: int = 8_000):
+    from xml.sax.saxutils import escape
+
+    n_by_kind = {k: len(g.elements(k)) for k in ("entity", "activity", "agent")}
+    pred_counts = sorted((p, len(so)) for p, so in g.edges.items())
+    n_edges = sum(c for _, c in pred_counts)
+    yield "<!DOCTYPE html>"
+    yield '<html lang="en"><head><meta charset="utf-8"/>'
+    yield f"<title>Provenance of {escape(repo)}</title>"
+    yield ("<style>body{font-family:Helvetica,Arial,sans-serif;margin:24px;"
+           "color:#111}table{border-collapse:collapse}td,th{border:1px solid"
+           " #ccc;padding:3px 10px;font-size:13px;text-align:left}"
+           ".tiles{display:flex;gap:16px;margin:12px 0}.tile{border:1px "
+           "solid #ccc;border-radius:6px;padding:8px 16px;text-align:center}"
+           ".tile b{display:block;font-size:22px}.legend span{display:"
+           "inline-block;width:14px;height:14px;margin:0 6px -2px 14px;"
+           "border:1px solid #333}.svgwrap{overflow:auto;border:1px solid "
+           "#ccc;margin:12px 0;max-height:720px}</style></head><body>"
+    )
+    yield f"<h1>PROV graph of {escape(repo)}</h1>"
+    yield '<div class="tiles">'
+    for label, n in (("entities", n_by_kind["entity"]),
+                     ("activities", n_by_kind["activity"]),
+                     ("agents", n_by_kind["agent"]),
+                     ("relations", n_edges)):
+        yield f'  <div class="tile"><b>{n}</b>{label}</div>'
+    yield "</div>"
+    yield ('<p class="legend">'
+           f'<span style="background:{_hex(_VIZ_FILL["entity"])};'
+           'border-radius:50%"></span>prov:Entity'
+           f'<span style="background:{_hex(_VIZ_FILL["activity"])}">'
+           "</span>prov:Activity"
+           f'<span style="background:{_hex(_VIZ_FILL["agent"])}"></span>'
+           "prov:Agent</p>")
+    yield '<div class="svgwrap">'
+    svg = _svg_lines(g, repo, max_nodes=max_nodes, max_edges=max_edges)
+    next(svg)  # drop the <?xml?> declaration: the SVG embeds inline
+    yield from svg
+    yield "</div>"
+    yield "<h2>Relations</h2>"
+    yield "<table><tr><th>predicate</th><th>count</th></tr>"
+    for p, c in pred_counts:
+        yield f"<tr><td>{escape(p)}</td><td>{c}</td></tr>"
+    yield "</table></body></html>"
+
+
+def _html_doc(g: _Graph, repo: str,
+              max_nodes: int = 2_000, max_edges: int = 8_000) -> str:
+    return "\n".join(_html_lines(g, repo,
+                                 max_nodes=max_nodes, max_edges=max_edges))
+
+
 def _pdf_escape(s: str) -> str:
     out = []
     for ch in s:
@@ -630,6 +701,7 @@ _DOC_ASSEMBLERS = {
     "dot": _dot_doc,
     "svg": _svg_doc,
     "pdf": _pdf_doc,
+    "html": _html_doc,
 }
 
 # line-generator assemblers: formats whose documents can be EMITTED in
@@ -640,6 +712,7 @@ _LINE_ASSEMBLERS = {
     "provxml": _provxml_lines,
     "dot": _dot_lines,
     "svg": _svg_lines,
+    "html": _html_lines,
 }
 
 DOC_PART_LINES = 20_000

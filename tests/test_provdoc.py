@@ -106,11 +106,11 @@ def test_prov_documents_distributed_matches_driver(triples_df):
 
     repos = [r.repo for r in triples_df.select("repo").distinct().collect()]
     assert len(repos) >= 2  # fixtures carry a multi-repo corpus
-    from git_prov_spark.provdoc import pdf_text, svg_text
+    from git_prov_spark.provdoc import html_text, pdf_text, svg_text
 
     driver_fn = {"provn": provn_text, "provjson": provjson_text,
                  "provxml": provxml_text, "dot": dot_text,
-                 "svg": svg_text, "pdf": pdf_text}
+                 "svg": svg_text, "pdf": pdf_text, "html": html_text}
     for fmt, fn in driver_fn.items():
         got = {r.repo: r.doc
                for r in prov_documents(triples_df, fmt).collect()}

@@ -123,6 +123,30 @@ def test_pdf_draws_every_node_and_label(triples_df):
     assert doc == pdf_text(triples_df, HOT)  # deterministic
 
 
+def test_html_embeds_svg_and_summary(triples_df):
+    """text/html parity with the reference's /viz endpoint
+    (ProvOVizController.java:33-46): self-contained page = summary tiles +
+    legend + the inline SVG + per-predicate table, zero external fetches."""
+    from git_prov_spark.provdoc import html_text
+
+    nodes, edges = _expected_graph(triples_df)
+    html = html_text(triples_df, HOT)
+    assert html.startswith("<!DOCTYPE html>")
+    # the embedded SVG is byte-identical to svg_text minus the xml decl
+    svg = svg_text(triples_df, HOT)
+    assert svg.split("\n", 1)[1] in html
+    # relation table covers every edge predicate with exact counts
+    from collections import Counter
+
+    for p, c in Counter(p for _, p, _ in edges).items():
+        assert f"<tr><td>{p}</td><td>{c}</td></tr>" in html
+    assert f"<b>{len(edges)}</b>relations" in html
+    # archival: no scripts and no external URLs anywhere
+    assert "<script" not in html
+    assert 'src="http' not in html and "@import" not in html
+    assert html == html_text(triples_df, HOT)  # deterministic
+
+
 def test_parts_reassembles_svg(triples_df):
     from git_prov_spark.provdoc import prov_document_parts
 
