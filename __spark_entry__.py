@@ -510,6 +510,25 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+CLUSTER_SAMPLE_CAP = 10  # ~K≈22 clusters over 500 sf0.01 vectors (avg list
+# ~23): a 10-member cap keeps ~45% and exercises both verdicts per cluster
+
+
+def q_corpus_cluster_sample(spark, sf_dir):
+    """Cluster-balanced semantic subsampling (curate.cluster_balanced_sample,
+    the D4-style diversification step): assign embeddings to the persisted
+    trained IVF quantizer (zero training jobs on a warm artifact), keep at
+    most CLUSTER_SAMPLE_CAP members per semantic cluster by deterministic
+    portable-hash lottery — over-represented embedding regions downsample,
+    the diversity tail survives. One verdict row per vector
+    (vec_id, cluster, kept)."""
+    return curate.cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"),
+        per_cluster=CLUSTER_SAMPLE_CAP,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     return similarity.topk_bruteforce(_t(spark, sf_dir, "embeddings"))
 
@@ -1916,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_semantic": q_dedup_semantic,
+        "corpus_cluster_sample": q_corpus_cluster_sample,
         "corpus_decontam": q_corpus_decontam,
         "corpus_mix": q_corpus_mix,
         "corpus_quota": q_corpus_quota,
@@ -2002,6 +2022,12 @@ def _semantic_oracle_sql() -> str:
     cents, n = _oracle_centroids()
     return oracles.sql_dedup_semantic("embeddings", cents, n,
                                       SEMANTIC_DEDUP_THRESHOLD)
+
+
+def _cluster_sample_oracle_sql() -> str:
+    cents, _ = _oracle_centroids()
+    return oracles.sql_cluster_sample("embeddings", cents,
+                                      CLUSTER_SAMPLE_CAP)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2149,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),
+        "corpus_cluster_sample": _cluster_sample_oracle_sql(),
         # ann_topk_pandas outputs only (query_id, neighbor_id, rank): numpy's
         # matmul float-sum order differs from the SQL fold by ~1e-16 relative,
         # which can only flip a rank at an exact cosine tie — the testdata

@@ -101,6 +101,8 @@ EXTRA_QUERIES = [
     "sparql_distinct",
     "sparql_bag_union",
     "sparql_bag_path_seq",
+    # round-4 additions, fifth batch: semantic cluster-balanced sampling
+    "corpus_cluster_sample",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -277,6 +277,90 @@ def stratified_sample(
     )
 
 
+def _hash_lottery_cap(narrow: DataFrame, key_col: str, quota: int,
+                      id_col: str) -> DataFrame:
+    """(id_col, _win=True) for the `quota` winners per key: the rows with
+    the smallest (_h, id) pairs within each key_col group. `narrow` must
+    carry (id_col, key_col, _h). Two-phase skew-safe ranking — phase 1
+    ranks within (shuffle-partition, key) so a hot key spreads across all
+    partitions and discards everything past `quota` per partition (a
+    semantics-preserving superset of the winners); phase 2 ranks the
+    ≤ quota·P survivors per key globally."""
+    from pyspark.sql import Window
+
+    pre_w = Window.partitionBy("_pid", key_col).orderBy(
+        F.asc("_h"), F.asc(id_col))
+    survivors = (
+        narrow.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(pre_w))
+        .where(F.col("_pr") <= quota)
+        .drop("_pid", "_pr")
+    )
+    fin_w = Window.partitionBy(key_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        survivors.withColumn("_r", F.row_number().over(fin_w))
+        .where(F.col("_r") <= quota)
+        .select(F.col(id_col), F.lit(True).alias("_win"))
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    salt: str = "cbs-v1",
+    centroids: list[list[float]] | None = None,
+    corpus_size: int | None = None,
+    n_centroids: int | None = None,
+    source_path: str | None = None,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """(vec_id, cluster, kept) — semantic cluster-balanced subsampling:
+    the diversification step of D4 (Tirumala et al. 2023,
+    arXiv:2308.12284) — assign every embedding to its trained IVF
+    centroid, then cap each semantic cluster at `per_cluster` members, so
+    over-represented regions of embedding space (boilerplate, template
+    spam) are downsampled while the diversity tail survives intact.
+
+    Winners per cluster are the `per_cluster` smallest portable-hash
+    values (hash(salt:id), ties by id) — the same deterministic lottery
+    as `source_quota`, with the same properties: re-run-stable, executor-
+    count-independent, auditable from (salt, id) alone, re-drawable under
+    a fresh salt. The same skew story applies (one mega-cluster from a
+    degenerate centroid must not funnel through one window task), so the
+    ranking is the shared two-phase `_hash_lottery_cap`.
+
+    Index amortization: pass `centroids` + `corpus_size`, or
+    `source_path` to reuse the persisted fingerprint-keyed quantizer —
+    the sampling run then launches zero training jobs. Assignment is the
+    broadcast argmax-cosine plan of `similarity.ivf_assign` (K-fan-out
+    per row, linear in the corpus, never pairwise).
+    """
+    from .hashing import spark_h64
+    from .similarity import ivf_assign, load_or_train_centroids
+
+    if per_cluster < 0:
+        raise ValueError("per_cluster must be >= 0")
+    if centroids is not None:
+        if corpus_size is None:
+            raise ValueError("corpus_size is required with precomputed centroids")
+    else:
+        centroids, _ = load_or_train_centroids(
+            emb, id_col, n_centroids, source_path=source_path,
+            cache_dir=cache_dir)
+    assign = ivf_assign(emb, id_col, centroids)
+    h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))
+    winners = _hash_lottery_cap(
+        assign.select(F.col(id_col), F.col("cluster"), h.alias("_h")),
+        "cluster", per_cluster, id_col,
+    )
+    return (
+        assign.join(winners, id_col, "left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.coalesce(F.col("_win"), F.lit(False)).alias("kept"))
+    )
+
+
 def source_quota(
     documents: DataFrame,
     quota: int,
@@ -293,35 +377,18 @@ def source_quota(
 
     Skew story (the reason this is not one `row_number` over source): a
     hot domain at 10^12-doc scale would funnel its entire row set through
-    ONE window task. Phase 1 ranks within (shuffle-partition, source) —
-    the hot key is spread across all partitions — and discards everything
-    past `quota` per partition, a semantics-preserving superset of the
-    final winners. Phase 2 ranks the ≤ quota·P survivors per source
-    globally. Both phases move only (id, source, hash) rows; the verdict
-    joins back on id, so document text never shuffles.
+    ONE window task — see `_hash_lottery_cap`, which both this op and
+    `cluster_balanced_sample` rank through. Both phases move only
+    (id, source, hash) rows; the verdict joins back on id, so document
+    text never shuffles.
     """
-    from pyspark.sql import Window
-
     from .hashing import spark_h64
 
     if quota < 0:
         raise ValueError("quota must be >= 0")
     h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))
     narrow = documents.select(F.col(id_col), F.col(source_col), h.alias("_h"))
-    pre_w = Window.partitionBy("_pid", source_col).orderBy(
-        F.asc("_h"), F.asc(id_col))
-    survivors = (
-        narrow.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_pr", F.row_number().over(pre_w))
-        .where(F.col("_pr") <= quota)
-        .drop("_pid", "_pr")
-    )
-    fin_w = Window.partitionBy(source_col).orderBy(F.asc("_h"), F.asc(id_col))
-    winners = (
-        survivors.withColumn("_r", F.row_number().over(fin_w))
-        .where(F.col("_r") <= quota)
-        .select(F.col(id_col), F.lit(True).alias("_win"))
-    )
+    winners = _hash_lottery_cap(narrow, source_col, quota, id_col)
     return (
         narrow.join(winners, id_col, "left")
         .select(F.col(id_col), F.col(source_col),

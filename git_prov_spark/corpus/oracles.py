@@ -693,6 +693,34 @@ def sql_dedup_semantic(src: str, centroids: list[list[float]], corpus_n: int,
     )
 
 
+def sql_cluster_sample(src: str, centroids: list[list[float]],
+                       per_cluster: int, salt: str = "cbs-v1") -> str:
+    """DuckDB twin of curate.cluster_balanced_sample: trained centroids
+    injected as double literals, same argmax-cosine assignment as
+    sql_dedup_semantic, winners = the per_cluster smallest
+    (hash(salt:id), id) pairs per cluster (the Spark two-phase cap is
+    semantics-preserving, so one global rank reproduces it exactly)."""
+    vals = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[])"
+        for i, row in enumerate(centroids)
+    )
+    a_cos = duck_cosine("e.embedding", "c.cemb")
+    h = duck_h64(f"'{salt}' || ':' || CAST(vec_id AS VARCHAR)")
+    return (
+        f"WITH cents(cid, cemb) AS (VALUES {vals}), "
+        f"assign AS (SELECT vec_id, cluster FROM ("
+        f"SELECT e.vec_id, c.cid AS cluster, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {a_cos} DESC, c.cid) AS rn "
+        f"FROM {src} e, cents c) WHERE rn = 1), "
+        f"ranked AS (SELECT vec_id, cluster, row_number() OVER ("
+        f"PARTITION BY cluster ORDER BY {h}, vec_id) AS rk FROM assign) "
+        f"SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
+        f"rk <= {per_cluster} AS kept FROM ranked"
+    )
+
+
 def sql_source_quota(src: str, quota: int, salt: str = "quota-v1") -> str:
     """DuckDB twin of curate.source_quota: the two-phase Spark cap is
     semantics-preserving, so one global rank reproduces it exactly."""
