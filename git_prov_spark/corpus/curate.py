@@ -331,13 +331,19 @@ def cluster_balanced_sample(
     ranking is the shared two-phase `_hash_lottery_cap`.
 
     Index amortization: pass `centroids` + `corpus_size`, or
-    `source_path` to reuse the persisted fingerprint-keyed quantizer —
-    the sampling run then launches zero training jobs. Assignment is the
-    broadcast argmax-cosine plan of `similarity.ivf_assign` (K-fan-out
-    per row, linear in the corpus, never pairwise).
+    `source_path` to reuse the persisted fingerprint-keyed quantizer AND
+    its persisted assignment — the sampling run then launches zero
+    training and zero assignment jobs. A cold assignment is the broadcast
+    argmax-cosine plan of `similarity.ivf_assign` (K-fan-out per row,
+    linear in the corpus, never pairwise).
     """
     from .hashing import spark_h64
-    from .similarity import ivf_assign, load_or_train_centroids
+    from .similarity import (
+        _index_key,
+        ivf_assign,
+        load_or_build_assignment,
+        load_or_train_centroids,
+    )
 
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
@@ -348,7 +354,12 @@ def cluster_balanced_sample(
         centroids, _ = load_or_train_centroids(
             emb, id_col, n_centroids, source_path=source_path,
             cache_dir=cache_dir)
-    assign = ivf_assign(emb, id_col, centroids)
+    if source_path is not None:
+        assign = load_or_build_assignment(
+            emb, id_col, centroids,
+            _index_key(source_path, n_centroids), cache_dir)
+    else:
+        assign = ivf_assign(emb, id_col, centroids)
     h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))
     winners = _hash_lottery_cap(
         assign.select(F.col(id_col), F.col("cluster"), h.alias("_h")),

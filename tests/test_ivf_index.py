@@ -74,6 +74,41 @@ def test_artifact_survives_restart_and_matches_retrain(emb_df, tmp_path,
     assert art["centroids"] == trained
 
 
+def test_warm_index_runs_no_assignment_jobs(emb_df, tmp_path, monkeypatch):
+    """The index's other half (inverted lists): after the first query
+    builds lists-{key}.parquet, a second query must launch neither
+    training NOR the corpus-wide argmax-cosine assignment — it serves
+    candidates straight from the artifact scan."""
+    cache = str(tmp_path / "ivf")
+    similarity._CENTROID_CACHE.clear()
+    first = similarity.topk_ivf(emb_df, source_path=EMB, cache_dir=cache)
+    rows1 = sorted(tuple(r) for r in first.collect())
+    assert any(a.startswith("lists-") for a in os.listdir(cache))
+
+    def boom(*a, **k):
+        raise AssertionError("assignment/training ran on a warm index")
+
+    monkeypatch.setattr(similarity, "ivf_centroids", boom)
+    monkeypatch.setattr(similarity, "ivf_assign", boom)
+    second = similarity.topk_ivf(emb_df, source_path=EMB, cache_dir=cache)
+    rows2 = sorted(tuple(r) for r in second.collect())
+    assert rows1 == rows2
+
+
+def test_persisted_lists_match_inline_assignment(emb_df, tmp_path):
+    """Serving from the artifact is result-identical to computing the
+    capped assignment inline (the no-source_path plan)."""
+    cache = str(tmp_path / "ivf")
+    similarity._CENTROID_CACHE.clear()
+    cents, n = similarity.load_or_train_centroids(
+        emb_df, source_path=EMB, cache_dir=cache)
+    warm = sorted(tuple(r) for r in similarity.topk_ivf(
+        emb_df, source_path=EMB, cache_dir=cache).collect())
+    inline = sorted(tuple(r) for r in similarity.topk_ivf(
+        emb_df, centroids=cents, corpus_size=n).collect())
+    assert warm == inline
+
+
 def test_fingerprint_invalidates_on_data_change(tmp_path):
     a = tmp_path / "corpus.parquet"
     a.write_bytes(b"x" * 100)
