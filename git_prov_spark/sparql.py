@@ -41,14 +41,20 @@ Supported subset (documented, validated — anything else raises SparqlError):
       MD5/SHA1/SHA256/SHA384/SHA512(ve) (lowercase hex) |
       ENCODE_FOR_URI(ve) | IRI/URI(ve) (≡ STR: all-string term model) |
       DATATYPE(?v) (BIND-only: one equi join on the store's obj_type) |
-      LANG(ve) (always "": the store carries no language-tagged literals),
+      LANG(ve) (always "": the store carries no language-tagged literals) |
+      LANGMATCHES(ve, ve) (RFC 4647 basic filtering; false over this
+      store's empty tags) | TZ(ve) ("Z" / "+hh:mm" / "") |
+      TIMEZONE(ve) (xsd:dayTimeDuration lexical; unbound when no tz),
       with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
+      STRLANG/STRDT are rejected loudly (a constructed tag/datatype cannot
+      survive the all-string binding model).
     FILTER grammar: e || e, e && e, !e, (e),    --   numeric comparison when
       ve OP ve with OP in = != < <= > >=,       --   a side is a number or
       ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   numeric fn, else code-
-      bound(?v), STRSTARTS/STRENDS/CONTAINS     --   point string order
-      (ve, ve), [NOT] EXISTS { patterns },      --   (like ARQ on simple
-      isIRI/isURI/isLiteral/isNumeric(?v),      --   literals)
+      bound(?v), STRSTARTS/STRENDS/CONTAINS/    --   point string order
+      LANGMATCHES (ve, ve),                     --   (like ARQ on simple
+      [NOT] EXISTS { patterns },                --   literals)
+      isIRI/isURI/isLiteral/isNumeric(?v),
       isBlank(?v) (constant false: no bnodes in this store or the reference)
       EXISTS and isIRI/isLiteral/isNumeric compile to ONE left-semi/anti
       join (EXISTS on the block's shared variables; is* against the graph's
@@ -749,6 +755,22 @@ class _Parser:
         if up == "LANG":
             self.i += 1
             return ("lang", self._parse_fn_args(1, 1, "LANG")[0])
+        if up == "LANGMATCHES":
+            self.i += 1
+            return ("langmatches", self._parse_fn_args(2, 2, "LANGMATCHES"))
+        if up == "TZ":
+            self.i += 1
+            return ("tz", self._parse_fn_args(1, 1, "TZ")[0])
+        if up == "TIMEZONE":
+            self.i += 1
+            return ("timezone", self._parse_fn_args(1, 1, "TIMEZONE")[0])
+        if up in ("STRLANG", "STRDT"):
+            # deliberately rejected: bindings are lexical strings (module
+            # doc), so a constructed tagged/typed literal would silently
+            # drop its tag/datatype — refuse loudly instead of lying
+            raise SparqlError(
+                f"{up}() unsupported: the all-string term model cannot "
+                "carry a constructed language tag / datatype")
         if kind == "word" and (
             tok.upper() == "CONCAT" or tok.upper() in self._UNARY_STR_FNS
         ):
@@ -849,7 +871,7 @@ class _Parser:
             return ("not", self._parse_f_unary())
         return self._parse_f_primary()
 
-    _BOOL_FNS = ("STRSTARTS", "STRENDS", "CONTAINS")
+    _BOOL_FNS = ("STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES")
 
     def _parse_f_primary(self) -> FilterExpr:
         kind, tok = self._peek()
@@ -1002,8 +1024,8 @@ class _Parser:
                           | set(self._STR2_FNS) | set(self._NUM_FNS)
                           | set(self._HASH_FNS)
                           | {"CONCAT", "IF", "COALESCE", "SUBSTR",
-                             "REPLACE", "LANG", "ENCODE_FOR_URI", "IRI",
-                             "URI"})
+                             "REPLACE", "LANG", "TZ", "TIMEZONE",
+                             "ENCODE_FOR_URI", "IRI", "URI"})
             while True:
                 kind, tok = self._peek()
                 up = tok.upper() if kind == "word" else ""
@@ -1290,6 +1312,46 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
         # the store carries no language-tagged literals (the reference emits
         # none either: plain + typed literals only), so LANG is "" everywhere
         return F.lit("")
+    if kind == "langmatches":
+        # RFC 4647 basic filtering, case-insensitive: "*" matches any
+        # NON-EMPTY tag; otherwise exact tag or prefix at a "-" boundary.
+        # Over this store LANG is always "" so every match is false, but
+        # the compile is generic (literal-range args still work).
+        lang = F.lower(_bind_col(payload[0], df).cast("string"))
+        rng = F.lower(_bind_col(payload[1], df).cast("string"))
+        return F.when(lang == "", F.lit(False)).otherwise(
+            F.when(rng == "*", F.lit(True)).otherwise(
+                (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+            )
+        )
+    if kind in ("tz", "timezone"):
+        # TZ: the timezone suffix of the dateTime LEXICAL form ("Z",
+        # "+05:30", ... or "" when absent). TIMEZONE: the same offset as an
+        # xsd:dayTimeDuration lexical ("Z" → "PT0S", "-05:00" → "-PT5H",
+        # "+05:30" → "PT5H30M"); the store's own dateTimes always carry Z
+        # (statements.py date_format), the compile handles the general form.
+        s = _bind_col(payload, df).cast("string")
+        suffix = F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        if kind == "tz":
+            return suffix
+        hh = F.regexp_extract(suffix, r"[+-](\d{2}):", 1).cast("int")
+        mm = F.regexp_extract(suffix, r":(\d{2})$", 1).cast("int")
+        sign = F.when(suffix.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        # canonical dayTimeDuration: zero components are omitted, and the
+        # all-zero offset ("+00:00", like "Z") is PT0S — never "PT0H"
+        dur = F.concat(
+            sign, F.lit("PT"),
+            F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H")))
+            .otherwise(F.lit("")),
+            F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+            .otherwise(F.lit("")),
+        )
+        return (
+            F.when(suffix == "Z", F.lit("PT0S"))
+            .when(suffix == "", F.lit(None).cast("string"))  # no tz: unbound
+            .when((hh == 0) & (mm == 0), F.lit("PT0S"))
+            .otherwise(dur)
+        )
     if kind == "abs":
         return F.abs(_bind_col(payload, df).cast("double"))
     if kind in ("ceil", "floor"):
@@ -1361,6 +1423,8 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
         # SPARQL REGEX is an unanchored substring match, like rlike
         return _bind_col(expr[1], df).cast("string").rlike(expr[2])
     if kind == "boolfn":
+        if expr[1] == "langmatches":  # boolean value expr; same compile
+            return _bind_col(("langmatches", expr[2]), df)
         a = _bind_col(expr[2][0], df).cast("string")
         b = _bind_col(expr[2][1], df).cast("string")
         return {"strstarts": a.startswith(b), "strends": a.endswith(b),

@@ -1425,6 +1425,71 @@ def test_lang_is_empty(spark):
     assert got == [("alice", ""), ("xavier", "")]
 
 
+def test_tz_timezone_langmatches(spark):
+    t = _r4_graph(spark)
+    # store dateTimes carry Z: TZ = "Z", TIMEZONE = "PT0S"
+    got = _rows(execute(t, """
+        SELECT ?tz ?dur WHERE { ?s ev:when ?d .
+          BIND(TZ(?d) AS ?tz) . BIND(TIMEZONE(?d) AS ?dur) }
+    """))
+    assert got == [("Z", "PT0S")]
+    # general lexical forms, via BIND-constructed strings
+    got = _rows(execute(t, """
+        SELECT ?tz ?dur WHERE { ?s ev:when ?d .
+          BIND(CONCAT("2024-01-01T00:00:00", "+05:30") AS ?v) .
+          BIND(TZ(?v) AS ?tz) . BIND(TIMEZONE(?v) AS ?dur) }
+    """))
+    assert got == [("+05:30", "PT5H30M")]
+    got = _rows(execute(t, """
+        SELECT ?tz WHERE { ?s ev:when ?d .
+          BIND(CONCAT("2024-01-01T00:00:00", "-05:00") AS ?v) .
+          BIND(TIMEZONE(?v) AS ?tz) }
+    """))
+    assert got == [("-PT5H",)]
+    # canonical duration edges: all-zero offset is PT0S, zero hours omitted
+    got = _rows(execute(t, """
+        SELECT ?z ?m WHERE { ?s ev:when ?d .
+          BIND(TIMEZONE(CONCAT("2024-01-01T00:00:00", "+00:00")) AS ?z) .
+          BIND(TIMEZONE(CONCAT("2024-01-01T00:00:00", "-00:30")) AS ?m) }
+    """))
+    assert got == [("PT0S", "-PT30M")]
+    # no timezone suffix: TZ = "", TIMEZONE unbound (NULL)
+    rows = execute(t, """
+        SELECT ?tz ?dur WHERE { ?s ev:when ?d .
+          BIND(STRBEFORE(?d, "Z") AS ?v) .
+          BIND(TZ(?v) AS ?tz) . BIND(TIMEZONE(?v) AS ?dur) }
+    """).collect()
+    assert [(r.tz, r.dur) for r in rows] == [("", None)]
+    # LANGMATCHES over this store's empty tags is false for every range
+    got = _rows(execute(t, """
+        SELECT ?l WHERE { ?s rdfs:label ?l .
+                          FILTER(!LANGMATCHES(LANG(?l), "*")) }
+    """))
+    assert got == [("alice",), ("xavier",)]
+    assert _rows(execute(t, """
+        SELECT ?l WHERE { ?s rdfs:label ?l .
+                          FILTER(LANGMATCHES(LANG(?l), "en")) }
+    """)) == []
+    # generic RFC 4647 compile: literal ranges against literal tags
+    got = _rows(execute(t, """
+        SELECT ?m WHERE { ?s ev:when ?d .
+          BIND(LANGMATCHES("en-GB", "en") AS ?m) }
+    """))
+    assert got == [(True,)]
+
+
+def test_strlang_strdt_rejected(spark):
+    t = _r4_graph(spark)
+    import pytest as _pytest
+
+    from git_prov_spark.sparql import SparqlError
+
+    for fn in ("STRLANG(?l, \"en\")", "STRDT(?l, xsd:string)"):
+        with _pytest.raises(SparqlError):
+            execute(t, "SELECT ?x WHERE { ?s rdfs:label ?l . "
+                       f"BIND({fn} AS ?x) }}")
+
+
 def test_path_zero_or_one(spark):
     t = _r4_graph(spark)
     got = _rows(execute(t, 'SELECT ?b WHERE { "u:a" ev:next? ?b }'))
