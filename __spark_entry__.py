@@ -1399,6 +1399,51 @@ SPARQL_DATETIME_ORACLE = (
 )
 
 
+def q_sparql_lang_tz(spark, sf_dir):
+    """Language + timezone builtin families (SPARQL 1.1 §17.4.2/§17.4.5):
+    TZ extracts the lexical timezone suffix, TIMEZONE emits the canonical
+    xsd:dayTimeDuration, LANGMATCHES does RFC 4647 basic filtering — all
+    map-side column expressions, no shuffle beyond the scan. The input
+    mixes Z and +05:30 suffixes by event parity so both duration shapes
+    (PT0S and PT5H30M) appear in the output."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:at").alias("pred"),
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("Z"))
+            .otherwise(F.lit("+05:30")),
+        ).alias("obj"),
+        F.lit("xsd:dateTime").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?e ?tz ?dur WHERE {
+          ?e ev:at ?d .
+          BIND(TZ(?d) AS ?tz) . BIND(TIMEZONE(?d) AS ?dur) .
+          FILTER(LANGMATCHES("en-GB", "en")) .
+          FILTER(!LANGMATCHES(LANG(?d), "*"))
+        }
+        """,
+    )
+
+
+SPARQL_LANG_TZ_ORACLE = (
+    # independent expected-value derivation: the suffix is a pure function
+    # of event parity, so the oracle recomputes tz/duration from event_id
+    # rather than re-parsing the lexical form
+    "SELECT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "CASE WHEN event_id % 2 = 0 THEN 'Z' ELSE '+05:30' END AS tz, "
+    "CASE WHEN event_id % 2 = 0 THEN 'PT0S' ELSE 'PT5H30M' END AS dur "
+    "FROM events"
+)
+
+
 def q_sparql_path_optmod(spark, sf_dir):
     """Zero-or-one path modifier `elt?` (SPARQL 1.1 [91]): edges ∪ the
     identity relation over every graph term — the zero-length component of
@@ -1914,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_funcs": q_sparql_funcs,
         "sparql_datetime": q_sparql_datetime,
+        "sparql_lang_tz": q_sparql_lang_tz,
         "sparql_path_optmod": q_sparql_path_optmod,
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_graph": q_sparql_graph,
@@ -2197,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union": SPARQL_UNION_ORACLE,
         "sparql_funcs": SPARQL_FUNCS_ORACLE,
         "sparql_datetime": SPARQL_DATETIME_ORACLE,
+        "sparql_lang_tz": SPARQL_LANG_TZ_ORACLE,
         "sparql_path_optmod": SPARQL_PATH_OPTMOD_ORACLE,
         "sparql_path_neg": SPARQL_PATH_NEG_ORACLE,
         "sparql_graph": SPARQL_GRAPH_ORACLE,
