@@ -103,6 +103,8 @@ EXTRA_QUERIES = [
     "sparql_bag_path_seq",
     # round-4 additions, fifth batch: semantic cluster-balanced sampling
     "corpus_cluster_sample",
+    # round-4 additions, sixth batch: language/timezone builtin family
+    "sparql_lang_tz",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
