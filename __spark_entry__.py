@@ -1615,7 +1615,8 @@ SPARQL_SCALAR_MATH_ORACLE = (
 
 
 def q_sparql_datatype(spark, sf_dir):
-    """DATATYPE(?v) in BIND + isNumeric(?v) in FILTER: both are term-level
+    """DATATYPE(?v) in direct BIND, nested inside CONCAT, and as a FILTER
+    operand (each a hoisted left join) + isNumeric(?v): all are term-level
     typing, which lives on the TRIPLE (obj_type), so DATATYPE compiles to
     ONE equi left join against the graph's distinct literal→datatype map
     (sparql.py _bind_datatype; AQE picks broadcast at this scale) and
@@ -1640,9 +1641,11 @@ def q_sparql_datatype(spark, sf_dir):
     return execute(
         triples,
         """
-        SELECT ?u ?o ?dt WHERE {
+        SELECT ?u ?o ?dt ?dx WHERE {
           ?u ev:ref ?o .
           BIND(DATATYPE(?o) AS ?dt) .
+          BIND(CONCAT(DATATYPE(?o), "!") AS ?dx) .
+          FILTER(DATATYPE(?o) = "xsd:int") .
           FILTER(isNumeric(?o)) . FILTER(!isBlank(?o))
         }
         """,
@@ -1654,7 +1657,8 @@ SPARQL_DATATYPE_ORACLE = (
     "CASE WHEN event_id % 2 = 0 THEN 'event-' || CAST(event_id AS VARCHAR) "
     "     ELSE CAST(event_id AS VARCHAR) END AS o, "
     "event_id % 2 = 0 AS is_iri FROM events WHERE user_id < 130) "
-    "SELECT DISTINCT u, o, 'xsd:int' AS dt FROM t WHERE NOT is_iri"
+    "SELECT DISTINCT u, o, 'xsd:int' AS dt, 'xsd:int!' AS dx "
+    "FROM t WHERE NOT is_iri"
 )
 
 

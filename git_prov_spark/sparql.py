@@ -40,7 +40,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
       ABS/CEIL/FLOOR/ROUND(ve) (XPath: ROUND ties toward +INF) |
       MD5/SHA1/SHA256/SHA384/SHA512(ve) (lowercase hex) |
       ENCODE_FOR_URI(ve) | IRI/URI(ve) (≡ STR: all-string term model) |
-      DATATYPE(?v) (BIND-only: one equi join on the store's obj_type) |
+      DATATYPE(?v) (BIND expressions and FILTER operands, nested or
+      direct: one equi join on the store's obj_type per referenced var) |
       LANG(ve) (always "": the store carries no language-tagged literals) |
       LANGMATCHES(ve, ve) (RFC 4647 basic filtering; false over this
       store's empty tags) | TZ(ve) ("Z" / "+hh:mm" / "") |
@@ -1384,7 +1385,8 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
     if kind == "datatype":
         raise SparqlError(
             "DATATYPE needs the graph's term typing and is only supported "
-            "as a direct BIND expression: BIND(DATATYPE(?v) AS ?dt)"
+            "inside BIND expressions and FILTER operands (its compile is a "
+            "join) — bind it to a variable first to use it elsewhere"
         )
     return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
 
@@ -1498,7 +1500,22 @@ def _apply_filters(
                 iri, var, "left_semi" if fn == "isiri" else "left_anti"
             )
         else:
-            df = df.where(_filter_col(e, df))
+            dt_vars: set = set()
+            e2 = _rewrite_datatype(e, dt_vars)
+            if dt_vars:
+                # FILTER(DATATYPE(?v) ...): hoist each term's datatype as a
+                # temp column (one left join against the graph's literal→
+                # datatype map), filter on the rewritten predicate, drop.
+                # NULL datatypes (IRI terms, unknown lexicals) compare to
+                # null and the row drops — SPARQL's type-error semantics.
+                tmps = []
+                for v in sorted(dt_vars):
+                    df = _bind_datatype(
+                        df, ("var", v), _DT_TMP + v, triples, repo)
+                    tmps.append(_DT_TMP + v)
+                df = df.where(_filter_col(e2, df)).drop(*tmps)
+            else:
+                df = df.where(_filter_col(e, df))
     return df
 
 
@@ -1784,8 +1801,44 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         if expr[0] == "datatype":
             df = _bind_datatype(df, expr[1], name, triples, repo)
         else:
-            df = df.withColumn(name, _bind_col(expr, df))
+            dt_vars: set = set()
+            expr2 = _rewrite_datatype(expr, dt_vars)
+            if dt_vars:
+                # DATATYPE nested inside a larger value expression: bind
+                # each term's datatype as a temp column first (same single
+                # left join as the direct-BIND form), then compile the
+                # rewritten expression against it
+                tmps = []
+                for v in sorted(dt_vars):
+                    df = _bind_datatype(
+                        df, ("var", v), _DT_TMP + v, triples, repo)
+                    tmps.append(_DT_TMP + v)
+                df = df.withColumn(name, _bind_col(expr2, df)).drop(*tmps)
+            else:
+                df = df.withColumn(name, _bind_col(expr, df))
     return _apply_filters(df, q.filters, triples, repo)
+
+
+#: temp-column prefix for DATATYPE(?v) hoisted out of a larger expression
+_DT_TMP = "__dt__"
+
+
+def _rewrite_datatype(e, found: set):
+    """Replace every ("datatype", ("var", v)) sub-expression with a
+    reference to its hoisted temp column, collecting the source vars —
+    this is what lets DATATYPE appear inside FILTER operands and nested
+    BIND expressions even though its compile is a join, not a column."""
+    if isinstance(e, tuple):
+        if e and e[0] == "datatype":
+            arg = e[1]
+            if not (isinstance(arg, tuple) and arg[0] == "var"):
+                raise SparqlError("DATATYPE takes a single ?var argument")
+            found.add(arg[1])
+            return ("var", _DT_TMP + arg[1])
+        return tuple(_rewrite_datatype(x, found) for x in e)
+    if isinstance(e, list):
+        return [_rewrite_datatype(x, found) for x in e]
+    return e
 
 
 def _bind_datatype(

@@ -1657,11 +1657,32 @@ def test_bind_datatype_literal_iri_unknown(spark):
                    ("e2", "xsd:int", "xsd:string", None)]
 
 
-def test_datatype_requires_direct_bind(spark):
+def test_datatype_nested_bind_and_filter(spark):
     t = _r4_numeric_graph(spark)
+    # nested inside a larger BIND expression (hoisted to one left join)
+    got = _rows(execute(t, 'SELECT ?s ?d WHERE { ?s ev:count ?c . '
+                           'BIND(CONCAT(DATATYPE(?c), "x") AS ?d) }'))
+    assert got == [("e1", "xsd:intx"), ("e2", "xsd:intx")]
+    # FILTER operand: keep only xsd:int-typed objects
+    got = _rows(execute(t, 'SELECT ?s ?o WHERE { ?s ?p ?o . '
+                           'FILTER(DATATYPE(?o) = "xsd:int") }'))
+    assert got == [("e1", "3"), ("e2", "-5")]
+    # IRI terms have NULL datatype → the comparison is a type error and
+    # the row drops, even under !=
+    assert _rows(execute(t, 'SELECT ?s WHERE { ?s ev:ref ?r . '
+                            'FILTER(DATATYPE(?r) != "xsd:int") }')) == []
+    # the hoisted temp column never leaks into the solution schema
+    df = execute(t, 'SELECT * WHERE { ?s ev:count ?c . '
+                    'FILTER(DATATYPE(?c) = "xsd:int") }')
+    assert all(not c.startswith("__dt__") for c in df.columns)
+
+
+def test_datatype_still_rejected_outside_bind_filter(spark):
+    t = _r4_numeric_graph(spark)
+    # projection/aggregate position has no hoist point — still a loud error
     with pytest.raises(SparqlError):
-        execute(t, 'SELECT ?s WHERE { ?s ev:count ?c . '
-                   'BIND(CONCAT(DATATYPE(?c), "x") AS ?d) }').collect()
+        execute(t, "SELECT ?s WHERE { ?s ev:count ?c } "
+                   "ORDER BY DATATYPE(?c)").collect()
 
 
 def test_filter_isnumeric_is_term_typed(spark):
