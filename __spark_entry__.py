@@ -2033,6 +2033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(sorted(grouped.items()))
 
 
+# one Lloyd training seeds all three IVF oracle twins (ivf / semantic-dedup /
+# cluster-sample) — keyed on the sf_dir so tools/check_queries.py runs at
+# another sf still retrain, but one oracle_sql() call trains at most once
+_ORACLE_CENTROID_CACHE: dict[str, tuple[list[list[float]], int]] = {}
+
+
 def _oracle_centroids() -> tuple[list[list[float]], int]:
     """Train the IVF centroids for an oracle twin from the SAME parquet the
     driver's gate reads (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides,
@@ -2050,6 +2056,9 @@ def _oracle_centroids() -> tuple[list[list[float]], int]:
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    hit = _ORACLE_CENTROID_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
     path = f"{sf_dir}/embeddings.parquet"
     con = _duckdb.connect()
     n = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
@@ -2060,7 +2069,9 @@ def _oracle_centroids() -> tuple[list[list[float]], int]:
         "ORDER BY vec_id"
     ).fetchall()
     con.close()
-    return train_centroids([list(r[0]) for r in rows], k), n
+    out = train_centroids([list(r[0]) for r in rows], k), n
+    _ORACLE_CENTROID_CACHE[sf_dir] = out
+    return out
 
 
 def _ivf_oracle_sql() -> str:

@@ -347,6 +347,7 @@ def cluster_balanced_sample(
 
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
+    explicit = centroids
     if centroids is not None:
         if corpus_size is None:
             raise ValueError("corpus_size is required with precomputed centroids")
@@ -357,7 +358,7 @@ def cluster_balanced_sample(
     if source_path is not None:
         assign = load_or_build_assignment(
             emb, id_col, centroids,
-            _index_key(source_path, n_centroids), cache_dir)
+            _index_key(source_path, n_centroids, explicit), cache_dir)
     else:
         assign = ivf_assign(emb, id_col, centroids)
     h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))

@@ -50,6 +50,17 @@ def cosine_dot_expr(col_a: str, col_b: str, norm_a: str, norm_b: str) -> str:
     return f"({dot}) / ({norm_a} * {norm_b})"
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string → bytes ('134217728b', '128m', '1g')."""
+    s = v.strip().lower()
+    for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                         ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                         ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism — but ONLY when the
     upstream scan produced fewer splits than cores. At test scale one small
@@ -57,8 +68,43 @@ def spread(df: DataFrame) -> DataFrame:
     function scoring onto a single core; at 100 TB the scan has thousands of
     splits and this is a no-op (no exchange added). Pair scoring downstream
     of a broadcast join inherits the corpus side's partitioning, so this is
-    the only knob that matters for ANN scoring parallelism."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    the only knob that matters for ANN scoring parallelism.
+
+    The split count comes from the scan's file metadata (inputFiles +
+    local byte sizes vs spark.sql.files.maxPartitionBytes — the same split
+    arithmetic FilePartition does), NOT from df.rdd.getNumPartitions():
+    the RDD hop forced a full plan→RDD conversion per call. Non-local
+    schemes (hdfs:/s3:) mean cluster scale, where this must be a no-op —
+    they estimate wide without touching the FS. Frames with no file scan
+    (createDataFrame inputs) fall back to the one RDD probe; that path
+    only exists at test granularity."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        max_bytes = _parse_bytes(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                               "134217728b"))
+        )
+        splits = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                # remote storage = production scale: assume the scan is
+                # already wide (thousands of splits) — never add a shuffle
+                return df
+            p = unquote(parsed.path) or uri
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                return df  # can't size it: assume wide, stay a no-op
+            splits += max(1, -(-size // max_bytes))
+            if splits >= par:
+                return df
+        return df.repartition(par)
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
@@ -345,9 +391,31 @@ def default_ivf_cache_dir() -> str:
 _CENTROID_CACHE: dict[str, tuple[list[list[float]], int]] = {}
 
 
-def _index_key(source_path: str, n_centroids: int | None) -> str:
+def _index_key(source_path: str, n_centroids: int | None,
+               explicit_centroids: list[list[float]] | None = None) -> str:
+    """Assignment-artifact key. `explicit_centroids` is set ONLY when the
+    caller supplied its own centroid list next to `source_path`: the plain
+    (fingerprint, K) key assumes centroids are the deterministic training
+    output for that corpus snapshot, so caller-supplied (possibly different)
+    centroids must fold their own value digest into the key — otherwise a
+    cached assignment built from OTHER centroids would be served silently."""
     key = corpus_fingerprint(source_path)
-    return f"{key}-k{n_centroids}" if n_centroids is not None else key
+    if n_centroids is not None:
+        key = f"{key}-k{n_centroids}"
+    if explicit_centroids is not None:
+        key = f"{key}-c{_centroids_digest(explicit_centroids)}"
+    return key
+
+
+def _centroids_digest(centroids: list[list[float]]) -> str:
+    """Order- and value-sensitive 12-hex digest of a centroid list (float
+    repr() round-trips exactly, so equal lists always digest equal)."""
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(centroids).encode("utf-8")
+    ).hexdigest()[:12]
 
 
 def load_or_build_assignment(
@@ -505,6 +573,7 @@ def topk_ivf(
     serve from the artifact. The per-cluster cap stays in-plan (one
     window over narrow (id, cluster) rows — cap is a function of (n, K),
     cheap next to the corpus-wide K-fan-out the artifact saves)."""
+    explicit = centroids
     if centroids is not None:
         if corpus_size is None:
             raise ValueError("corpus_size is required with precomputed centroids")
@@ -516,7 +585,7 @@ def topk_ivf(
     if source_path is not None:
         assign = load_or_build_assignment(
             emb, id_col, centroids,
-            _index_key(source_path, n_centroids), cache_dir)
+            _index_key(source_path, n_centroids, explicit), cache_dir)
     else:
         assign = ivf_assign(emb, id_col, centroids)
     cap = ivf_list_cap(n, len(centroids))
@@ -636,6 +705,7 @@ def semantic_dupes(
 
     Output: one row per corpus vector — (vec_id, cluster, kept).
     """
+    explicit = centroids
     if centroids is not None:
         if corpus_size is None:
             raise ValueError("corpus_size is required with precomputed centroids")
@@ -648,7 +718,7 @@ def semantic_dupes(
     if source_path is not None:
         assign = load_or_build_assignment(
             emb, id_col, centroids,
-            _index_key(source_path, n_centroids), cache_dir)
+            _index_key(source_path, n_centroids, explicit), cache_dir)
     else:
         assign = ivf_assign(emb, id_col, centroids)
     wc = Window.partitionBy("cluster").orderBy(F.asc(id_col))

@@ -85,11 +85,25 @@ class _Graph:
         return out
 
 
-def _collect_graph(triples: DataFrame, repo: str) -> _Graph:
+def _collect_graph(
+    triples: DataFrame, repo: str,
+    max_triples: int | None = None,
+) -> _Graph:
+    """Driver-side graph collect behind EVERY per-repo document export
+    (PROVN/JSON/XML/DOT/SVG/PDF/HTML). Guarded: past `max_triples`
+    (default store.DRIVER_EXPORT_MAX_TRIPLES) it raises
+    store.ExportTooLarge instead of OOMing the driver — huge single-repo
+    graphs must take the distributed sharded path
+    (prov_document_parts / store.write_ntriples / store.write_rdfxml)."""
+    from .store import DRIVER_EXPORT_MAX_TRIPLES, guard_driver_export
+
+    scoped = triples.where(F.col("repo") == repo)
+    guard_driver_export(
+        scoped, repo, "per-repo document export",
+        DRIVER_EXPORT_MAX_TRIPLES if max_triples is None else max_triples,
+    )
     return _Graph(
-        triples.where(F.col("repo") == repo)
-        .select("subj", "pred", "obj", "obj_type")
-        .collect()
+        scoped.select("subj", "pred", "obj", "obj_type").collect()
     )
 
 
@@ -401,6 +415,11 @@ def _viz_layout(g: _Graph, max_nodes: int = 2_000, max_edges: int = 8_000):
             in_adj.setdefault(o, []).append(s)
     pending = {n: len(out_adj.get(n, ())) for n in nodes}
     ready = deque(n for n in nodes if pending[n] == 0)
+    # self-loops (s == o) are excluded from the layout adjacency above, so
+    # drawing them would stack a zero-length arrow + label on the node
+    # center — drop them from the drawn edge list too (the HTML relations
+    # table counts from g.edges directly, so loop relations still count)
+    drawn = [(s, p, o) for s, p, o in edges if s != o]
     rank: dict[str, int] = {}
     while ready:
         n = ready.popleft()
@@ -431,7 +450,7 @@ def _viz_layout(g: _Graph, max_nodes: int = 2_000, max_edges: int = 8_000):
     kinds = {
         n: _ELEMENT_TYPES.get(g.types.get(n, ""), "other") for n in nodes
     }
-    return pos, kinds, edges, width, height
+    return pos, kinds, drawn, width, height
 
 
 def svg_text(triples: DataFrame, repo: str,

@@ -275,12 +275,46 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> No
     ntriples_lines(triples).write.mode(mode).text(path)
 
 
-def turtle_text(triples: DataFrame, repo: str) -> str:
+#: hard cap on triples a convenience per-repo export may collect to the
+#: driver (a few hundred MB of line strings). A Linux-kernel-shaped repo
+#: (10^7-10^8 triples in ONE graph) must take the distributed sharded
+#: twins instead; the guard turns a driver OOM into a polite refusal.
+DRIVER_EXPORT_MAX_TRIPLES = 2_000_000
+
+
+class ExportTooLarge(ValueError):
+    """Per-repo driver-side export exceeds its max_triples guard."""
+
+
+def guard_driver_export(scoped: DataFrame, repo: str, what: str,
+                        max_triples: int | None) -> None:
+    """Count-probe before a driver-side collect: limit(max+1).count() — the
+    probe job stops as soon as the threshold is crossed, it never counts the
+    whole graph. max_triples=None disables the guard explicitly."""
+    if max_triples is None:
+        return
+    n = scoped.limit(max_triples + 1).count()
+    if n > max_triples:
+        raise ExportTooLarge(
+            f"{what} for repo {repo!r} exceeds max_triples={max_triples} "
+            "(driver-side convenience export). Use the distributed twins — "
+            "store.write_ntriples / store.write_rdfxml / "
+            "provdoc.prov_document_parts — or pass a larger max_triples "
+            "(None disables the guard) if the driver can hold it."
+        )
+
+
+def turtle_text(triples: DataFrame, repo: str,
+                max_triples: int | None = DRIVER_EXPORT_MAX_TRIPLES) -> str:
     """Single-repo Turtle string (driver-side assembly of prefix header + body).
 
     Mirrors the reference's per-repo document serialization; intended for
-    one-repo exports, not the bulk path (use write_ntriples for bulk)."""
+    one-repo exports, not the bulk path (use write_ntriples for bulk).
+    Refuses past `max_triples` (guard_driver_export)."""
     from .iri import gitprov_ns
+
+    guard_driver_export(triples.where(F.col("repo") == repo), repo,
+                        "turtle_text", max_triples)
 
     header = "".join(
         f"@prefix {p}: <{ns}> .\n" for p, ns in NAMESPACES.items()
@@ -379,9 +413,13 @@ def _rdfxml_header() -> str:
 RDFXML_FOOTER = "</rdf:RDF>"
 
 
-def rdfxml_text(triples: DataFrame, repo: str) -> str:
+def rdfxml_text(triples: DataFrame, repo: str,
+                max_triples: int | None = DRIVER_EXPORT_MAX_TRIPLES) -> str:
     """Single-repo RDF/XML document string (driver-side assembly — the
-    per-repo export analog of turtle_text; bulk path is write_rdfxml)."""
+    per-repo export analog of turtle_text; bulk path is write_rdfxml).
+    Refuses past `max_triples` (guard_driver_export)."""
+    guard_driver_export(triples.where(F.col("repo") == repo), repo,
+                        "rdfxml_text", max_triples)
     lines = (
         rdfxml_description_lines(triples.where(F.col("repo") == repo))
         .orderBy("line")

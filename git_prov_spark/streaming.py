@@ -692,7 +692,7 @@ def stateful_dedup_transform(docs, id_col: str = "doc_id",
     smaller id in this one; `canonical_id` is the smallest id seen for the
     sha up to and including the row's batch.
 
-    Scale story: state is O(distinct shas) — one (int, long) per unique
+    Scale story: state is O(distinct shas) — one (long, long) per unique
     document — partitioned by the shuffle on sha like any streaming agg;
     the text column itself never enters state. Arrow-batched pandas on
     both sides of the state boundary, no per-row python.
@@ -730,7 +730,7 @@ def stateful_dedup_transform(docs, id_col: str = "doc_id",
         flag,
         outputStructType="doc_id long, content_sha string, "
                          "is_dup boolean, canonical_id long",
-        stateStructType="n_seen integer, first_id long",
+        stateStructType="n_seen long, first_id long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -766,4 +766,14 @@ def stream_dedup(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # explicit schema: a drained stream that wrote zero rows leaves the sink
+    # dir without data files (or not created at all when zero batches fire),
+    # and schema inference would fail instead of returning the (fixed) empty
+    # verdict frame
+    import os
+
+    out_schema = ("doc_id long, content_sha string, is_dup boolean, "
+                  "canonical_id long")
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir)

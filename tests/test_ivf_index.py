@@ -132,3 +132,26 @@ def test_committed_artifacts_match_retrain(emb_df):
     fresh, n = similarity.ivf_centroids(emb_df)
     assert art["corpus_n"] == n
     assert art["centroids"] == fresh
+
+
+def test_explicit_centroids_fork_the_assignment_key():
+    """ADVICE r4: caller-supplied centroids next to source_path must never be
+    served a cached assignment built from DIFFERENT (trained) centroids —
+    the key folds in a digest of the explicit centroid values."""
+    from git_prov_spark.corpus.similarity import _index_key
+
+    import hashlib
+    import json
+    import os
+
+    # _index_key fingerprints the path contents; use any real file
+    path = os.path.abspath(__file__)
+    base = _index_key(path, 4)
+    c1 = [[1.0, 0.0], [0.0, 1.0]]
+    c2 = [[1.0, 0.0], [0.5, 0.5]]
+    k1 = _index_key(path, 4, c1)
+    k2 = _index_key(path, 4, c2)
+    assert base != k1 and k1 != k2
+    assert k1 == _index_key(path, 4, [[1.0, 0.0], [0.0, 1.0]])  # value-keyed
+    digest = hashlib.sha256(json.dumps(c1).encode()).hexdigest()[:12]
+    assert k1.endswith("-c" + digest)
