@@ -1817,6 +1817,193 @@ SPARQL_BAG_PATH_SEQ_ORACLE = (
 )
 
 
+def q_sparql_typed_terms(spark, sf_dir):
+    """First-class typed literal terms (r5, VERDICT r4 #1): every variable
+    carries a hidden term-metadata companion (queries.TERM_META), so the
+    shared-variable equi-join is TERM-correct — "7"^^xsd:int never joins
+    "7"^^xsd:string or "7"@en even though the lexicals collide — and
+    DATATYPE(?v) is a map-side expression directly in the projection
+    (no BIND hoist, no join). The input deliberately spreads one lexical
+    pool across three metadata kinds by event parity; the twin joins on
+    (value, meta) explicitly. Reference capability: ARQ's typed term model
+    (services/SparqlService.java:26; typed attrs minted at
+    services/ProvenanceService.java:307-311,499-501)."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 600)
+    lex = (F.col("user_id") % 30).cast("string")
+
+    def meta(shift):
+        k = (F.col("event_id") + shift) % 3
+        return (F.when(k == 0, F.lit("xsd:int"))
+                .when(k == 1, F.lit("xsd:string"))
+                .otherwise(F.lit("@en")))
+
+    def side(tag, pred, shift):
+        return ev.select(
+            F.lit("demo").alias("repo"),
+            F.concat(F.lit(tag), F.col("event_id").cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            lex.alias("obj"),
+            meta(shift).alias("obj_type"),
+        )
+
+    triples = side("s", "ev:val", 0).unionByName(side("t", "ev:alt", 1))
+    return execute(
+        triples,
+        """
+        SELECT ?a ?b (DATATYPE(?v) AS ?dt)
+        WHERE { ?a ev:val ?v . ?b ev:alt ?v }
+        """,
+    )
+
+
+SPARQL_TYPED_TERMS_ORACLE = (
+    "WITH e AS (SELECT event_id, CAST(user_id % 30 AS VARCHAR) AS val "
+    "FROM events WHERE event_id < 600), "
+    "v AS (SELECT 's' || CAST(event_id AS VARCHAR) AS a, val, "
+    "CASE event_id % 3 WHEN 0 THEN 'xsd:int' WHEN 1 THEN 'xsd:string' "
+    "ELSE '@en' END AS m FROM e), "
+    "w AS (SELECT 't' || CAST(event_id AS VARCHAR) AS b, val, "
+    "CASE (event_id + 1) % 3 WHEN 0 THEN 'xsd:int' WHEN 1 THEN "
+    "'xsd:string' ELSE '@en' END AS m FROM e) "
+    "SELECT v.a AS a, w.b AS b, "
+    "CASE WHEN v.m = '@en' THEN 'rdf:langString' ELSE v.m END AS dt "
+    "FROM v JOIN w ON v.val = w.val AND v.m = w.m"
+)
+
+
+def q_sparql_strlang(spark, sf_dir):
+    """Language-tagged terms end-to-end (r5, VERDICT r4 #1): the documents
+    table's lang column becomes '@tag' term metadata; LANG() reads real
+    tags, LANGMATCHES does RFC 4647 range filtering over them, DATATYPE of
+    a tagged literal is rdf:langString (RDF 1.1), and STRDT/STRLANG
+    construct typed/tagged bindings whose metadata the same builtins read
+    back — all map-side expressions over the solution columns."""
+    from git_prov_spark.sparql import execute
+
+    docs = _t(spark, sf_dir, "documents")
+    triples = docs.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("ev:txt").alias("pred"),
+        F.substring(F.col("text"), 1, 24).alias("obj"),
+        F.concat(F.lit("@"), F.col("lang")).alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?d (LANG(?v) AS ?lg) (DATATYPE(?v) AS ?dt)
+               (DATATYPE(?x) AS ?xdt) (LANG(?y) AS ?ylg)
+        WHERE {
+          ?d ev:txt ?v . FILTER(LANGMATCHES(LANG(?v), "en")) .
+          BIND(STRDT(STR(?v), xsd:token) AS ?x) .
+          BIND(STRLANG(STR(?v), "en-GB") AS ?y)
+        }
+        """,
+    )
+
+
+SPARQL_STRLANG_ORACLE = (
+    "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS d, lang AS lg, "
+    "'rdf:langString' AS dt, 'xsd:token' AS xdt, 'en-gb' AS ylg "
+    "FROM documents "
+    "WHERE lower(lang) = 'en' OR lower(lang) LIKE 'en-%'"
+)
+
+
+def q_sparql_opt_filter(spark, sf_dir):
+    """FILTER inside OPTIONAL referencing an OUTER variable (r5, VERDICT r4
+    #2; SPARQL §8.3): the block filter ?sc >= STRLEN(?ty) mixes a block var
+    and an outer var, so it compiles into the left join's ON condition
+    (ARQ's LeftJoin(expr)) — rows whose optional binding fails the
+    condition keep ?sc unbound instead of dropping or mis-filtering. The
+    twin is a LEFT JOIN with the same compound ON clause."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    types = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:type").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    scores = ev.where(F.col("event_id") % 3 == 0).select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:score").alias("pred"),
+        (F.col("user_id") % 9).cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    )
+    return execute(
+        types.unionByName(scores),
+        """
+        SELECT ?e ?ty ?sc WHERE {
+          ?e ev:type ?ty .
+          OPTIONAL { ?e ev:score ?sc . FILTER(?sc >= STRLEN(?ty)) }
+        }
+        """,
+    )
+
+
+SPARQL_OPT_FILTER_ORACLE = (
+    "WITH t AS (SELECT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "event_type AS ty, user_id % 9 AS s, event_id FROM events "
+    "WHERE event_id < 3000) "
+    "SELECT e, ty, CASE WHEN event_id % 3 = 0 AND s >= length(ty) "
+    "THEN CAST(s AS VARCHAR) END AS sc FROM t"
+)
+
+
+def q_sparql_now_seeded(spark, sf_dir):
+    """Seeded deterministic NOW()/RAND()/STRUUID() (r5, VERDICT r4 #6):
+    execute(..., now=..., seed=N) pins NOW to one constant (ARQ also fixes
+    one value per execution) and compiles RAND/STRUUID to a per-solution
+    md5 of the solution's string columns + seed + call index — map-side,
+    reproducible, and reproduced bit-for-bit by the DuckDB twin
+    (('0x'||hex)::UBIGINT there, conv(hex,16,10) here). Unseeded use stays
+    a loud parse error."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:type").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?e ?r ?u ?t WHERE {
+          ?e ev:type ?ty .
+          BIND(RAND() AS ?r) . BIND(STRUUID() AS ?u) . BIND(NOW() AS ?t)
+        }
+        """,
+        now="2026-08-19T00:00:00Z",
+        seed=7,
+    )
+
+
+SPARQL_NOW_SEEDED_ORACLE = (
+    "WITH t AS (SELECT 'event-' || CAST(event_id AS VARCHAR) AS e, "
+    "event_type AS ty FROM events WHERE event_id < 2000), "
+    "h AS (SELECT e, "
+    "md5(e || chr(31) || ty || chr(31) || 'seed:7' || chr(31) || 'call:1') AS h1, "
+    "md5(e || chr(31) || ty || chr(31) || 'seed:7' || chr(31) || 'call:2') AS h2 "
+    "FROM t) "
+    "SELECT e, "
+    "CAST(('0x' || substr(h1, 1, 13))::UBIGINT AS DOUBLE) "
+    "/ 4503599627370496.0 AS r, "
+    "substr(h2, 1, 8) || '-' || substr(h2, 9, 4) || '-4' || "
+    "substr(h2, 14, 3) || '-8' || substr(h2, 18, 3) || '-' || "
+    "substr(h2, 21, 12) AS u, "
+    "'2026-08-19T00:00:00Z' AS t FROM h"
+)
+
+
 def q_kg_pred_counts(spark, sf_dir):
     """Flagship KG pipeline, reduced to per-predicate triple counts.
 
@@ -1974,6 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_distinct": q_sparql_distinct,
         "sparql_bag_union": q_sparql_bag_union,
         "sparql_bag_path_seq": q_sparql_bag_path_seq,
+        "sparql_typed_terms": q_sparql_typed_terms,
+        "sparql_strlang": q_sparql_strlang,
+        "sparql_opt_filter": q_sparql_opt_filter,
+        "sparql_now_seeded": q_sparql_now_seeded,
         # -- corpus / training-data suite -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2269,6 +2460,10 @@ def oracle_sql() -> dict[str, str]:
         "sparql_distinct": SPARQL_DISTINCT_ORACLE,
         "sparql_bag_union": SPARQL_BAG_UNION_ORACLE,
         "sparql_bag_path_seq": SPARQL_BAG_PATH_SEQ_ORACLE,
+        "sparql_typed_terms": SPARQL_TYPED_TERMS_ORACLE,
+        "sparql_strlang": SPARQL_STRLANG_ORACLE,
+        "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
+        "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,
         "sparql_describe": SPARQL_DESCRIBE_ORACLE,
         "sparql_path": SPARQL_PATH_ORACLE,
         "sparql_path_seeded": SPARQL_PATH_SEEDED_ORACLE,

@@ -21,12 +21,47 @@ from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
 
+#: suffix of the hidden term-metadata companion column a typed-mode bgp()
+#: binds next to each variable's value column ("?x" → columns `x` + `x#m`).
+#: '#' cannot appear in a SPARQL variable name (grammar [166]), so the
+#: companion can never collide with a user variable. The metadata value is
+#: the store's obj_type vocabulary: 'iri', a datatype CURIE ('xsd:int'), or
+#: '@tag' for a language-tagged literal (rdf:langString with tag `tag` —
+#: the engine's store-level lang encoding; the KG emitter itself writes
+#: none, mirroring the reference, but the query engine honors them).
+TERM_META = "#m"
+
+
+def term_meta(var: str) -> str:
+    """Name of the hidden term-metadata column for variable `var`."""
+    return var + TERM_META
+
+
+class TypedLit(str):
+    """A literal constant parsed with an EXPLICIT datatype ("5"^^xsd:int)
+    or language tag ("x"@en). Subclasses str as the bare lexical form, so
+    every consumer that ignores typing behaves exactly as before; typed-
+    aware compile sites read `.meta` ('xsd:int' / '@en') to match the term
+    exactly against the store's obj_type. Constants WITHOUT explicit typing
+    deliberately keep the engine's legacy lexical matching (compatibility
+    rule, module doc in sparql.py)."""
+
+    meta: str
+
+    def __new__(cls, value: str, meta: str) -> "TypedLit":
+        o = super().__new__(cls, value)
+        o.meta = meta
+        return o
+
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def bgp(triples: DataFrame, patterns: list[Pattern], repo: str | None = None) -> DataFrame:
+def bgp(
+    triples: DataFrame, patterns: list[Pattern], repo: str | None = None,
+    typed: bool = False,
+) -> DataFrame:
     """Compile a basic graph pattern into a DataFrame of variable bindings.
 
     SELECT-star semantics: output columns = all distinct variables. Constants
@@ -43,26 +78,55 @@ def bgp(triples: DataFrame, patterns: list[Pattern], repo: str | None = None) ->
     the repo column away — per-pattern `distinct` on ≤3 narrow columns,
     equivalent to deduping the merged graph first (the projection is
     injective on a pattern's matched triples).
+
+    `typed=True` (the SPARQL frontend's mode, when the frame carries
+    obj_type): every variable additionally binds its hidden term-metadata
+    column (term_meta(v)) — obj_type for object positions, 'iri' for
+    subject/predicate positions. Because the companion shares its name
+    across patterns, the existing shared-column equi-join makes variable
+    joins TERM-correct for free: ?v bound to "5"^^xsd:int in one pattern no
+    longer joins ?v bound to "5"^^xsd:string (or to an IRI) in another.
+    TypedLit constants in object position filter obj AND obj_type; a
+    TypedLit in subject/predicate position matches nothing (a literal is
+    never a subject/predicate term). Plain constants keep lexical matching.
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    typed = typed and "obj_type" in triples.columns
     cross_repo = repo is None and "repo" in triples.columns
     result: DataFrame | None = None
     for s, p, o in patterns:
         df = triples
         if repo is not None:
             df = df.where(F.col("repo") == repo)
-        cols = {}
+        cols: dict[str, str] = {}
         for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
             if _is_var(term):
                 name = term[1:]
                 if name in cols:  # repeated var within one pattern
                     df = df.where(F.col(col) == F.col(cols[name]))
+                    if typed and "obj" in (col, cols[name]) \
+                            and col != cols[name]:
+                        # subject/predicate = object as TERMS: the object
+                        # must be an IRI (a literal never equals an IRI
+                        # term, however the lexicals compare)
+                        df = df.where(F.col("obj_type") == "iri")
                 else:
                     cols[name] = col
             else:
                 df = df.where(F.col(col) == term)
-        proj = df.select(*[F.col(c).alias(v) for v, c in cols.items()])
+                if typed and isinstance(term, TypedLit):
+                    # explicitly-typed constant: term-exact match
+                    df = (df.where(F.col("obj_type") == term.meta)
+                          if col == "obj" else df.where(F.lit(False)))
+        proj_cols = [F.col(c).alias(v) for v, c in cols.items()]
+        if typed:
+            proj_cols += [
+                (F.col("obj_type") if c == "obj" else F.lit("iri"))
+                .alias(term_meta(v))
+                for v, c in cols.items()
+            ]
+        proj = df.select(*proj_cols)
         if cross_repo:
             # all-constant pattern: a 0-column existence relation — ≤1 row
             # by limit (distinct over zero columns is degenerate)
@@ -70,6 +134,8 @@ def bgp(triples: DataFrame, patterns: list[Pattern], repo: str | None = None) ->
         if result is None:
             result = proj
         else:
+            # shared columns include the term-metadata companions, so the
+            # equi-join is term-level in typed mode with no extra logic
             shared = [c for c in proj.columns if c in result.columns]
             result = result.join(proj, shared) if shared else result.crossJoin(proj)
     assert result is not None

@@ -112,7 +112,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .iri import NAMESPACES, gitprov_ns
-from .queries import Pattern, bgp
+from .queries import TERM_META, Pattern, TypedLit, bgp, term_meta
 
 
 class SparqlError(ValueError):
@@ -144,6 +144,7 @@ _TOKEN_RE = re.compile(
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<iri><[^<>"{}|^`\\\s]*>)
   | (?P<lit>"(?:[^"\\]|\\.)*")
+  | (?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<dtype>\^\^)
   | (?P<pname>[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
   | (?P<word>[A-Za-z][A-Za-z0-9_]*)
@@ -276,6 +277,9 @@ class SelectQuery:
     optionals: list[Group] = field(default_factory=list)
     minuses: list[Group] = field(default_factory=list)
     binds: list[tuple] = field(default_factory=list)    # (BindExpr, out var)
+    # (BindExpr, alias) — (expr AS ?alias) projection expressions; applied
+    # like trailing BINDs once the WHERE solutions exist
+    proj_exprs: list[tuple] = field(default_factory=list)
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[FilterExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -293,10 +297,20 @@ class SelectQuery:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], repo: str | None):
+    def __init__(self, tokens: list[tuple[str, str]], repo: str | None,
+                 now: str | None = None, seed: int | None = None):
         self.toks = tokens
         self.i = 0
         self.q = SelectQuery()
+        # seeded deterministic forms of SPARQL's nondeterministic builtins:
+        # NOW() substitutes the caller's `now` constant at parse time (ARQ
+        # also fixes one value per query execution); RAND()/UUID()/STRUUID()
+        # compile to a per-solution hash of (bound columns, seed, call
+        # index). Unseeded use stays a loud parse error — the oracle gate
+        # (and any reproducible pipeline) needs determinism.
+        self.now = now
+        self.seed = seed
+        self.n_nondet = 0
         # reverse map full IRI prefix -> CURIE prefix for constant resolution
         self.ns = dict(NAMESPACES)
         if repo is not None:
@@ -510,9 +524,28 @@ class _Parser:
                 out.append(tok[1:])
                 self.q.select_order.append(tok[1:])
             elif tok == "(":
-                self.i += 1
-                self.q.aggregates.append(self._parse_agg())
-                self.q.select_order.append(self.q.aggregates[-1].alias)
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else ("eof", ""))
+                if (nxt[0] == "word"
+                        and nxt[1].upper() in self._AGG_FUNCS):
+                    self.i += 1
+                    self.q.aggregates.append(self._parse_agg())
+                    self.q.select_order.append(self.q.aggregates[-1].alias)
+                else:
+                    # (expr AS ?alias) — expression projection (SPARQL
+                    # SelectClause [9]): compiled like a trailing BIND, so
+                    # DATATYPE/LANG/STRLANG/... work here without a hoist
+                    self.i += 1
+                    expr = self._parse_bind_expr()
+                    self._expect("AS")
+                    knd, alias = self._next()
+                    if knd != "var":
+                        raise SparqlError("projection expression needs "
+                                          "`AS ?alias`")
+                    self._expect(")")
+                    self.q.proj_exprs.append((expr, alias[1:]))
+                    out.append(alias[1:])
+                    self.q.select_order.append(alias[1:])
             else:
                 break
         if not out and not self.q.aggregates:
@@ -632,10 +665,11 @@ class _Parser:
         shares the token stream and namespace table; the inner query
         evaluates fully (its own grouping/ordering/LIMIT), then joins the
         outer solutions on its PROJECTED variables, per SPARQL 1.1 §12."""
-        sub = _Parser([], None)
+        sub = _Parser([], None, self.now, self.seed)
         sub.toks = self.toks
         sub.i = self.i
         sub.ns = self.ns
+        sub.n_nondet = self.n_nondet   # RAND/UUID call indices stay unique
         sub.q.prefixes = dict(self.q.prefixes)
         sub._expect("SELECT")
         sub.q.distinct = sub._kw("DISTINCT")
@@ -645,6 +679,7 @@ class _Parser:
         sub._parse_group()
         sub._parse_modifiers()
         self.i = sub.i
+        self.n_nondet = sub.n_nondet
         return sub.q
 
     def _parse_bind(self) -> None:
@@ -766,12 +801,39 @@ class _Parser:
             self.i += 1
             return ("timezone", self._parse_fn_args(1, 1, "TIMEZONE")[0])
         if up in ("STRLANG", "STRDT"):
-            # deliberately rejected: bindings are lexical strings (module
-            # doc), so a constructed tagged/typed literal would silently
-            # drop its tag/datatype — refuse loudly instead of lying
-            raise SparqlError(
-                f"{up}() unsupported: the all-string term model cannot "
-                "carry a constructed language tag / datatype")
+            # constructs a language-tagged / datatype-carrying literal: the
+            # value lands in the variable's value column, the tag/datatype
+            # in its hidden term-metadata companion (queries.term_meta) —
+            # legal only as the TOP-LEVEL expression of a BIND or projection
+            # expression (a nested use would lose the second column; the
+            # binds loop raises there)
+            self.i += 1
+            args = self._parse_fn_args(2, 2, up)
+            tagexpr = args[1]
+            if tagexpr[0] != "const":
+                raise SparqlError(
+                    f"{up} takes a constant tag/datatype second argument")
+            tag = tagexpr[1]
+            if up == "STRLANG":
+                return ("strlang", args[0], "@" + str(tag).lower())
+            return ("strdt", args[0], str(tag))
+        if up in ("NOW", "RAND", "UUID", "STRUUID"):
+            self.i += 1
+            self._expect("(")
+            self._expect(")")
+            if up == "NOW":
+                if self.now is None:
+                    raise SparqlError(
+                        "NOW() is nondeterministic — pass now=\"...\" (an "
+                        "xsd:dateTime lexical) to execute() to pin it")
+                return ("const", self.now)
+            if self.seed is None:
+                raise SparqlError(
+                    f"{up}() is nondeterministic — pass seed=N to "
+                    "execute() for the seeded per-solution form")
+            self.n_nondet += 1
+            kinds = {"RAND": "rand", "UUID": "uuid", "STRUUID": "struuid"}
+            return (kinds[up], int(self.seed), self.n_nondet)
         if kind == "word" and (
             tok.upper() == "CONCAT" or tok.upper() in self._UNARY_STR_FNS
         ):
@@ -828,6 +890,12 @@ class _Parser:
                     "VALUES rows must be constant and match the var list "
                     "(UNDEF is out of subset)"
                 )
+            if any(isinstance(t, TypedLit) for t in row):
+                raise SparqlError(
+                    "explicitly typed/tagged literals in VALUES are out of "
+                    "subset (the inline relation is value-level; bind the "
+                    "term in a pattern instead)"
+                )
             rows.append(tuple(row))
         self.i += 1
         if not rows:
@@ -872,7 +940,8 @@ class _Parser:
             return ("not", self._parse_f_unary())
         return self._parse_f_primary()
 
-    _BOOL_FNS = ("STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES")
+    _BOOL_FNS = ("STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
+                 "SAMETERM")
 
     def _parse_f_primary(self) -> FilterExpr:
         kind, tok = self._peek()
@@ -969,6 +1038,11 @@ class _Parser:
                 v = self._term(as_pattern=False)
                 if v.startswith("?"):
                     raise SparqlError("IN list must be constants")
+                if isinstance(v, TypedLit):
+                    raise SparqlError(
+                        "explicitly typed/tagged literals in IN lists are "
+                        "out of subset (IN compares values; use = with the "
+                        "typed constant for a term-exact test)")
                 values.append(v)
                 nxt = self._next()[1]
                 if nxt == ")":
@@ -1026,7 +1100,7 @@ class _Parser:
                           | set(self._HASH_FNS)
                           | {"CONCAT", "IF", "COALESCE", "SUBSTR",
                              "REPLACE", "LANG", "TZ", "TIMEZONE",
-                             "ENCODE_FOR_URI", "IRI", "URI"})
+                             "ENCODE_FOR_URI", "IRI", "URI", "DATATYPE"})
             while True:
                 kind, tok = self._peek()
                 up = tok.upper() if kind == "word" else ""
@@ -1077,9 +1151,17 @@ class _Parser:
             return self._curie_of(tok[1:-1])
         if kind == "lit":
             value = _unescape_literal(tok[1:-1])
-            if self._peek()[0] == "dtype":   # "lex"^^type — match lexical form
+            if self._peek()[0] == "dtype":   # "lex"^^type — term-exact match
                 self.i += 1
-                self._next()                 # consume (and ignore) the type
+                knd, dt = self._next()
+                if knd == "pname":
+                    return TypedLit(value, dt)
+                if knd == "iri":
+                    return TypedLit(value, self._curie_of(dt[1:-1]))
+                raise SparqlError(f"bad datatype after ^^: {dt!r}")
+            if self._peek()[0] == "lang":    # "lex"@tag — language-tagged
+                tag = self._next()[1][1:].lower()  # BCP47 case-insensitive;
+                return TypedLit(value, "@" + tag)  # store convention: lower
             return value
         raise SparqlError(f"unsupported term {tok!r}")
 
@@ -1095,8 +1177,9 @@ class _Parser:
         return iri  # unknown namespace: matched verbatim (usually matches nothing)
 
 
-def parse(query: str, repo: str | None = None) -> SelectQuery:
-    return _Parser(_tokenize(query), repo).parse()
+def parse(query: str, repo: str | None = None, *,
+          now: str | None = None, seed: int | None = None) -> SelectQuery:
+    return _Parser(_tokenize(query), repo, now, seed).parse()
 
 
 # --------------------------------------------------------------------------
@@ -1310,8 +1393,19 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
               "hours": F.hour, "minutes": F.minute, "seconds": F.second}[kind]
         return fn(F.to_timestamp(_bind_col(payload, df).cast("string")))
     if kind == "lang":
-        # the store carries no language-tagged literals (the reference emits
-        # none either: plain + typed literals only), so LANG is "" everywhere
+        # language tags live in the variable's term-metadata companion
+        # column ('@tag' in the store's obj_type vocabulary) — a map-side
+        # expression when the var carries one; constants answer from their
+        # own parse-time tag; everything else has no tag (the KG emitter
+        # writes none, mirroring the reference)
+        if payload[0] == "var" and term_meta(payload[1]) in df.columns:
+            m = F.col(term_meta(payload[1]))
+            return F.when(
+                m.startswith("@"), m.substr(F.lit(2), F.length(m))
+            ).otherwise(F.lit(""))
+        if payload[0] == "const" and isinstance(payload[1], TypedLit):
+            meta = payload[1].meta
+            return F.lit(meta[1:] if meta.startswith("@") else "")
         return F.lit("")
     if kind == "langmatches":
         # RFC 4647 basic filtering, case-insensitive: "*" matches any
@@ -1383,18 +1477,90 @@ def _bind_col(expr: BindExpr, df: DataFrame) -> F.Column:
         c = F.replace(c, F.lit("%7E"), F.lit("~"))
         return F.replace(c, F.lit("*"), F.lit("%2A"))
     if kind == "datatype":
+        # when the variable carries its term-metadata companion (typed-mode
+        # bgp bindings), DATATYPE is a pure map-side expression — usable in
+        # projection expressions, ORDER BY, FILTERs and nested BINDs alike.
+        # IRI terms → unbound (SPARQL type error); '@tag' → rdf:langString
+        # (RDF 1.1). Meta-less vars (path/BIND-bound) fall back to the
+        # legacy one-join hoist (_bind_datatype) where the caller supports
+        # it, else this clear error.
+        if (isinstance(payload, tuple) and payload[0] == "var"
+                and term_meta(payload[1]) in df.columns):
+            m = F.col(term_meta(payload[1]))
+            return (F.when(m == "iri", F.lit(None).cast("string"))
+                    .when(m.startswith("@"), F.lit("rdf:langString"))
+                    .otherwise(m))
         raise SparqlError(
             "DATATYPE needs the graph's term typing and is only supported "
             "inside BIND expressions and FILTER operands (its compile is a "
             "join) — bind it to a variable first to use it elsewhere"
         )
+    if kind in ("rand", "uuid", "struuid"):
+        # seeded deterministic forms: a per-solution hash of the bound
+        # columns + the seed + the call index (two RAND() calls in one
+        # query differ), '\\x1f'-joined. md5-based so the DuckDB oracle
+        # twins reproduce the arithmetic bit-for-bit ((‘0x’||hex)::UBIGINT
+        # there vs conv() here). RAND → [0,1) from the first 13 hex chars
+        # (52 bits: exact in a double); UUID → v4-shaped hex.
+        seed, idx = expr[1], expr[2]
+        dtypes = getattr(df, "dtypes", None)
+        if dtypes is None:
+            raise SparqlError(
+                "RAND/UUID/STRUUID cannot appear inside an OPTIONAL "
+                "filter's left-join condition")
+        # solution identity = the STRING-typed bound columns (term
+        # lexicals); doubles/longs from earlier numeric BINDs are excluded
+        # -- their textual form is not portable across engines
+        key = F.concat_ws(
+            "",
+            *[F.col(c) for c, t in dtypes
+              if t == "string" and not c.endswith(TERM_META)],
+            F.lit(f"seed:{seed}"), F.lit(f"call:{idx}"),
+        )
+        h = F.md5(key)
+        if kind == "rand":
+            return (F.conv(h.substr(1, 13), 16, 10).cast("double")
+                    / F.lit(float(1 << 52)))
+        u = F.concat(
+            h.substr(1, 8), F.lit("-"), h.substr(9, 4), F.lit("-4"),
+            h.substr(14, 3), F.lit("-8"), h.substr(18, 3), F.lit("-"),
+            h.substr(21, 12),
+        )
+        # UUID() is an IRI term per §17.4.1.6 (urn:uuid:...); STRUUID() the
+        # bare string form
+        return F.concat(F.lit("urn:uuid:"), u) if kind == "uuid" else u
+    if kind in ("strlang", "strdt"):
+        raise SparqlError(
+            f"{kind.upper()} is only supported as the top-level expression "
+            "of a BIND or projection expression (its tag/datatype lands in "
+            "the variable's term-metadata column, which nested expressions "
+            "cannot carry)"
+        )
     return F.concat(*[_bind_col(a, df).cast("string") for a in payload])
 
 
 def _is_numeric_expr(expr: BindExpr) -> bool:
-    return expr[0] in ("num", "strlen", "arith",
+    if (expr[0] == "const" and isinstance(expr[1], TypedLit)
+            and expr[1].meta in _NUMERIC_XSD):
+        return True   # "5"^^xsd:int compares numerically (SPARQL §17.1)
+    return expr[0] in ("num", "strlen", "arith", "rand",
                        "abs", "ceil", "floor", "round",
                        "year", "month", "day", "hours", "minutes", "seconds")
+
+
+def _term_meta_col(ve: BindExpr, df) -> F.Column | None:
+    """Column holding a value expression's term metadata, when resolvable:
+    a variable with its companion column, or an explicitly typed constant
+    (parse-time meta). None = legacy value-level operand."""
+    if ve[0] == "var" and term_meta(ve[1]) in df.columns:
+        return F.col(term_meta(ve[1]))
+    if ve[0] == "const" and isinstance(ve[1], TypedLit):
+        return F.lit(ve[1].meta)
+    return None
+
+
+def _has_explicit_type(ve: BindExpr) -> bool:
+    return ve[0] == "const" and isinstance(ve[1], TypedLit)
 
 
 def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
@@ -1427,6 +1593,18 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
     if kind == "boolfn":
         if expr[1] == "langmatches":  # boolean value expr; same compile
             return _bind_col(("langmatches", expr[2]), df)
+        if expr[1] == "sameterm":
+            # sameTerm(a, b): value equality AND term-metadata equality
+            # wherever both sides carry resolvable metadata; meta-less
+            # operands degrade to value equality (the legacy model)
+            va = _bind_col(expr[2][0], df).cast("string")
+            vb = _bind_col(expr[2][1], df).cast("string")
+            ma = _term_meta_col(expr[2][0], df)
+            mb = _term_meta_col(expr[2][1], df)
+            cond = va == vb
+            if ma is not None and mb is not None:
+                cond = cond & ma.eqNullSafe(mb)
+            return cond
         a = _bind_col(expr[2][0], df).cast("string")
         b = _bind_col(expr[2][1], df).cast("string")
         return {"strstarts": a.startswith(b), "strends": a.endswith(b),
@@ -1434,11 +1612,45 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
     if kind == "in":
         cond = _bind_col(expr[1], df).isin(*expr[2])
         return ~cond if expr[3] else cond
+    if kind == "termfn":
+        # nested isIRI/isLiteral/isNumeric (inside !, ||, IF, ...) is a row
+        # predicate when the variable carries its term-metadata companion;
+        # without one it only exists as a top-level conjunct (the join
+        # compile in _apply_filters) — the error below explains
+        fn, var = expr[1], expr[2]
+        if var not in df.columns:
+            return F.lit(False)
+        if term_meta(var) in df.columns:
+            m = F.col(term_meta(var))
+            pred = {"isiri": m == "iri", "isliteral": m != "iri",
+                    "isnumeric": m.isin(*_NUMERIC_XSD)}[fn]
+            return F.col(var).isNotNull() & pred
+        raise SparqlError(
+            "isIRI/isLiteral/isNumeric over a variable without term "
+            "metadata (path- or BIND-bound) is only supported as a "
+            "top-level FILTER conjunct (it compiles to a join there)"
+        )
     if kind == "cmp":
         op, ve1, ve2 = expr[1], expr[2], expr[3]
         c1, c2 = _bind_col(ve1, df), _bind_col(ve2, df)
         if _is_numeric_expr(ve1) or _is_numeric_expr(ve2):
-            c1, c2 = c1.cast("double"), c2.cast("double")
+            # SPARQL numeric comparison: a non-numeric operand is a type
+            # error and the row drops — try_cast maps it to null, whose
+            # comparison is null, which where() filters out (plain cast
+            # would hard-fail the job under ANSI mode)
+            c1, c2 = c1.try_cast("double"), c2.try_cast("double")
+        elif op in ("=", "!="):
+            # non-numeric explicitly-typed constant vs a term-metadata-
+            # carrying variable: =/!= is TERM equality ("x"@en never equals
+            # "x"^^xsd:string, whatever the lexicals say). Simplification
+            # vs SPARQL §17.3: incompatible-type pairs yield false/true
+            # here, not a type error (documented divergence).
+            m1, m2 = _term_meta_col(ve1, df), _term_meta_col(ve2, df)
+            if m1 is not None and m2 is not None and (
+                _has_explicit_type(ve1) or _has_explicit_type(ve2)
+            ):
+                eq = (c1 == c2) & (m1 == m2)
+                return eq if op == "=" else ~eq
         return {"=": c1 == c2, "!=": c1 != c2, "<": c1 < c2,
                 "<=": c1 <= c2, ">": c1 > c2, ">=": c1 >= c2}[op]
     raise SparqlError(
@@ -1477,14 +1689,24 @@ def _apply_filters(
                 "left_anti" if negated else "left_semi",
             )
         elif e[0] == "termfn":
-            # isIRI(?v) / isLiteral(?v): ONE semi/anti join against the
-            # graph's distinct IRI-term set (term typing is store-level —
-            # obj_type on the triple — so it cannot be a row predicate over
-            # the lexical form). Unbound (null) args are errors per SPARQL
-            # §17.2, i.e. the row drops either way.
+            # isIRI(?v) / isLiteral(?v) / isNumeric(?v): when the variable
+            # carries its term-metadata companion (typed-mode binding) these
+            # are pure ROW PREDICATES on the metadata — no join at all. The
+            # legacy semi/anti join against the graph's term sets remains
+            # for meta-less vars (path-bound, bare frames). Unbound (null)
+            # args are errors per SPARQL §17.2, i.e. the row drops.
             fn, var = e[1], e[2]
             if var not in df.columns:
                 df = df.where(F.lit(False))
+                continue
+            if term_meta(var) in df.columns:
+                m = F.col(term_meta(var))
+                pred = {
+                    "isiri": m == "iri",
+                    "isliteral": m != "iri",
+                    "isnumeric": m.isin(*_NUMERIC_XSD),
+                }[fn]
+                df = df.where(F.col(var).isNotNull() & pred)
                 continue
             if fn == "isnumeric":
                 # isNumeric(?v): semi join against the graph's distinct
@@ -1501,7 +1723,7 @@ def _apply_filters(
             )
         else:
             dt_vars: set = set()
-            e2 = _rewrite_datatype(e, dt_vars)
+            e2 = _rewrite_datatype(e, dt_vars, _meta_vars(df))
             if dt_vars:
                 # FILTER(DATATYPE(?v) ...): hoist each term's datatype as a
                 # temp column (one left join against the graph's literal→
@@ -1515,8 +1737,15 @@ def _apply_filters(
                     tmps.append(_DT_TMP + v)
                 df = df.where(_filter_col(e2, df)).drop(*tmps)
             else:
-                df = df.where(_filter_col(e, df))
+                df = df.where(_filter_col(e2, df))
     return df
+
+
+def _meta_vars(df: DataFrame) -> set:
+    """Variables whose term-metadata companion column is present — their
+    DATATYPE() compiles as a map-side expression, no hoist join needed."""
+    return {c[: -len(TERM_META)] for c in df.columns
+            if c.endswith(TERM_META)}
 
 
 #: xsd numeric datatypes (SPARQL §17.1 operand data types + derived ints)
@@ -1635,13 +1864,67 @@ def _group_solutions(triples: DataFrame, g: Group, repo: str | None) -> DataFram
     """Solution set of one braced group: BGP ⋈ path relations, then the
     group's own FILTERs — the evaluation unit behind OPTIONAL / MINUS /
     UNION branches and FILTER-EXISTS blocks."""
-    df = bgp(triples, g.patterns, repo=repo) if g.patterns else None
+    df = bgp(triples, g.patterns, repo=repo, typed=True) if g.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(g.paths):
         df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
     if df is None:
         raise SparqlError("empty pattern group")
     df = _drop_pp_markers(df)
     return _apply_filters(df, g.filters, triples, repo)
+
+
+def _group_bound_vars(g: Group) -> set:
+    """Variables a Group's own patterns/paths bind (its solution domain)."""
+    out = {t[1:] for pat in g.patterns for t in pat if t.startswith("?")}
+    out |= {t[1:] for s, _p, o in g.paths for t in (s, o)
+            if t.startswith("?")}
+    return out
+
+
+def _filter_ref_vars(e) -> tuple[set, bool]:
+    """(variables a FILTER expression references, needs-relational-compile)
+    — the second flag marks EXISTS / is* / DATATYPE content, whose compile
+    is a join or a hoist and therefore cannot move into a left-join
+    condition."""
+    vars_: set = set()
+    joinish = False
+
+    def walk(x) -> None:
+        nonlocal joinish
+        if isinstance(x, tuple):
+            if x and x[0] == "var":
+                vars_.add(x[1])
+                return
+            if x and x[0] == "bound":
+                vars_.add(x[1])
+                return
+            if x and x[0] == "termfn":
+                vars_.add(x[2])
+                joinish = True
+                return
+            if x and x[0] in ("exists", "datatype"):
+                joinish = True
+            for y in x:
+                walk(y)
+        elif isinstance(x, list):
+            for y in x:
+                walk(y)
+
+    walk(e)
+    return vars_, joinish
+
+
+def _rename_vars(e, mapping: dict):
+    """Rewrite ('var'/'bound', name) references per `mapping` — used to
+    point a left-join condition's block-side variables at their renamed
+    (suffixed) columns."""
+    if isinstance(e, tuple):
+        if e and e[0] in ("var", "bound") and e[1] in mapping:
+            return (e[0], mapping[e[1]])
+        return tuple(_rename_vars(x, mapping) for x in e)
+    if isinstance(e, list):
+        return [_rename_vars(x, mapping) for x in e]
+    return e
 
 
 def _graph_var_solutions(
@@ -1697,7 +1980,7 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     if (not q.patterns and not q.path_patterns and not q.unions
             and not q.subqueries and not q.graphs):
         raise SparqlError("WHERE contains no triple patterns")
-    df = bgp(triples, q.patterns, repo=repo) if q.patterns else None
+    df = bgp(triples, q.patterns, repo=repo, typed=True) if q.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
         df = _join_path_pattern(triples, df, s, raw_expr, o, repo, pp_idx)
     if df is not None:
@@ -1706,6 +1989,15 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         if any(not b.patterns and not b.paths for b in branches):
             raise SparqlError("empty UNION branch")
         dfs = [_group_solutions(triples, b, repo) for b in branches]
+        # term-metadata companions survive the union only when EVERY branch
+        # binds them — a branch missing one would null-fill it, and a null
+        # meta on a non-null value would silently drop rows at the next
+        # equi-join (degrade that var to the legacy value level instead)
+        metas = [set(c for c in d.columns if c.endswith(TERM_META))
+                 for d in dfs]
+        keep = set.intersection(*metas)
+        dfs = [d.drop(*(m - keep)) if (m - keep) else d
+               for d, m in zip(dfs, metas)]
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d, allowMissingColumns=True)
@@ -1731,7 +2023,8 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
                     for s_, _p, o_ in b.paths for t in (s_, o_)
                     if t.startswith("?")
                 }
-                missing = [v for v in shared if v not in bound]
+                missing = [v for v in shared
+                           if v not in bound and not v.endswith(TERM_META)]
                 if missing:
                     # an unbound shared var would null the join key and
                     # silently drop the branch's solutions — out of subset
@@ -1766,17 +2059,72 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
         else:
             shared = [c for c in gsol.columns if c in df.columns]
             df = df.join(gsol, shared) if shared else df.crossJoin(gsol)
-    for g in q.optionals:
-        # block-scoped FILTERs apply to the block's own solutions before
-        # the left join (group scoping; a filter referencing only outer
-        # vars is out of subset — _bind_col raises on unbound)
-        opt = _group_solutions(triples, g, repo)
+    for opt_idx, g in enumerate(q.optionals):
+        # SPARQL §8.3: OPTIONAL { P FILTER(E) } is LeftJoin(outer, P, E).
+        # A filter over only the block's own variables is equivalent
+        # applied to the block's solutions BEFORE the join (group scoping,
+        # the cheap plan — one less conditional join); a filter referencing
+        # ANY outer variable must become the left join's ON condition (the
+        # spec's famous scope corner — ARQ's LeftJoin(expr)). EXISTS / is* /
+        # DATATYPE-containing filters compile relationally and stay block-
+        # scoped; referencing outer vars from those is out of subset.
+        block_bound = _group_bound_vars(g)
+        pre: list = []
+        on_conds: list = []
+        for f in g.filters:
+            fv, joinish = _filter_ref_vars(f)
+            if fv <= block_bound or joinish:
+                pre.append(f)   # unbound refs raise in the block compile
+            elif fv <= (block_bound | set(df.columns)):
+                on_conds.append(f)
+            else:
+                raise SparqlError(
+                    f"OPTIONAL filter references variables bound neither "
+                    f"in the block nor in the outer patterns: "
+                    f"{sorted(fv - block_bound - set(df.columns))}"
+                )
+        opt = _group_solutions(
+            triples, Group(g.patterns, g.paths, pre), repo)
         shared = [c for c in opt.columns if c in df.columns]
-        if not shared:
+        if not [c for c in shared if not c.endswith(TERM_META)]:
             raise SparqlError(
                 "OPTIONAL block shares no variable with the required patterns"
             )
-        df = df.join(opt, shared, "left")
+        if not on_conds:
+            df = df.join(opt, shared, "left")
+            continue
+        # conditional left join: rename every block column so names stay
+        # unique, equate the shared ones, compile the filters with block-
+        # only vars rewritten to their renamed columns, then restore names.
+        # Metadata companions rename META-AWARE (v's `v#m` → `v{sfx}#m`,
+        # the companion of the renamed var) so LANG/DATATYPE/sameTerm over
+        # block vars still resolve inside the ON condition.
+        sfx = f"#opt{opt_idx}"
+
+        def _sfx_name(c: str) -> str:
+            if c.endswith(TERM_META):
+                return term_meta(c[: -len(TERM_META)] + sfx)
+            return c + sfx
+
+        opt_r = opt.select(
+            [F.col(c).alias(_sfx_name(c)) for c in opt.columns])
+        cond = None
+        for c in shared:
+            eq = F.col(c) == F.col(_sfx_name(c))
+            cond = eq if cond is None else cond & eq
+        from types import SimpleNamespace
+
+        ns = SimpleNamespace(columns=list(df.columns) + list(opt_r.columns))
+        rename = {v: v + sfx for v in opt.columns
+                  if v not in df.columns and not v.endswith(TERM_META)}
+        for f in on_conds:
+            cond = cond & _filter_col(_rename_vars(f, rename), ns)
+        joined = df.join(opt_r, cond, "left")
+        df = joined.select(
+            *df.columns,
+            *[F.col(_sfx_name(c)).alias(c) for c in opt.columns
+              if c not in df.columns],
+        )
     for g in q.minuses:
         # SPARQL MINUS: drop solutions compatible (equal on shared vars)
         # with some minus solution; disjoint domains remove nothing
@@ -1796,48 +2144,69 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
             df = df.join(F.broadcast(vdf), shared) if shared \
                 else df.crossJoin(F.broadcast(vdf))
     for expr, name in q.binds:
-        if name in df.columns:
-            raise SparqlError(f"BIND would rebind already-bound ?{name}")
-        if expr[0] == "datatype":
-            df = _bind_datatype(df, expr[1], name, triples, repo)
-        else:
-            dt_vars: set = set()
-            expr2 = _rewrite_datatype(expr, dt_vars)
-            if dt_vars:
-                # DATATYPE nested inside a larger value expression: bind
-                # each term's datatype as a temp column first (same single
-                # left join as the direct-BIND form), then compile the
-                # rewritten expression against it
-                tmps = []
-                for v in sorted(dt_vars):
-                    df = _bind_datatype(
-                        df, ("var", v), _DT_TMP + v, triples, repo)
-                    tmps.append(_DT_TMP + v)
-                df = df.withColumn(name, _bind_col(expr2, df)).drop(*tmps)
-            else:
-                df = df.withColumn(name, _bind_col(expr, df))
-    return _apply_filters(df, q.filters, triples, repo)
+        df = _apply_bind(df, expr, name, triples, repo)
+    df = _apply_filters(df, q.filters, triples, repo)
+    # (expr AS ?alias) projection expressions — same compile as a BIND, but
+    # applied after the WHERE filters (the alias is not in scope there)
+    for expr, name in q.proj_exprs:
+        df = _apply_bind(df, expr, name, triples, repo)
+    return df
+
+
+def _apply_bind(
+    df: DataFrame, expr: BindExpr, name: str,
+    triples: DataFrame, repo: str | None,
+) -> DataFrame:
+    """Bind one value expression as column `name` (BIND and projection
+    expressions share this). STRLANG/STRDT additionally write the
+    constructed tag/datatype into the variable's term-metadata companion;
+    DATATYPE over a metadata-carrying var is a pure expression, over a
+    meta-less var it hoists through the legacy one-join literal→datatype
+    map (_bind_datatype)."""
+    if name in df.columns:
+        raise SparqlError(f"BIND would rebind already-bound ?{name}")
+    if expr[0] in ("strlang", "strdt"):
+        value = _bind_col(expr[1], df).cast("string")
+        return (df.withColumn(name, value)
+                .withColumn(term_meta(name), F.lit(expr[2])))
+    dt_vars: set = set()
+    expr2 = _rewrite_datatype(expr, dt_vars, _meta_vars(df))
+    if dt_vars:
+        # DATATYPE over meta-less vars nested anywhere in the expression:
+        # bind each term's datatype as a temp column first (one left join
+        # against the graph's literal→datatype map per var), then compile
+        # the rewritten expression against it
+        tmps = []
+        for v in sorted(dt_vars):
+            df = _bind_datatype(df, ("var", v), _DT_TMP + v, triples, repo)
+            tmps.append(_DT_TMP + v)
+        return df.withColumn(name, _bind_col(expr2, df)).drop(*tmps)
+    return df.withColumn(name, _bind_col(expr2, df))
 
 
 #: temp-column prefix for DATATYPE(?v) hoisted out of a larger expression
 _DT_TMP = "__dt__"
 
 
-def _rewrite_datatype(e, found: set):
-    """Replace every ("datatype", ("var", v)) sub-expression with a
-    reference to its hoisted temp column, collecting the source vars —
-    this is what lets DATATYPE appear inside FILTER operands and nested
-    BIND expressions even though its compile is a join, not a column."""
+def _rewrite_datatype(e, found: set, have_meta: set = frozenset()):
+    """Replace ("datatype", ("var", v)) sub-expressions with a reference to
+    their hoisted temp column, collecting the source vars — this is what
+    lets DATATYPE appear inside FILTER operands and nested BIND expressions
+    even when its compile is a join. Vars in `have_meta` carry their
+    term-metadata companion column and compile directly in _bind_col, so
+    they are left in place (no join at all)."""
     if isinstance(e, tuple):
         if e and e[0] == "datatype":
             arg = e[1]
             if not (isinstance(arg, tuple) and arg[0] == "var"):
                 raise SparqlError("DATATYPE takes a single ?var argument")
+            if arg[1] in have_meta:
+                return e
             found.add(arg[1])
             return ("var", _DT_TMP + arg[1])
-        return tuple(_rewrite_datatype(x, found) for x in e)
+        return tuple(_rewrite_datatype(x, found, have_meta) for x in e)
     if isinstance(e, list):
-        return [_rewrite_datatype(x, found) for x in e]
+        return [_rewrite_datatype(x, found, have_meta) for x in e]
     return e
 
 
@@ -1915,14 +2284,16 @@ def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFr
     return out.distinct()
 
 
-def query(triples: DataFrame, text: str, repo: str | None = None):
+def query(triples: DataFrame, text: str, repo: str | None = None, *,
+          now: str | None = None, seed: int | None = None):
     """One entry point for any supported SPARQL string — dispatches on the
     parsed query form, like the reference's single SPARQL endpoint
     (controllers/SparqlController.java:33-43): SELECT → bindings DataFrame,
     CONSTRUCT → triples DataFrame, ASK → bool, DESCRIBE → subject triples."""
-    form = parse(text, repo=repo).form
-    fn = {"select": execute, "construct": construct,
-          "ask": ask, "describe": describe}[form]
+    form = parse(text, repo=repo, now=now, seed=seed).form
+    if form == "select":
+        return execute(triples, text, repo=repo, now=now, seed=seed)
+    fn = {"construct": construct, "ask": ask, "describe": describe}[form]
     return fn(triples, text, repo=repo)
 
 
@@ -1957,13 +2328,17 @@ def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFra
     return out
 
 
-def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+def execute(triples: DataFrame, query: str, repo: str | None = None, *,
+            now: str | None = None, seed: int | None = None) -> DataFrame:
     """Run a SPARQL SELECT (subset) string over the triples DataFrame.
 
     `repo` prunes to one named graph (the reference's per-repo model) and
-    binds the gitprov: namespace for full-IRI constants.
+    binds the gitprov: namespace for full-IRI constants. `now` (an
+    xsd:dateTime lexical) and `seed` enable the seeded deterministic forms
+    of NOW()/RAND()/UUID()/STRUUID(); without them those builtins stay a
+    loud parse error.
     """
-    q = parse(query, repo=repo)
+    q = parse(query, repo=repo, now=now, seed=seed)
     if q.form != "select":
         raise SparqlError(f"{q.form.upper()} query: use the matching function")
     return _finish_select(_solutions(triples, q, repo), q)
@@ -1971,9 +2346,18 @@ def execute(triples: DataFrame, query: str, repo: str | None = None) -> DataFram
 
 def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
     """Projection / aggregation / HAVING / ORDER / LIMIT over a solution
-    set — shared by execute() and subquery evaluation."""
+    set — shared by execute() and subquery evaluation. Term-metadata
+    companion columns ride along through DISTINCT (term-level dedup: two
+    solutions differing only in a datatype/tag stay two solutions) and
+    ORDER BY (so DATATYPE/LANG sort keys compile map-side), then drop
+    before the result leaves the engine."""
     if q.having and not q.aggregates:
         raise SparqlError("HAVING requires an aggregate projection")
+    if q.aggregates and q.proj_exprs:
+        raise SparqlError(
+            "mixing (expr AS ?alias) projections with aggregates is out of "
+            "subset (project group keys, aggregate aliases, or BIND first)"
+        )
     if q.aggregates:
         # Aggregation runs over the solution set (the full-binding rows are
         # distinct tuples: each pattern's matched triple is determined by its
@@ -2034,26 +2418,45 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             cond = {"=": c == num, "!=": c != num, "<": c < num,
                     "<=": c <= num, ">": c > num, ">=": c >= num}[op]
             df = df.where(cond)
+        df = _order(df, q)
     elif q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:
             raise SparqlError(f"SELECT of unbound variables: {missing}")
         # bag semantics (§18.5): the projection keeps one row per WHERE
         # solution — duplicates under the narrower column set survive
-        # unless the query says DISTINCT
-        df = df.select(*q.variables)
+        # unless the query says DISTINCT. Metadata companions of projected
+        # vars ride along for term-level DISTINCT; §15.1 evaluation order
+        # puts ORDER BY BEFORE the projection (sort keys may reference
+        # unprojected vars and their metadata), except under DISTINCT,
+        # where the spec restricts sort keys to projected variables.
         if q.distinct:
-            df = df.distinct()
+            metas = [term_meta(v) for v in q.variables
+                     if term_meta(v) in df.columns]
+            df = df.select(*q.variables, *metas).distinct()
+            df = _order(df, q)
+        else:
+            df = _order(df, q).select(*q.variables)
     elif q.distinct:
-        df = df.distinct()  # SELECT DISTINCT *
-    if q.order_by:
-        keys = []
-        for v, asc in q.order_by:
-            c = F.col(v) if isinstance(v, str) else _bind_col(v, df)
-            keys.append(c.asc() if asc else c.desc())
-        df = df.orderBy(*keys)
+        df = df.distinct()  # SELECT DISTINCT * (term-level: metas included)
+        df = _order(df, q)
+    else:
+        df = _order(df, q)
+    drop = [c for c in df.columns if c.endswith(TERM_META)]
+    if drop and len(drop) < len(df.columns):
+        df = df.drop(*drop)
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+def _order(df: DataFrame, q: SelectQuery) -> DataFrame:
+    if not q.order_by:
+        return df
+    keys = []
+    for v, asc in q.order_by:
+        c = F.col(v) if isinstance(v, str) else _bind_col(v, df)
+        keys.append(c.asc() if asc else c.desc())
+    return df.orderBy(*keys)

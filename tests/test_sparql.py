@@ -1478,16 +1478,38 @@ def test_tz_timezone_langmatches(spark):
     assert got == [(True,)]
 
 
-def test_strlang_strdt_rejected(spark):
+def test_strlang_strdt_construct_tagged_terms(spark):
+    """STRLANG/STRDT build the tag/datatype into the variable's hidden
+    term-metadata companion: LANG()/DATATYPE() read it back, and the value
+    column stays the plain lexical (r5 typed-term model)."""
+    t = _r4_graph(spark)
+    got = _rows(execute(t, """
+        SELECT ?x ?lg ?dt WHERE { ?s rdfs:label ?l .
+          BIND(STRLANG(?l, "en") AS ?x) .
+          BIND(LANG(?x) AS ?lg) . BIND(DATATYPE(?x) AS ?dt) } LIMIT 1
+    """))
+    assert len(got) == 1
+    x, lg, dt = got[0]
+    assert lg == "en" and dt == "rdf:langString" and not x.startswith('"')
+    got = _rows(execute(t, """
+        SELECT ?dt WHERE { ?s rdfs:label ?l .
+          BIND(STRDT(?l, xsd:token) AS ?x) .
+          BIND(DATATYPE(?x) AS ?dt) } LIMIT 1
+    """))
+    assert got == [("xsd:token",)]
+
+
+def test_strlang_nested_rejected(spark):
+    """Nested STRLANG/STRDT would lose the constructed tag (only a BIND /
+    projection expression can carry the metadata column) — loud error."""
     t = _r4_graph(spark)
     import pytest as _pytest
 
     from git_prov_spark.sparql import SparqlError
 
-    for fn in ("STRLANG(?l, \"en\")", "STRDT(?l, xsd:string)"):
-        with _pytest.raises(SparqlError):
-            execute(t, "SELECT ?x WHERE { ?s rdfs:label ?l . "
-                       f"BIND({fn} AS ?x) }}")
+    with _pytest.raises(SparqlError, match="top-level"):
+        execute(t, 'SELECT ?x WHERE { ?s rdfs:label ?l . '
+                   'BIND(UCASE(STRLANG(?l, "en")) AS ?x) }')
 
 
 def test_path_zero_or_one(spark):
@@ -1558,11 +1580,14 @@ def test_isiri_isliteral(spark):
     assert got == [("2024-03-05T10:20:30Z",), ("alice",)]
 
 
-def test_isiri_rejected_under_or(spark):
+def test_isiri_under_or_is_row_predicate(spark):
+    """r5 typed-term model: isIRI/isLiteral/isNumeric over a metadata-
+    carrying variable compile as row predicates, so they nest under
+    ||/!/IF (the r4 top-level-conjunct-only restriction is gone)."""
     t = _r4_graph(spark)
-    with pytest.raises(SparqlError):
-        execute(t, 'SELECT ?o WHERE { ?s ?p ?o . '
-                   'FILTER(isIRI(?o) || ?o = "alice") }').collect()
+    got = _rows(execute(t, 'SELECT ?o WHERE { ?s ?p ?o . '
+                           'FILTER(isIRI(?o) || ?o = "alice") }'))
+    assert got == [("alice",), ("u:b",), ("u:c",), ("u:c",), ("u:y",)]
 
 
 def test_const_const_path_marker_not_leaked(spark):
@@ -1677,12 +1702,15 @@ def test_datatype_nested_bind_and_filter(spark):
     assert all(not c.startswith("__dt__") for c in df.columns)
 
 
-def test_datatype_still_rejected_outside_bind_filter(spark):
+def test_datatype_in_order_by_and_projection(spark):
+    """r5 typed-term model: DATATYPE over a metadata-carrying variable is a
+    map-side expression — usable in ORDER BY and (expr AS ?alias)
+    projection directly (the r4 BIND-hoist requirement is gone)."""
     t = _r4_numeric_graph(spark)
-    # projection/aggregate position has no hoist point — still a loud error
-    with pytest.raises(SparqlError):
-        execute(t, "SELECT ?s WHERE { ?s ev:count ?c } "
-                   "ORDER BY DATATYPE(?c)").collect()
+    df = execute(t, "SELECT ?s (DATATYPE(?c) AS ?dt) "
+                    "WHERE { ?s ev:count ?c } ORDER BY DATATYPE(?c) ?s")
+    assert [tuple(r) for r in df.collect()] == [
+        ("e1", "xsd:int"), ("e2", "xsd:int")]
 
 
 def test_filter_isnumeric_is_term_typed(spark):

@@ -1,0 +1,270 @@
+"""First-class typed literal terms (r5): language tags and datatypes flow
+through solutions via hidden term-metadata companion columns (queries.bgp
+typed mode) — typed pattern constants match term-exactly, variable joins are
+term-correct, DATATYPE/LANG work in projection expressions and ORDER BY
+without a BIND hoist, STRLANG/STRDT construct tagged terms, and
+FILTER-inside-OPTIONAL referencing outer variables compiles to the left
+join's ON condition (SPARQL §8.3 LeftJoin(expr), what ARQ gives the
+reference via services/SparqlService.java:26).
+
+The graph mixes SAME-LEXICAL terms under different datatypes/tags — the
+cases the legacy all-string model conflated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from git_prov_spark.sparql import SparqlError, execute
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def typed_graph(spark):
+    """Terms deliberately colliding on the lexical form:
+      item-1 ev:val "5"^^xsd:int      item-1 ev:alt "5"^^xsd:string
+      item-2 ev:val "5"^^xsd:string   item-2 ev:alt "5"^^xsd:int
+      item-3 ev:val "x"@en            item-3 ev:alt "x"@fr
+      item-4 ev:val "x"^^xsd:string   item-4 ev:alt "x"@en
+      item-5 ev:val item-1 (IRI)      item-5 ev:alt "item-1"^^xsd:string
+    """
+    rows = [
+        ("demo", "item-1", "ev:val", "5", "xsd:int"),
+        ("demo", "item-1", "ev:alt", "5", "xsd:string"),
+        ("demo", "item-2", "ev:val", "5", "xsd:string"),
+        ("demo", "item-2", "ev:alt", "5", "xsd:int"),
+        ("demo", "item-3", "ev:val", "x", "@en"),
+        ("demo", "item-3", "ev:alt", "x", "@fr"),
+        ("demo", "item-4", "ev:val", "x", "xsd:string"),
+        ("demo", "item-4", "ev:alt", "x", "@en"),
+        ("demo", "item-5", "ev:val", "item-1", "iri"),
+        ("demo", "item-5", "ev:alt", "item-1", "xsd:string"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+
+
+def test_typed_constant_matches_term_exactly(typed_graph):
+    got = _rows(execute(typed_graph,
+                        'SELECT ?s WHERE { ?s ev:val "5"^^xsd:int }'))
+    assert got == [("item-1",)]
+    got = _rows(execute(typed_graph,
+                        'SELECT ?s WHERE { ?s ev:val "x"@en }'))
+    assert got == [("item-3",)]
+    # plain constants keep the legacy lexical matching (compatibility rule)
+    got = _rows(execute(typed_graph,
+                        'SELECT ?s WHERE { ?s ev:val "5" }'))
+    assert got == [("item-1",), ("item-2",)]
+
+
+def test_variable_joins_are_term_correct(typed_graph):
+    # ?v must be the SAME TERM in both patterns: item-3's "x"@en vs "x"@fr
+    # and item-1/2's int-vs-string "5" no longer join; item-5's IRI object
+    # does not join its string spelling
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:val ?v . ?s ev:alt ?v }"))
+    assert got == []
+    # cross-subject join: item-1 val "5"^^xsd:int = item-2 alt "5"^^xsd:int
+    got = _rows(execute(
+        typed_graph,
+        "SELECT ?a ?b WHERE { ?a ev:val ?v . ?b ev:alt ?v . "
+        "FILTER(?a != ?b) }"))
+    assert got == [("item-1", "item-2"), ("item-2", "item-1"),
+                   ("item-3", "item-4")]
+
+
+def test_datatype_in_projection_and_order_by(typed_graph):
+    got = execute(typed_graph, """
+        SELECT ?s (DATATYPE(?v) AS ?dt) WHERE { ?s ev:val ?v }
+        ORDER BY DATATYPE(?v) ?s
+    """).collect()
+    assert [tuple(r) for r in got] == [
+        ("item-5", None),           # IRI term: DATATYPE unbound — and
+        ("item-3", "rdf:langString"),   # unbound sorts lowest (§15.1)
+        ("item-1", "xsd:int"),
+        ("item-2", "xsd:string"),
+        ("item-4", "xsd:string"),
+    ]
+
+
+def test_lang_and_langmatches_on_real_tags(typed_graph):
+    got = _rows(execute(typed_graph, """
+        SELECT ?s (LANG(?v) AS ?lg) WHERE { ?s ev:alt ?v .
+          FILTER(LANGMATCHES(LANG(?v), "*")) }
+    """))
+    assert got == [("item-3", "fr"), ("item-4", "en")]
+
+
+def test_isnumeric_isliteral_isiri_row_predicates(typed_graph):
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:val ?v . "
+                        "FILTER(isNumeric(?v)) }"))
+    assert got == [("item-1",)]
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:val ?v . "
+                        "FILTER(isIRI(?v)) }"))
+    assert got == [("item-5",)]
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:val ?v . "
+                        "FILTER(!isLiteral(?v)) }"))
+    assert got == [("item-5",)]
+
+
+def test_sameterm_and_term_equality_filters(typed_graph):
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:val ?a . ?s ev:alt ?b .
+          FILTER(SAMETERM(?a, ?b)) }
+    """))
+    assert got == []
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:val ?v . "
+                        'FILTER(?v = "x"@en) }'))
+    assert got == [("item-3",)]
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:alt ?v . "
+                        'FILTER(?v != "x"@en) }'))
+    assert got == [("item-1",), ("item-2",), ("item-3",), ("item-5",)]
+    # numeric-typed constants take VALUE comparison (§17.1 promotion):
+    # non-numeric lexicals are type errors and those rows drop
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s WHERE { ?s ev:alt ?v . "
+                        'FILTER(?v != "4"^^xsd:int) }'))
+    assert got == [("item-1",), ("item-2",)]
+
+
+def test_distinct_is_term_level(typed_graph):
+    # four distinct TERMS spell the lexical "x"/"5" pairs: DISTINCT ?v keeps
+    # one row per term, not per lexical
+    got = execute(typed_graph,
+                  "SELECT DISTINCT ?v WHERE { ?s ev:val ?v }")
+    assert got.count() == 5  # 5^^int, 5^^string, x@en, x^^string, item-1 iri
+    assert got.columns == ["v"]  # metadata companion never leaks
+
+
+def test_typed_constant_numeric_filter(typed_graph):
+    # numeric-typed constants compare numerically per §17.1
+    got = _rows(execute(typed_graph,
+                        "SELECT ?s ?v WHERE { ?s ev:val ?v . "
+                        'FILTER(?v >= "4"^^xsd:int && isNumeric(?v)) }'))
+    assert got == [("item-1", "5")]
+
+
+def test_optional_filter_with_outer_var_is_join_condition(typed_graph):
+    # §8.3: the filter references ?v (outer) and ?w (block) — evaluated as
+    # the left join's ON condition, keeping non-matching rows as unbound
+    got = _rows(execute(typed_graph, """
+        SELECT ?s ?v ?w WHERE {
+          ?s ev:val ?v .
+          OPTIONAL { ?s ev:alt ?w . FILTER(STRLEN(?w) + STRLEN(?v) <= 2) }
+        }
+    """))
+    assert got == [
+        ("item-1", "5", "5"), ("item-2", "5", "5"),
+        ("item-3", "x", "x"), ("item-4", "x", "x"),
+        ("item-5", "item-1", None),   # 6+6 fails the ON condition
+    ]
+    # term-aware ON condition: LANG of the block var resolves through the
+    # renamed metadata companion
+    got = _rows(execute(typed_graph, """
+        SELECT ?s ?w WHERE {
+          ?s ev:val ?v .
+          OPTIONAL { ?s ev:alt ?w . FILTER(LANG(?w) != LANG(?v)) }
+        }
+    """))
+    assert ("item-3", "x") in got        # @fr vs @en: differs → kept
+    assert ("item-1", None) in got       # "" vs "": equal → unbound
+    assert ("item-4", "x") in got        # @en vs "": differs → kept
+
+
+def test_optional_filter_outer_only_vars(typed_graph):
+    # the famous corner: a filter referencing ONLY outer vars still guards
+    # the join (rows failing it keep the OPTIONAL side unbound)
+    got = _rows(execute(typed_graph, """
+        SELECT ?s ?w WHERE {
+          ?s ev:val ?v .
+          OPTIONAL { ?s ev:alt ?w . FILTER(?s = "item-3") }
+        }
+    """))
+    assert ("item-3", "x") in got
+    assert ("item-1", None) in got and ("item-4", None) in got
+
+
+def test_optional_block_only_filter_still_prejoin(typed_graph):
+    got = _rows(execute(typed_graph, """
+        SELECT ?s ?w WHERE {
+          ?s ev:val ?v .
+          OPTIONAL { ?s ev:alt ?w . FILTER(isNumeric(?w)) }
+        }
+    """))
+    assert ("item-2", "5") in got and ("item-1", None) in got
+
+
+def test_seeded_now_rand_uuid(typed_graph):
+    got = execute(typed_graph, """
+        SELECT ?s (NOW() AS ?t) (RAND() AS ?r) (STRUUID() AS ?u)
+        WHERE { ?s ev:val ?v } ORDER BY ?s
+    """, now="2026-08-19T00:00:00Z", seed=42)
+    rows = [tuple(r) for r in got.collect()]
+    assert all(t == "2026-08-19T00:00:00Z" for _s, t, _r, _u in rows)
+    assert all(0.0 <= r < 1.0 for _s, _t, r, _u in rows)
+    assert len({r for _s, _t, r, _u in rows}) == len(rows)  # per-solution
+    import re
+
+    assert all(re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}", u)
+        for _s, _t, _r, u in rows)
+    # deterministic across runs
+    again = [tuple(r) for r in execute(typed_graph, """
+        SELECT ?s (NOW() AS ?t) (RAND() AS ?r) (STRUUID() AS ?u)
+        WHERE { ?s ev:val ?v } ORDER BY ?s
+    """, now="2026-08-19T00:00:00Z", seed=42).collect()]
+    assert again == rows
+
+
+def test_unseeded_nondet_builtins_still_reject(typed_graph):
+    for q in ("SELECT ?s WHERE { ?s ev:val ?v . FILTER(RAND() < 1) }",
+              "SELECT (NOW() AS ?t) WHERE { ?s ev:val ?v }",
+              "SELECT (UUID() AS ?u) WHERE { ?s ev:val ?v }"):
+        with pytest.raises(SparqlError, match="nondeterministic"):
+            execute(typed_graph, q)
+
+
+def test_projection_expression_general(typed_graph):
+    got = _rows(execute(typed_graph, """
+        SELECT ?s (CONCAT(UCASE(STR(?v)), "!") AS ?shout)
+        WHERE { ?s ev:val ?v . FILTER(?s = "item-3") }
+    """))
+    assert got == [("item-3", "X!")]
+
+
+def test_typed_literals_rejected_in_values_and_in(typed_graph):
+    with pytest.raises(SparqlError, match="VALUES"):
+        execute(typed_graph,
+                'SELECT ?s WHERE { ?s ev:val ?v . '
+                'VALUES ?v { "5"^^xsd:int } }')
+    with pytest.raises(SparqlError, match="IN list"):
+        execute(typed_graph,
+                'SELECT ?s WHERE { ?s ev:val ?v . '
+                'FILTER(?v IN ("5"^^xsd:int)) }')
+
+
+def test_bare_frame_degrades_to_lexical(spark):
+    """Frames without obj_type keep the legacy value-level behavior."""
+    t = spark.createDataFrame(
+        [("demo", "a", "ev:p", "b"), ("demo", "b", "ev:q", "b")],
+        "repo string, subj string, pred string, obj string")
+    got = _rows(execute(t, "SELECT ?x WHERE { ?x ev:p ?v . ?v ev:q ?v }"))
+    assert got == [("a",)]
+
+
+def test_canned_bgp_unchanged(spark, typed_graph):
+    """queries.bgp default (typed=False) binds values only — canned PROV
+    shapes keep their schema."""
+    from git_prov_spark.queries import bgp
+
+    df = bgp(typed_graph, [("?s", "ev:val", "?v")], repo="demo")
+    assert df.columns == ["s", "v"]
