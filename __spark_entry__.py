@@ -1817,6 +1817,35 @@ SPARQL_BAG_PATH_SEQ_ORACLE = (
 )
 
 
+def q_dedup_substr(spark, sf_dir):
+    """Token-granularity exact-substring dedup (r5, VERDICT r4 #4 — the
+    Lee-et-al 50-token pass, demoed at window=8 so the synthetic corpus
+    has real matches): map-side window fan-out + sha2, ONE hash-aggregate
+    on the sha, one narrow join back — no pair self-join, so a span shared
+    by D docs costs D rows, never D². The twin joins on the window STRING
+    itself (same result as the engine's sha equality, independently
+    derived)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dupes(docs, window=8, stride=1)
+
+
+DEDUP_SUBSTR_ORACLE = (
+    "WITH toks AS (SELECT doc_id, CASE WHEN trim(COALESCE(text, '')) = '' "
+    "THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(text), '\\s+') END AS tokens "
+    "FROM documents), "
+    "w AS (SELECT doc_id, unnest(range(1, greatest(len(tokens) - 8 + 2, 1), "
+    "1)) AS s1, tokens FROM toks), "
+    "w2 AS (SELECT doc_id, CAST(s1 - 1 AS BIGINT) AS span_start, "
+    "array_to_string(tokens[s1:s1+7], ' ') AS win FROM w), "
+    "c AS (SELECT win, MIN(doc_id) AS match_doc FROM w2 GROUP BY win "
+    "HAVING count(DISTINCT doc_id) > 1) "
+    "SELECT w2.doc_id AS doc_id, w2.span_start AS span_start, "
+    "c.match_doc AS match_doc FROM w2 JOIN c USING (win) "
+    "WHERE w2.doc_id > c.match_doc"
+)
+
+
 def q_sparql_typed_terms(spark, sf_dir):
     """First-class typed literal terms (r5, VERDICT r4 #1): every variable
     carries a hidden term-metadata companion (queries.TERM_META), so the
@@ -2174,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_spans": q_dedup_spans,
+        "dedup_substr": q_dedup_substr,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_semantic": q_dedup_semantic,
         "corpus_cluster_sample": q_corpus_cluster_sample,
@@ -2460,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_distinct": SPARQL_DISTINCT_ORACLE,
         "sparql_bag_union": SPARQL_BAG_UNION_ORACLE,
         "sparql_bag_path_seq": SPARQL_BAG_PATH_SEQ_ORACLE,
+        "dedup_substr": DEDUP_SUBSTR_ORACLE,
         "sparql_typed_terms": SPARQL_TYPED_TERMS_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,

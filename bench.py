@@ -105,6 +105,14 @@ EXTRA_QUERIES = [
     "corpus_cluster_sample",
     # round-4 additions, sixth batch: language/timezone builtin family
     "sparql_lang_tz",
+    # round-5 additions: typed literal terms (lang tags + datatypes through
+    # solutions), FILTER-in-OPTIONAL left-join conditions, seeded
+    # NOW/RAND/UUID, and token-window exact-substring dedup
+    "sparql_typed_terms",
+    "sparql_strlang",
+    "sparql_opt_filter",
+    "sparql_now_seeded",
+    "dedup_substr",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -92,6 +92,66 @@ def span_exact_dupes(
     )
 
 
+def substring_dupes(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text",
+    window: int = 50, stride: int = 1,
+) -> DataFrame:
+    """Token-granularity exact-substring dedup — the Lee-et-al-style
+    companion pass real LLM pipelines run alongside MinHash (their 50-token
+    threshold is the `window` default): slide a `window`-token window over
+    each document (`stride` tokens apart), hash the window's exact token
+    span, and emit one row per window whose span also occurs in a LOWER-id
+    document:
+
+        (doc_id, span_start, match_doc)
+
+    span_start is the 0-based token index; match_doc the smallest other
+    document containing the identical span (the canonical copy itself is
+    not flagged — Lee et al. keep the first occurrence and drop the rest).
+
+    Scale shape: the window fan-out is MAP-SIDE (sequence + slice over the
+    token array, sha2 immediately — the text never shuffles); matching is
+    one hash-aggregate keyed on the 64-hex sha producing (sha, min_doc,
+    n_docs), then one equi-join of the narrow (doc, pos, sha) rows back on
+    the sha. No pair self-join anywhere, so a boilerplate span shared by D
+    documents costs D rows, never D² — the same reason the banded LSH path
+    survives 100 TB. stride=1 is the paper's exact semantics (rows ≈ token
+    count); widen it to trade recall granularity for fan-out at scale."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = with_tokens(df, text).select(F.col(id_col), "tokens")
+    starts = (
+        f"case when size(tokens) >= {window} then "
+        f"sequence(1, size(tokens) - {window} + 1, {stride}) "
+        "else cast(array() as array<int>) end"
+    )
+    wins = (
+        toks.select(F.col(id_col), F.col("tokens"),
+                    F.explode(F.expr(starts)).alias("start1"))
+        .select(
+            F.col(id_col),
+            (F.col("start1") - 1).cast("long").alias("span_start"),
+            F.sha2(
+                F.concat_ws(
+                    " ", F.expr(f"slice(tokens, start1, {window})")),
+                256,
+            ).alias("win_sha"),
+        )
+    )
+    canon = (
+        wins.groupBy("win_sha")
+        .agg(F.min(id_col).alias("match_doc"),
+             F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select("win_sha", "match_doc")
+    )
+    return (
+        wins.join(canon, "win_sha")
+        .where(F.col(id_col) > F.col("match_doc"))
+        .select(F.col(id_col), "span_start", "match_doc")
+    )
+
+
 def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle). 1-based
     element_at keeps the expr portable to the DuckDB oracle's list_extract."""

@@ -1,0 +1,77 @@
+"""Token-granularity exact-substring dedup (dedup.substring_dupes — the
+Lee-et-al 50-token companion pass): planted shared passages are found at
+exact token offsets, one-token near-misses are NOT matched (exactness), the
+canonical (lowest-id) copy is never flagged, and the plan is aggregate+join
+shaped (no pair self-join / cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+
+from git_prov_spark.corpus.dedup import substring_dupes
+
+PASSAGE = " ".join(f"tok{i}" for i in range(50))          # 50 shared tokens
+NEAR = " ".join(("tokX" if i == 25 else f"tok{i}") for i in range(50))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 1: passage at token offset 3
+        (1, "alpha beta gamma " + PASSAGE + " tail1 tail2"),
+        # doc 7: same passage at token offset 0
+        (7, PASSAGE + " coda"),
+        # doc 9: near-miss (token 25 differs) — must not match
+        (9, NEAR),
+        # doc 12: unrelated
+        (12, " ".join(f"word{i}" for i in range(80))),
+        # doc 15: passage again at offset 1 (three-way share)
+        (15, "intro " + PASSAGE),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_passages_found_at_exact_offsets(corpus):
+    got = {(r.doc_id, r.span_start, r.match_doc)
+           for r in substring_dupes(corpus).collect()}
+    assert (7, 0, 1) in got
+    assert (15, 1, 1) in got
+    # canonical copy (doc 1) never flagged; near-miss and unrelated absent
+    assert not any(d == 1 for d, _s, _m in got)
+    assert not any(d in (9, 12) for d, _s, _m in got)
+    # all matches point at the smallest sharing doc
+    assert all(m == 1 for _d, _s, m in got)
+
+
+def test_window_exactness_one_token_breaks_match(corpus):
+    # at window=50 the near-miss shares no complete window with the passage
+    got = substring_dupes(corpus).where("doc_id = 9").count()
+    assert got == 0
+    # at window=25 the near-miss's intact halves DO match (sanity: the
+    # operator is window-exact, not doc-exact)
+    got25 = substring_dupes(corpus, window=25).where("doc_id = 9").count()
+    assert got25 > 0
+
+
+def test_stride_subsamples_starts(corpus):
+    all_starts = {(r.doc_id, r.span_start)
+                  for r in substring_dupes(corpus, window=10).collect()}
+    strided = {(r.doc_id, r.span_start)
+               for r in substring_dupes(corpus, window=10,
+                                        stride=5).collect()}
+    assert strided < all_starts
+    assert all(s % 5 == 0 for _d, s in strided)
+
+
+def test_no_pair_selfjoin_in_plan(corpus):
+    plan = substring_dupes(corpus)._jdf.queryExecution() \
+        .executedPlan().toString().lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_validation(corpus):
+    with pytest.raises(ValueError):
+        substring_dupes(corpus, window=0)
+    with pytest.raises(ValueError):
+        substring_dupes(corpus, stride=0)
