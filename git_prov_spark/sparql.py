@@ -14,6 +14,8 @@ Supported subset (documented, validated — anything else raises SparqlError):
     ASK { ... }                                 -- → bool (ask())
     DESCRIBE term [term ...]                    -- → subject triples, no WHERE
     SELECT [DISTINCT] ?a ?b | *                 -- projection
+    SELECT ?a (expr AS ?alias) ...              -- expression projection
+                                                --   (non-aggregate queries)
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo)                     --   MIN, MAX, AVG (lexical
            (GROUP_CONCAT(?v; SEPARATOR=",")     --   -> double), SAMPLE (min
@@ -39,16 +41,24 @@ Supported subset (documented, validated — anything else raises SparqlError):
       YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS(ve) (xsd:dateTime lexical) |
       ABS/CEIL/FLOOR/ROUND(ve) (XPath: ROUND ties toward +INF) |
       MD5/SHA1/SHA256/SHA384/SHA512(ve) (lowercase hex) |
-      ENCODE_FOR_URI(ve) | IRI/URI(ve) (≡ STR: all-string term model) |
-      DATATYPE(?v) (BIND expressions and FILTER operands, nested or
-      direct: one equi join on the store's obj_type per referenced var) |
-      LANG(ve) (always "": the store carries no language-tagged literals) |
-      LANGMATCHES(ve, ve) (RFC 4647 basic filtering; false over this
-      store's empty tags) | TZ(ve) ("Z" / "+hh:mm" / "") |
+      ENCODE_FOR_URI(ve) | IRI/URI(ve) (≡ STR: lexical value) |
+      DATATYPE(?v) (a map-side expression over the variable's term-metadata
+      companion wherever the var came from a pattern; meta-less vars hoist
+      through one equi join on the store's obj_type — both usable in
+      projection expressions, ORDER BY, FILTERs and nested BINDs) |
+      LANG(ve) (the term's language tag — real tags when the store carries
+      '@tag' obj_type metadata; "" for untagged terms) |
+      LANGMATCHES(ve, ve) (RFC 4647 basic filtering) |
+      SAMETERM(ve, ve) (value + term-metadata equality) |
+      STRLANG(ve, "tag") / STRDT(ve, dtype) (construct tagged/typed
+      bindings — top-level BIND / projection expression only) |
+      TZ(ve) ("Z" / "+hh:mm" / "") |
       TIMEZONE(ve) (xsd:dayTimeDuration lexical; unbound when no tz),
       with arithmetic ve + ve, -, *, / (double promotion), parenthesized.
-      STRLANG/STRDT are rejected loudly (a constructed tag/datatype cannot
-      survive the all-string binding model).
+      NOW()/RAND()/UUID()/STRUUID() exist in SEEDED deterministic form:
+      execute(..., now="...", seed=N) pins NOW to the given constant and
+      compiles RAND/UUID to a per-solution md5 of (string-typed bound
+      columns, seed, call index); unseeded use is a loud parse error.
     FILTER grammar: e || e, e && e, !e, (e),    --   numeric comparison when
       ve OP ve with OP in = != < <= > >=,       --   a side is a number or
       ve [NOT] IN (t1, t2), regex(ve, "pat"),   --   numeric fn, else code-
@@ -82,10 +92,31 @@ path-doubling (operators.transitive_closure). The zero-length component of
 `*` relates every term of the (repo-scoped) graph to itself, per spec —
 with a constant endpoint it contributes just the seed.
 
-Terms: ?var, <full-iri>, pname:local, "literal" (optional ^^type, matched on
-the lexical form), and the keyword `a` (rdf:type). Full IRIs are reverse-
+Terms: ?var, <full-iri>, pname:local, "literal", "literal"^^dtype,
+"literal"@tag, and the keyword `a` (rdf:type). Full IRIs are reverse-
 mapped onto the store's CURIE vocabulary (iri.NAMESPACES + the per-repo
 gitprov namespace when `repo` is passed; longest namespace prefix wins).
+
+TYPED TERM MODEL (r5): when the queried frame carries obj_type, every
+pattern variable binds a hidden term-metadata companion column
+(queries.TERM_META: 'iri' | datatype CURIE | '@tag' for language-tagged
+literals), so shared-variable joins, MINUS/EXISTS and DISTINCT are
+TERM-correct — "7"^^xsd:int never joins/equals "7"^^xsd:string or "7"@en —
+and DATATYPE/LANG/isIRI/isLiteral/isNumeric compile as map-side
+expressions, no join. EXPLICITLY typed/tagged constants ("x"@en,
+"1"^^xsd:int) match term-exactly in patterns and =/!= FILTERs (numeric
+datatypes compare numerically per §17.1, non-castable operands are type
+errors and the row drops); PLAIN constants keep legacy lexical matching —
+the documented compatibility rule. Where metadata is absent (property-path
+endpoints, bare (s,p,o) frames, vars bound in only some UNION branches)
+everything degrades to value-level behavior. GROUP BY keys and aggregate
+inputs stay value-level (documented divergence).
+
+FILTER inside OPTIONAL (§8.3): a block filter over only block variables
+applies to the block's solutions pre-join (group scoping, equivalent); a
+filter referencing ANY outer variable compiles into the left join's ON
+condition (ARQ's LeftJoin(expr)) — including the outer-only-vars scope
+corner. EXISTS / is* / DATATYPE-containing filters stay block-scoped.
 Solution multiplicity is SPARQL's BAG semantics (§18.5), matching what ARQ
 gives the reference: projecting a subset of the bound variables keeps one
 row per WHERE solution (SELECT DISTINCT dedups), UNION concatenates branch
