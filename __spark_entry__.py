@@ -1902,6 +1902,63 @@ SPARQL_TYPED_TERMS_ORACLE = (
 )
 
 
+def q_sparql_typed_group(spark, sf_dir):
+    """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
+    BY keys carry their hidden term metadata — the same lexical under
+    xsd:int / xsd:string / @en forms THREE groups (the projected key
+    column repeats the lexical) — and COUNT(DISTINCT ?w) counts distinct
+    TERMS, not lexicals. Still ONE hash-aggregate with map-side partials;
+    the meta companion is just an extra narrow key column. The twin
+    groups by (value, meta) explicitly and fingerprints the distinct
+    count over the concatenated pair."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+
+    def meta(shift):
+        k = (F.col("event_id") + shift) % 3
+        return (F.when(k == 0, F.lit("xsd:int"))
+                .when(k == 1, F.lit("xsd:string"))
+                .otherwise(F.lit("@en")))
+
+    def side(pred, obj, shift):
+        return ev.select(
+            F.lit("demo").alias("repo"),
+            F.concat(F.lit("g"), (F.col("event_id") % 20).cast("string"))
+            .alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.cast("string").alias("obj"),
+            meta(shift).alias("obj_type"),
+        )
+
+    triples = side("ev:val", F.col("user_id") % 12, 0).unionByName(
+        side("ev:alt", (F.col("user_id") * 7 + 3) % 12, 1)).distinct()
+    return execute(
+        triples,
+        """
+        SELECT ?v (COUNT(*) AS ?n) (COUNT(DISTINCT ?w) AS ?nw)
+        WHERE { ?g ev:val ?v . ?g ev:alt ?w }
+        GROUP BY ?v
+        """,
+    )
+
+
+SPARQL_TYPED_GROUP_ORACLE = (
+    "WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 2000), "
+    "v AS (SELECT DISTINCT 'g' || CAST(event_id % 20 AS VARCHAR) AS g, "
+    "CAST(user_id % 12 AS VARCHAR) AS val, "
+    "CASE event_id % 3 WHEN 0 THEN 'xsd:int' WHEN 1 THEN 'xsd:string' "
+    "ELSE '@en' END AS m FROM e), "
+    "w AS (SELECT DISTINCT 'g' || CAST(event_id % 20 AS VARCHAR) AS g, "
+    "CAST((user_id * 7 + 3) % 12 AS VARCHAR) AS wal, "
+    "CASE (event_id + 1) % 3 WHEN 0 THEN 'xsd:int' WHEN 1 THEN "
+    "'xsd:string' ELSE '@en' END AS wm FROM e) "
+    "SELECT v.val AS v, COUNT(*) AS n, "
+    "COUNT(DISTINCT w.wal || '|' || w.wm) AS nw "
+    "FROM v JOIN w ON v.g = w.g GROUP BY v.val, v.m"
+)
+
+
 def q_sparql_strlang(spark, sf_dir):
     """Language-tagged terms end-to-end (r5, VERDICT r4 #1): the documents
     table's lang column becomes '@tag' term metadata; LANG() reads real
@@ -2191,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bag_union": q_sparql_bag_union,
         "sparql_bag_path_seq": q_sparql_bag_path_seq,
         "sparql_typed_terms": q_sparql_typed_terms,
+        "sparql_typed_group": q_sparql_typed_group,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2492,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bag_path_seq": SPARQL_BAG_PATH_SEQ_ORACLE,
         "dedup_substr": DEDUP_SUBSTR_ORACLE,
         "sparql_typed_terms": SPARQL_TYPED_TERMS_ORACLE,
+        "sparql_typed_group": SPARQL_TYPED_GROUP_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

@@ -109,6 +109,7 @@ EXTRA_QUERIES = [
     # solutions), FILTER-in-OPTIONAL left-join conditions, seeded
     # NOW/RAND/UUID, and token-window exact-substring dedup
     "sparql_typed_terms",
+    "sparql_typed_group",
     "sparql_strlang",
     "sparql_opt_filter",
     "sparql_now_seeded",

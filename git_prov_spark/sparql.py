@@ -109,8 +109,12 @@ datatypes compare numerically per §17.1, non-castable operands are type
 errors and the row drops); PLAIN constants keep legacy lexical matching —
 the documented compatibility rule. Where metadata is absent (property-path
 endpoints, bare (s,p,o) frames, vars bound in only some UNION branches)
-everything degrades to value-level behavior. GROUP BY keys and aggregate
-inputs stay value-level (documented divergence).
+everything degrades to value-level behavior. GROUP BY keys are
+TERM-level (same lexical under different datatypes/tags groups
+separately; the projected key column shows the lexical, which may then
+repeat across rows) and COUNT(DISTINCT ?v) counts distinct terms;
+other aggregate INPUTS (SUM/MIN/MAX/SAMPLE/GROUP_CONCAT) stay
+value-level (documented divergence).
 
 FILTER inside OPTIONAL (§8.3): a block filter over only block variables
 applies to the block's solutions pre-join (group scoping, equivalent); a
@@ -2411,7 +2415,16 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             if a.func == "count" and a.var is None:
                 c = F.count(F.lit(1))
             elif a.func == "count" and a.distinct:
-                c = F.countDistinct(a.var)
+                # COUNT(DISTINCT ?v) counts distinct TERMS when the var
+                # carries metadata: "7"^^xsd:int and "7"@en are two. The
+                # meta operand is coalesced so multi-arg countDistinct's
+                # any-null row drop fires only on an unbound value.
+                m = term_meta(a.var)
+                if m in df.columns:
+                    c = F.count_distinct(
+                        F.col(a.var), F.coalesce(F.col(m), F.lit("")))
+                else:
+                    c = F.countDistinct(a.var)
             elif a.func == "count":
                 c = F.count(a.var)
             elif a.func in ("sum", "avg"):
@@ -2435,7 +2448,20 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             if a.distinct and a.func != "count":
                 raise SparqlError("DISTINCT is supported on COUNT only")
             cols.append(c.alias(a.alias))
-        grouped = df.groupBy(*q.group_by) if q.group_by else df.groupBy()
+        # GROUP BY is TERM-level where metadata exists (r5): each key's
+        # hidden companion joins the grouping keys, so "7"^^xsd:int and
+        # "7"@en land in different groups (one hash-aggregate either way —
+        # the extra key column changes distribution, not plan shape). The
+        # projection below keeps only the visible value column; a lexical
+        # may therefore legitimately repeat across output rows. Other
+        # aggregate INPUTS (SUM/MIN/MAX/SAMPLE/GROUP_CONCAT) stay
+        # value-level — documented divergence, module doc.
+        gkeys = []
+        for v in q.group_by:
+            gkeys.append(v)
+            if term_meta(v) in df.columns:
+                gkeys.append(term_meta(v))
+        grouped = df.groupBy(*gkeys) if gkeys else df.groupBy()
         df = grouped.agg(*cols).select(*q.select_order)
         if q.distinct:
             # SELECT DISTINCT over aggregated rows: group keys are unique

@@ -268,3 +268,38 @@ def test_canned_bgp_unchanged(spark, typed_graph):
 
     df = bgp(typed_graph, [("?s", "ev:val", "?v")], repo="demo")
     assert df.columns == ["s", "v"]
+
+
+def test_group_by_is_term_level(typed_graph):
+    """GROUP BY splits same-lexical keys by term metadata (r5): the five
+    ev:val objects are five distinct TERMS even though only three lexical
+    forms exist — the projected key column repeats the lexical."""
+    got = _rows(execute(typed_graph, """
+        SELECT ?v (COUNT(*) AS ?n) WHERE { ?s ev:val ?v } GROUP BY ?v
+    """))
+    assert got == [("5", 1), ("5", 1), ("item-1", 1), ("x", 1), ("x", 1)]
+
+
+def test_count_distinct_is_term_level(typed_graph):
+    # ungrouped: 5 terms over 3 lexical forms
+    got = _rows(execute(typed_graph, """
+        SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE { ?s ev:val ?v }
+    """))
+    assert got == [(5,)]
+    # grouped by subject over both predicates: every item holds two
+    # same-lexical-different-meta terms (the conflation cases)
+    got = _rows(execute(typed_graph, """
+        SELECT ?s (COUNT(DISTINCT ?v) AS ?n) WHERE { ?s ?p ?v } GROUP BY ?s
+    """))
+    assert got == [("item-1", 2), ("item-2", 2), ("item-3", 2),
+                   ("item-4", 2), ("item-5", 2)]
+
+
+def test_group_by_degrades_to_value_level_without_meta(spark):
+    t = spark.createDataFrame(
+        [("demo", "a", "ev:p", "5"), ("demo", "b", "ev:p", "5")],
+        "repo string, subj string, pred string, obj string")
+    got = _rows(execute(t, """
+        SELECT ?v (COUNT(*) AS ?n) WHERE { ?s ev:p ?v } GROUP BY ?v
+    """))
+    assert got == [("5", 2)]
