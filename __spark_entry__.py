@@ -1271,6 +1271,36 @@ SPARQL_DESCRIBE_ORACLE = (
 )
 
 
+def q_sparql_describe_where(spark, sf_dir):
+    """DESCRIBE ?u WHERE { ... } (r5, §16.4): describes every resource the
+    variable binds to over the WHERE solutions — compiled as ONE left-semi
+    join of the store against the distinct resource set (never a
+    driver-collected isin list, so the resource set may be arbitrarily
+    large). The twin is the equivalent IN-subquery."""
+    from git_prov_spark.sparql import describe
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("ev:user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    return describe(
+        triples, "DESCRIBE ?u WHERE { ?u ev:did_purchase ?e }")
+
+
+SPARQL_DESCRIBE_WHERE_ORACLE = (
+    "WITH t AS (SELECT 'ev:user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj, 'iri' AS obj_type "
+    "FROM events) "
+    "SELECT subj, pred, obj, obj_type FROM t WHERE subj IN "
+    "(SELECT DISTINCT subj FROM t WHERE pred = 'ev:did_purchase')"
+)
+
+
 def q_sparql_union(spark, sf_dir):
     """SPARQL UNION branches: alternatives compile to unionByName of the
     branch BGPs (null-padding unshared vars), multiset concatenation per
@@ -1902,6 +1932,53 @@ SPARQL_TYPED_TERMS_ORACLE = (
 )
 
 
+def q_sparql_typed_inline(spark, sf_dir):
+    """Typed terms in inline data (r5): an all-typed VALUES column joins
+    the pattern var TERM-exactly through its hidden metadata companion
+    (one broadcast equi-join on (value, meta) — never a value-level match
+    that would leak same-lexical other-type terms), and a typed NOT IN
+    member routes through the term-equality = compile (§17.4.1.9). The
+    twin spells out the (value, meta) disjunction the two constructs
+    reduce to."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 600)
+    lex = (F.col("user_id") % 30).cast("string")
+    k = F.col("event_id") % 3
+    meta = (F.when(k == 0, F.lit("xsd:int"))
+            .when(k == 1, F.lit("xsd:string"))
+            .otherwise(F.lit("@en")))
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:val").alias("pred"),
+        lex.alias("obj"),
+        meta.alias("obj_type"),
+    )
+    return execute(
+        triples,
+        """
+        SELECT ?a ?v WHERE {
+          ?a ev:val ?v .
+          VALUES ?v { "3"^^xsd:int "7"@en "11"^^xsd:string } .
+          FILTER(?v NOT IN ("7"@en))
+        }
+        """,
+    )
+
+
+SPARQL_TYPED_INLINE_ORACLE = (
+    "WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 600), "
+    "v AS (SELECT 's' || CAST(event_id AS VARCHAR) AS a, "
+    "CAST(user_id % 30 AS VARCHAR) AS val, "
+    "CASE event_id % 3 WHEN 0 THEN 'xsd:int' WHEN 1 THEN 'xsd:string' "
+    "ELSE '@en' END AS m FROM e) "
+    "SELECT a, val AS v FROM v "
+    "WHERE (val = '3' AND m = 'xsd:int') "
+    "OR (val = '11' AND m = 'xsd:string')"
+)
+
+
 def q_sparql_typed_group(spark, sf_dir):
     """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
     BY keys carry their hidden term metadata — the same lexical under
@@ -2249,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bag_path_seq": q_sparql_bag_path_seq,
         "sparql_typed_terms": q_sparql_typed_terms,
         "sparql_typed_group": q_sparql_typed_group,
+        "sparql_typed_inline": q_sparql_typed_inline,
+        "sparql_describe_where": q_sparql_describe_where,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2551,6 +2630,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substr": DEDUP_SUBSTR_ORACLE,
         "sparql_typed_terms": SPARQL_TYPED_TERMS_ORACLE,
         "sparql_typed_group": SPARQL_TYPED_GROUP_ORACLE,
+        "sparql_typed_inline": SPARQL_TYPED_INLINE_ORACLE,
+        "sparql_describe_where": SPARQL_DESCRIBE_WHERE_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

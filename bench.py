@@ -110,6 +110,8 @@ EXTRA_QUERIES = [
     # NOW/RAND/UUID, and token-window exact-substring dedup
     "sparql_typed_terms",
     "sparql_typed_group",
+    "sparql_typed_inline",
+    "sparql_describe_where",
     "sparql_strlang",
     "sparql_opt_filter",
     "sparql_now_seeded",

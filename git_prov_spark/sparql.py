@@ -12,7 +12,9 @@ Supported subset (documented, validated — anything else raises SparqlError):
     PREFIX foo: <iri>                           -- any number
     CONSTRUCT { s p o . ... }                   -- template → triple DF
     ASK { ... }                                 -- → bool (ask())
-    DESCRIBE term [term ...]                    -- → subject triples, no WHERE
+    DESCRIBE term|?var [...] [WHERE { ... }]    -- → subject triples (vars
+                                                --   need the WHERE; one
+                                                --   semi join, no collect)
     SELECT [DISTINCT] ?a ?b | *                 -- projection
     SELECT ?a (expr AS ?alias) ...              -- expression projection
                                                 --   (non-aggregate queries)
@@ -104,10 +106,14 @@ literals), so shared-variable joins, MINUS/EXISTS and DISTINCT are
 TERM-correct — "7"^^xsd:int never joins/equals "7"^^xsd:string or "7"@en —
 and DATATYPE/LANG/isIRI/isLiteral/isNumeric compile as map-side
 expressions, no join. EXPLICITLY typed/tagged constants ("x"@en,
-"1"^^xsd:int) match term-exactly in patterns and =/!= FILTERs (numeric
-datatypes compare numerically per §17.1, non-castable operands are type
-errors and the row drops); PLAIN constants keep legacy lexical matching —
-the documented compatibility rule. Where metadata is absent (property-path
+"1"^^xsd:int) match term-exactly in patterns, =/!= FILTERs, [NOT] IN
+lists (each typed member compiles through the = path per §17.4.1.9) and
+VALUES blocks (an all-typed column joins term-exactly via its companion
+and can INTRODUCE typed terms; mixing plain and typed in one column is
+a loud error) — numeric datatypes compare numerically per §17.1,
+non-castable operands are type errors and the row drops; PLAIN
+constants keep legacy lexical matching — the documented compatibility
+rule. Where metadata is absent (property-path
 endpoints, bare (s,p,o) frames, vars bound in only some UNION branches)
 everything degrades to value-level behavior. GROUP BY keys are
 TERM-level (same lexical under different datatypes/tags groups
@@ -329,6 +335,8 @@ class SelectQuery:
     construct: list[Pattern] | None = None  # CONSTRUCT template
     form: str = "select"                    # select | construct | ask | describe
     describe_terms: list[str] = field(default_factory=list)
+    describe_vars: list[str] = field(default_factory=list)
+    describe_where: bool = False            # a WHERE clause was parsed
 
 
 class _Parser:
@@ -389,15 +397,27 @@ class _Parser:
             self.q.form = "ask"
         elif self._kw("DESCRIBE"):
             self.q.form = "describe"
-            while self._peek()[0] in ("pname", "iri"):
-                self.q.describe_terms.append(self._term(as_pattern=False))
-            if not self.q.describe_terms:
-                raise SparqlError("DESCRIBE needs one or more constant terms")
-            if self._peek()[0] != "eof":
+            while True:
+                k = self._peek()[0]
+                if k in ("pname", "iri"):
+                    self.q.describe_terms.append(
+                        self._term(as_pattern=False))
+                elif k == "var":
+                    self.q.describe_vars.append(self._next()[1][1:])
+                else:
+                    break
+            if not self.q.describe_terms and not self.q.describe_vars:
                 raise SparqlError(
-                    f"DESCRIBE takes no WHERE clause (at {self._peek()[1]!r})"
-                )
-            return self.q
+                    "DESCRIBE needs one or more constant terms or ?vars")
+            if self._peek()[0] == "eof":
+                if self.q.describe_vars:
+                    raise SparqlError(
+                        "DESCRIBE with variables needs a WHERE clause "
+                        "(§16.4: the vars must be bound by a pattern)")
+                return self.q
+            # DESCRIBE ... WHERE { ... }: the group binds the describe
+            # vars; constants are described unconditionally (ARQ-style)
+            self.q.describe_where = True
         else:
             self._expect("SELECT")
             self.q.distinct = self._kw("DISTINCT")
@@ -925,16 +945,22 @@ class _Parser:
                     "VALUES rows must be constant and match the var list "
                     "(UNDEF is out of subset)"
                 )
-            if any(isinstance(t, TypedLit) for t in row):
-                raise SparqlError(
-                    "explicitly typed/tagged literals in VALUES are out of "
-                    "subset (the inline relation is value-level; bind the "
-                    "term in a pattern instead)"
-                )
             rows.append(tuple(row))
         self.i += 1
         if not rows:
             raise SparqlError("empty VALUES block")
+        # Per-column term discipline: a column is either ALL explicitly
+        # typed/tagged (term-exact inline terms) or ALL plain (legacy
+        # value-level matching). Mixing would silently give two different
+        # join semantics inside one inline relation — reject loudly.
+        for j, n in enumerate(names):
+            flags = [isinstance(r[j], TypedLit) for r in rows]
+            if any(flags) and not all(flags):
+                raise SparqlError(
+                    f"VALUES column ?{n} mixes plain and explicitly "
+                    "typed/tagged literals (a column is term-exact or "
+                    "value-level as a whole; split the VALUES block)"
+                )
         self.q.values_blocks.append((names, rows))
 
     def _parse_filter(self) -> None:
@@ -1073,11 +1099,6 @@ class _Parser:
                 v = self._term(as_pattern=False)
                 if v.startswith("?"):
                     raise SparqlError("IN list must be constants")
-                if isinstance(v, TypedLit):
-                    raise SparqlError(
-                        "explicitly typed/tagged literals in IN lists are "
-                        "out of subset (IN compares values; use = with the "
-                        "typed constant for a term-exact test)")
                 values.append(v)
                 nxt = self._next()[1]
                 if nxt == ")":
@@ -1645,7 +1666,20 @@ def _filter_col(expr: FilterExpr, df: DataFrame) -> F.Column:
         return {"strstarts": a.startswith(b), "strends": a.endswith(b),
                 "contains": a.contains(b)}[expr[1]]
     if kind == "in":
-        cond = _bind_col(expr[1], df).isin(*expr[2])
+        # §17.4.1.9: e IN (x1, x2) ≡ e = x1 || e = x2 — typed/tagged
+        # members route through the SAME = compile (term equality /
+        # numeric promotion), plain members keep the one-shot isin
+        plain = [v for v in expr[2] if not isinstance(v, TypedLit)]
+        conds = []
+        if plain:
+            conds.append(_bind_col(expr[1], df).isin(*plain))
+        conds.extend(
+            _filter_col(("cmp", "=", expr[1], ("const", v)), df)
+            for v in expr[2] if isinstance(v, TypedLit)
+        )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
         return ~cond if expr[3] else cond
     if kind == "termfn":
         # nested isIRI/isLiteral/isNumeric (inside !, ||, IF, ...) is a row
@@ -2013,7 +2047,7 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
     UNION/OPTIONAL/MINUS blocks + VALUES/BIND columns + FILTER row
     predicates, one column per bound variable."""
     if (not q.patterns and not q.path_patterns and not q.unions
-            and not q.subqueries and not q.graphs):
+            and not q.subqueries and not q.graphs and not q.values_blocks):
         raise SparqlError("WHERE contains no triple patterns")
     df = bgp(triples, q.patterns, repo=repo, typed=True) if q.patterns else None
     for pp_idx, (s, raw_expr, o) in enumerate(q.path_patterns):
@@ -2169,14 +2203,43 @@ def _solutions(triples: DataFrame, q: SelectQuery, repo: str | None) -> DataFram
             df = df.join(m.select(*shared).distinct(), shared, "left_anti")
     for names, rows in q.values_blocks:
         spark = triples.sparkSession
+        # an all-typed column (parser-enforced: no mixing) carries its
+        # term metadata as the hidden companion, so the inline relation
+        # joins TERM-exactly against metadata-carrying pattern vars and
+        # can introduce typed terms for downstream joins/builtins; plain
+        # columns keep the legacy value-level equi-join
+        typed = [isinstance(rows[0][j], TypedLit) for j in range(len(names))]
+        cols: list[str] = []
+        for j, n in enumerate(names):
+            cols.append(n)
+            if typed[j]:
+                cols.append(term_meta(n))
+        data = [
+            tuple(x for j, v in enumerate(r)
+                  for x in ((str(v), v.meta) if typed[j] else (str(v),)))
+            for r in rows
+        ]
         vdf = spark.createDataFrame(
-            rows, ", ".join(f"{n} string" for n in names)
+            data, ", ".join(f"`{c}` string" for c in cols)
         )
         if df is None:
             df = vdf
         else:
             shared = [c for c in names if c in df.columns]
-            df = df.join(F.broadcast(vdf), shared) if shared \
+            # term-exact join keys where BOTH sides carry the companion;
+            # a meta-less outer var degrades to the value join (documented)
+            join_keys = list(shared)
+            drop_metas = []
+            for n in shared:
+                if not typed[names.index(n)]:
+                    continue
+                if term_meta(n) in df.columns:
+                    join_keys.append(term_meta(n))
+                else:
+                    drop_metas.append(term_meta(n))
+            if drop_metas:
+                vdf = vdf.drop(*drop_metas)
+            df = df.join(F.broadcast(vdf), join_keys) if join_keys \
                 else df.crossJoin(F.broadcast(vdf))
     for expr, name in q.binds:
         df = _apply_bind(df, expr, name, triples, repo)
@@ -2344,21 +2407,47 @@ def ask(triples: DataFrame, query: str, repo: str | None = None) -> bool:
 
 def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
     """Run a SPARQL DESCRIBE (subset) string: all triples whose subject is
-    one of the given constant terms — (subj, pred, obj, obj_type). The
-    subject filter pushes down to the scan; with the partitioned store it
-    prunes to the repo's buckets."""
+    one of the given constant terms, or (r5, §16.4) one of the values a
+    DESCRIBE variable takes over the WHERE clause's solutions —
+    (subj, pred, obj, obj_type). Constant-only DESCRIBE stays a pushed-down
+    subject filter; the WHERE form compiles to ONE left-semi join of the
+    store against the distinct resource set (never a collected isin list —
+    the resource set is unbounded), with constants described
+    unconditionally (ARQ behavior) via a unioned literal row."""
     q = parse(query, repo=repo)
     if q.form != "describe":
         raise SparqlError(f"{q.form.upper()} query: use the matching function")
     df = triples
     if repo is not None:
         df = df.where(F.col("repo") == repo)
-    out = df.where(F.col("subj").isin(q.describe_terms)).select(
+    if not q.describe_where:
+        out = df.where(F.col("subj").isin(q.describe_terms)).select(
+            "subj", "pred", "obj", "obj_type"
+        )
+        if repo is None and "repo" in df.columns:
+            # a DESCRIBE result is a GRAPH: cross-repo, dedup the merge so
+            # a triple stored in several repos appears once
+            out = out.distinct()
+        return out
+    sol = _solutions(triples, q, repo)
+    missing = [v for v in q.describe_vars if v not in sol.columns]
+    if missing:
+        raise SparqlError(f"DESCRIBE of unbound variables: {missing}")
+    spark = triples.sparkSession
+    parts = [
+        sol.select(F.col(v).alias("subj")).where(F.col(v).isNotNull())
+        for v in q.describe_vars
+    ]
+    if q.describe_terms:
+        parts.append(spark.createDataFrame(
+            [(t,) for t in q.describe_terms], "subj string"))
+    resources = parts[0]
+    for p in parts[1:]:
+        resources = resources.unionByName(p)
+    out = df.join(resources.distinct(), "subj", "left_semi").select(
         "subj", "pred", "obj", "obj_type"
     )
     if repo is None and "repo" in df.columns:
-        # a DESCRIBE result is a GRAPH: cross-repo, dedup the merge so a
-        # triple stored in several repos appears once
         out = out.distinct()
     return out
 

@@ -618,10 +618,29 @@ def test_query_form_dispatch(triples_df):
         describe(triples_df, "ASK { ?s ?p ?o }", repo=HOT)
     with pytest.raises(SparqlError):
         execute(triples_df, "ASK { ?s ?p ?o }", repo=HOT)
-    with pytest.raises(SparqlError):   # DESCRIBE with WHERE is out of subset
-        parse("DESCRIBE gitprov:x WHERE { ?s ?p ?o }")
-    with pytest.raises(SparqlError):   # DESCRIBE needs a constant
+    with pytest.raises(SparqlError):   # DESCRIBE ?var REQUIRES a WHERE
         parse("DESCRIBE ?x")
+    q = parse("DESCRIBE gitprov:x ?y WHERE { ?y a prov:Entity }")
+    assert (q.describe_terms, q.describe_vars, q.describe_where) == (
+        ["gitprov:x"], ["y"], True)
+
+
+def test_describe_with_where(triples_df, oracle_set):
+    """DESCRIBE ?a WHERE { ... } (§16.4): describes every resource the var
+    binds to — here all activities — via one semi join, no collected list."""
+    from git_prov_spark.sparql import describe
+
+    got = describe(triples_df,
+                   "DESCRIBE ?c WHERE { ?c a prov:Activity }", repo=HOT)
+    commits = {s for r, s, p, o, _ in oracle_set
+               if r == HOT and p == "rdf:type" and o == "prov:Activity"}
+    expected = {(s, p, o) for r, s, p, o, _ in oracle_set
+                if r == HOT and s in commits}
+    assert {(r.subj, r.pred, r.obj) for r in got.collect()} == expected
+    # unbound describe var is a loud error
+    with pytest.raises(SparqlError, match="unbound"):
+        describe(triples_df,
+                 "DESCRIBE ?nope WHERE { ?c a prov:Activity }", repo=HOT)
 
 
 def test_parse_fuzz_aggregates_unions_roundtrip():

@@ -241,15 +241,53 @@ def test_projection_expression_general(typed_graph):
     assert got == [("item-3", "X!")]
 
 
-def test_typed_literals_rejected_in_values_and_in(typed_graph):
-    with pytest.raises(SparqlError, match="VALUES"):
-        execute(typed_graph,
-                'SELECT ?s WHERE { ?s ev:val ?v . '
-                'VALUES ?v { "5"^^xsd:int } }')
-    with pytest.raises(SparqlError, match="IN list"):
-        execute(typed_graph,
-                'SELECT ?s WHERE { ?s ev:val ?v . '
-                'FILTER(?v IN ("5"^^xsd:int)) }')
+def test_typed_literals_in_in_lists(typed_graph):
+    """§17.4.1.9: each typed IN member routes through the = compile, so
+    non-numeric typed members are TERM-exact while plain members keep the
+    legacy value-level isin."""
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:alt ?v .
+                          FILTER(?v IN ("x"@fr, "x"@en)) }"""))
+    assert got == [("item-3",), ("item-4",)]
+    # mixed plain + typed members: plain "item-1" matches item-5's IRI
+    # object value-level, "x"@en matches item-3's ev:val term-exactly
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:val ?v .
+                          FILTER(?v IN ("x"@en, "item-1")) }"""))
+    assert got == [("item-3",), ("item-5",)]
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:alt ?v .
+                          FILTER(?v NOT IN ("x"@fr, "x"@en)) }"""))
+    assert got == [("item-1",), ("item-2",), ("item-5",)]
+
+
+def test_typed_literals_in_values(typed_graph):
+    """An all-typed VALUES column joins term-exactly via its hidden
+    companion; a plain column keeps value-level matching; mixing plain
+    and typed in one column is rejected."""
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:val ?v . VALUES ?v { "5"^^xsd:int "x"@en } }
+    """))
+    assert got == [("item-1",), ("item-3",)]
+    # plain column: legacy value-level (both "5" terms match)
+    got = _rows(execute(typed_graph, """
+        SELECT ?s WHERE { ?s ev:val ?v . VALUES ?v { "5" } }"""))
+    assert got == [("item-1",), ("item-2",)]
+    with pytest.raises(SparqlError, match="mixes"):
+        execute(typed_graph, """
+            SELECT ?s WHERE { ?s ev:val ?v . VALUES ?v { "5"^^xsd:int "x" } }
+        """)
+
+
+def test_values_introduces_typed_terms(typed_graph):
+    """A VALUES-introduced typed term carries its metadata into downstream
+    builtins (LANG/DATATYPE read the companion, no pattern needed)."""
+    got = _rows(execute(typed_graph, """
+        SELECT ?lg ?dt WHERE {
+          VALUES (?v ?w) { ("hello"@en-GB "7"^^xsd:int) } .
+          BIND(LANG(?v) AS ?lg) . BIND(DATATYPE(?w) AS ?dt)
+        }"""))
+    assert got == [("en-gb", "xsd:int")]
 
 
 def test_bare_frame_degrades_to_lexical(spark):
