@@ -1979,6 +1979,44 @@ SPARQL_TYPED_INLINE_ORACLE = (
 )
 
 
+def q_sparql_agg_expr(spark, sf_dir):
+    """Aggregates over value expressions (r5): SUM(?v * ?v),
+    MAX(STRLEN(?v)) and COUNT(DISTINCT CONCAT(...)) compile the argument
+    map-side with the BIND expression compiler and feed the SAME single
+    hash-aggregate as plain-var aggregates — no extra shuffle, no subplan.
+    Numeric values are integral so the double sums are FP-exact and
+    engine-order-independent (the compare hashes repr(float))."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string"))
+        .alias("subj"),
+        F.lit("ev:n").alias("pred"),
+        (F.col("event_id") % 23).cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    ).distinct()
+    return execute(
+        triples,
+        """
+        SELECT ?u (SUM(?v * ?v) AS ?ss) (MAX(STRLEN(?v)) AS ?mx)
+               (COUNT(DISTINCT CONCAT(?v, "!")) AS ?nc)
+        WHERE { ?u ev:n ?v }
+        GROUP BY ?u
+        """,
+    )
+
+
+SPARQL_AGG_EXPR_ORACLE = (
+    "WITH t AS (SELECT DISTINCT 'u' || CAST(user_id % 50 AS VARCHAR) AS u, "
+    "CAST(event_id % 23 AS VARCHAR) AS val FROM events) "
+    "SELECT u, SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)) AS ss, "
+    "MAX(length(val)) AS mx, COUNT(DISTINCT val || '!') AS nc "
+    "FROM t GROUP BY u"
+)
+
+
 def q_sparql_typed_group(spark, sf_dir):
     """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
     BY keys carry their hidden term metadata — the same lexical under
@@ -2328,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_typed_group": q_sparql_typed_group,
         "sparql_typed_inline": q_sparql_typed_inline,
         "sparql_describe_where": q_sparql_describe_where,
+        "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2632,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_typed_group": SPARQL_TYPED_GROUP_ORACLE,
         "sparql_typed_inline": SPARQL_TYPED_INLINE_ORACLE,
         "sparql_describe_where": SPARQL_DESCRIBE_WHERE_ORACLE,
+        "sparql_agg_expr": SPARQL_AGG_EXPR_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

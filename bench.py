@@ -112,6 +112,7 @@ EXTRA_QUERIES = [
     "sparql_typed_group",
     "sparql_typed_inline",
     "sparql_describe_where",
+    "sparql_agg_expr",
     "sparql_strlang",
     "sparql_opt_filter",
     "sparql_now_seeded",

@@ -20,9 +20,11 @@ Supported subset (documented, validated — anything else raises SparqlError):
                                                 --   (non-aggregate queries)
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo)                     --   MIN, MAX, AVG (lexical
-           (GROUP_CONCAT(?v; SEPARATOR=",")     --   -> double), SAMPLE (min
-                AS ?cs) ...                     --   witness), GROUP_CONCAT
-    WHERE { s p o . s p o .                     --   (sorted, deterministic)
+           (SUM(?a * ?b) AS ?dot)               --   -> double), SAMPLE (min
+           (GROUP_CONCAT(?v; SEPARATOR=",")     --   witness), GROUP_CONCAT
+                AS ?cs) ...                     --   (sorted, deterministic);
+    WHERE { s p o . s p o .                     --   args may be full value
+                                                --   expressions (r5)
             { SELECT ... } .                    -- subquery (SPARQL 1.1 §12):
                                                 --   evaluates bottom-up, then
                                                 --   joins on projected vars
@@ -297,10 +299,11 @@ class Group:
 @dataclass
 class Agg:
     func: str             # 'count'|'sum'|'min'|'max'|'avg'|'sample'|'group_concat'
-    var: str | None       # None = COUNT(*)
+    var: str | None       # plain-?var argument; None = COUNT(*) or expr arg
     distinct: bool
     alias: str            # output column name (no '?')
     sep: str = " "        # GROUP_CONCAT separator (SEPARATOR=".." clause)
+    expr: tuple | None = None  # value-expression argument (BindExpr), r5
 
 
 @dataclass
@@ -617,15 +620,22 @@ class _Parser:
         func = fn.lower()
         self._expect("(")
         distinct = self._kw("DISTINCT")
-        kind, arg = self._next()
-        if arg == "*":
+        var: str | None = None
+        expr: tuple | None = None
+        if self._peek()[1] == "*":
+            self.i += 1
             if func != "count" or distinct:
                 raise SparqlError("only COUNT(*) may take *")
-            var = None
-        elif kind == "var":
-            var = arg[1:]
+        elif (self._peek()[0] == "var"
+              and self.i + 1 < len(self.toks)
+              and self.toks[self.i + 1][1] in (")", ";")):
+            # plain ?var argument (the fast path: meta-aware COUNT
+            # DISTINCT and column-direct aggregation)
+            var = self._next()[1][1:]
         else:
-            raise SparqlError(f"aggregate argument must be ?var or *, got {arg!r}")
+            # full value-expression argument (r5): SUM(?a * ?b),
+            # MIN(STRLEN(?x)), COUNT(DISTINCT CONCAT(?a, ?b)), ...
+            expr = self._parse_bind_expr()
         sep = " "
         if self._peek()[1] == ";":  # GROUP_CONCAT(?v; SEPARATOR=", ")
             if func != "group_concat":
@@ -645,7 +655,7 @@ class _Parser:
             raise SparqlError("AS needs a ?alias variable")
         self._expect(")")
         return Agg(func=func, var=var, distinct=distinct, alias=alias[1:],
-                   sep=sep)
+                   sep=sep, expr=expr)
 
     def _parse_group(self) -> None:
         while True:
@@ -2501,8 +2511,15 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
         for a in q.aggregates:
             if a.var is not None and a.var not in df.columns:
                 raise SparqlError(f"aggregate over unbound variable ?{a.var}")
-            if a.func == "count" and a.var is None:
+            # value-expression argument (r5): compiled map-side by the same
+            # BIND expression compiler, then aggregated — SUM(?a * ?b) is
+            # one projected column into the same single hash-aggregate
+            arg = _bind_col(a.expr, df) if a.expr is not None else (
+                F.col(a.var) if a.var is not None else None)
+            if a.func == "count" and arg is None:
                 c = F.count(F.lit(1))
+            elif a.func == "count" and a.distinct and a.expr is not None:
+                c = F.countDistinct(arg)
             elif a.func == "count" and a.distinct:
                 # COUNT(DISTINCT ?v) counts distinct TERMS when the var
                 # carries metadata: "7"^^xsd:int and "7"@en are two. The
@@ -2515,23 +2532,23 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
                 else:
                     c = F.countDistinct(a.var)
             elif a.func == "count":
-                c = F.count(a.var)
+                c = F.count(arg)
             elif a.func in ("sum", "avg"):
                 # SPARQL SUM/AVG over numeric literals: cast the lexical form
                 agg_fn = F.sum if a.func == "sum" else F.avg
-                c = agg_fn(F.col(a.var).cast("double"))
+                c = agg_fn(arg.cast("double"))
             elif a.func == "min":
-                c = F.min(a.var)
+                c = F.min(arg)
             elif a.func == "max":
-                c = F.max(a.var)
+                c = F.max(arg)
             elif a.func == "sample":
                 # SPARQL SAMPLE is implementation-defined; pick min for a
                 # deterministic (and oracle-reproducible) witness
-                c = F.min(a.var)
+                c = F.min(arg)
             else:  # group_concat — sorted for determinism (ARQ emits
                 # solution order, which a distributed plan cannot promise)
                 c = F.array_join(
-                    F.array_sort(F.collect_list(F.col(a.var).cast("string"))),
+                    F.array_sort(F.collect_list(arg.cast("string"))),
                     a.sep,
                 )
             if a.distinct and a.func != "count":

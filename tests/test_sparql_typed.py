@@ -341,3 +341,26 @@ def test_group_by_degrades_to_value_level_without_meta(spark):
         SELECT ?v (COUNT(*) AS ?n) WHERE { ?s ev:p ?v } GROUP BY ?v
     """))
     assert got == [("5", 2)]
+
+
+def test_aggregate_over_expressions(spark):
+    """r5: aggregate arguments may be full value expressions, compiled
+    map-side into the same single hash-aggregate."""
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g1", "ev:n", "10", "xsd:int"),
+         ("demo", "g2", "ev:n", "3", "xsd:int")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    got = _rows(execute(t, """
+        SELECT ?g (SUM(?v * ?v) AS ?ss) (MIN(STRLEN(?v)) AS ?lo)
+               (COUNT(DISTINCT CONCAT(?v, "x")) AS ?n)
+        WHERE { ?g ev:n ?v } GROUP BY ?g"""))
+    assert got == [("g1", 104.0, 1, 2), ("g2", 9.0, 1, 1)]
+    got = _rows(execute(t, """
+        SELECT (SUM(STRLEN(?v)) AS ?n) WHERE { ?g ev:n ?v }"""))
+    assert got == [(4.0,)]
+    # plain-var args keep their parse shape (the meta-aware fast path)
+    from git_prov_spark.sparql import parse
+    q = parse("SELECT ?g (COUNT(DISTINCT ?v) AS ?n) "
+              "WHERE { ?g ev:n ?v } GROUP BY ?g")
+    assert q.aggregates[0].var == "v" and q.aggregates[0].expr is None
