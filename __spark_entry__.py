@@ -1876,6 +1876,48 @@ DEDUP_SUBSTR_ORACLE = (
 )
 
 
+def q_dedup_url(spark, sf_dir):
+    """Canonical-URL dedup (r5, the crawl-side pass real LLM pipelines run
+    before any content dedup): four URL spellings of the same page —
+    www./case/default-port/trailing-slash/fragment/tracking-param/query-
+    order variants — canonicalize to one key map-side (regexp + array
+    built-ins, zero shuffle), then the exact_dupes shape: ONE hash-
+    aggregate (min id per canon) + a narrow join back. The twin computes
+    the expected canonical closed-form from the same arithmetic, so the
+    engine's canonicalization is verified against an independently
+    derived answer, not a re-implementation."""
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 25).cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.Site"), k,
+                                F.lit(".com/a/b?utm_source=x&q="), m))
+        .when(v == 1, F.concat(F.lit("HTTPS://site"), k,
+                               F.lit(".com:443/a/b/?q="), m,
+                               F.lit("&utm_campaign=y")))
+        .when(v == 2, F.concat(F.lit("https://site"), k,
+                               F.lit(".com/a/b?q="), m))
+        .otherwise(F.concat(F.lit("http://other"), k, F.lit(".org/p"), m,
+                            F.lit("#frag")))
+    )
+    return dedup.url_dupes(docs.select("doc_id", url.alias("url")))
+
+
+DEDUP_URL_ORACLE = (
+    "WITH d AS (SELECT doc_id, CAST(doc_id % 25 AS VARCHAR) AS k, "
+    "CAST(doc_id % 5 AS VARCHAR) AS m, doc_id % 4 AS v FROM documents), "
+    "c AS (SELECT doc_id, CASE WHEN v <= 2 "
+    "THEN 'https://site' || k || '.com/a/b?q=' || m "
+    "ELSE 'http://other' || k || '.org/p' || m END AS canon_url FROM d), "
+    "f AS (SELECT canon_url, MIN(doc_id) AS canonical_id FROM c "
+    "GROUP BY canon_url) "
+    "SELECT c.doc_id AS doc_id, c.canon_url AS canon_url, "
+    "f.canonical_id AS canonical_id FROM c JOIN f USING (canon_url) "
+    "WHERE c.doc_id > f.canonical_id"
+)
+
+
 def q_sparql_typed_terms(spark, sf_dir):
     """First-class typed literal terms (r5, VERDICT r4 #1): every variable
     carries a hidden term-metadata companion (queries.TERM_META), so the
@@ -2380,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_spans": q_dedup_spans,
         "dedup_substr": q_dedup_substr,
+        "dedup_url": q_dedup_url,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_semantic": q_dedup_semantic,
         "corpus_cluster_sample": q_corpus_cluster_sample,
@@ -2667,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bag_union": SPARQL_BAG_UNION_ORACLE,
         "sparql_bag_path_seq": SPARQL_BAG_PATH_SEQ_ORACLE,
         "dedup_substr": DEDUP_SUBSTR_ORACLE,
+        "dedup_url": DEDUP_URL_ORACLE,
         "sparql_typed_terms": SPARQL_TYPED_TERMS_ORACLE,
         "sparql_typed_group": SPARQL_TYPED_GROUP_ORACLE,
         "sparql_typed_inline": SPARQL_TYPED_INLINE_ORACLE,

@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "sparql_opt_filter",
     "sparql_now_seeded",
     "dedup_substr",
+    "dedup_url",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

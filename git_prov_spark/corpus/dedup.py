@@ -528,3 +528,70 @@ def embedding_dupe_pairs(
         .where(F.col("cos") >= threshold)
         .select("v1", "v2", F.round("cos", 4).alias("cos_r"))
     )
+
+
+# -- canonical-URL dedup ----------------------------------------------------
+#
+# Web-crawl pipelines dedup by CANONICAL URL before any content pass: the
+# same page is fetched as http/https, with/without www., default ports,
+# trailing slashes, fragments, tracking params, and shuffled query order.
+# Everything here is pure column expressions (regexp + array built-ins) —
+# map-side, codegen, zero shuffle for canonicalization; the dedup itself is
+# the exact_dupes shape (ONE hash-aggregate on the canonical string + a
+# narrow join back). Reference scope note: the git-prov reference has no
+# crawl layer; this is part of the prompt-mandated LLM-pipeline suite.
+
+#: query params that never identify content (stripped during
+#: canonicalization; extend per deployment)
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)="
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical form of a URL column, step by step: lowercase scheme and
+    host, strip a leading 'www.', strip default :80/:443 ports, drop the
+    fragment, strip trailing path slashes ('' path → '/'), drop tracking
+    query params (TRACKING_PARAM_RE) and SORT the survivors (query order
+    never identifies content). Scheme-relative inputs and bare hosts
+    canonicalize too (missing scheme kept missing — this is a KEY, not a
+    fetchable address)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    authority = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    authority = F.regexp_replace(authority, r"^www\.", "")
+    authority = F.regexp_replace(authority, r":(80|443)$", "")
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+    canon_q = F.array_join(params, "&")
+    return F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        authority,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
+def url_dupes(df: DataFrame, id_col: str = "doc_id",
+              url: str = "url") -> DataFrame:
+    """Docs whose canonical URL already appeared under a lower id:
+    (doc_id, canon_url, canonical_id). The exact_dupes scale shape — the
+    canonical string is computed map-side, aggregated once (min id per
+    canon), and joined back on the canon key; raw URLs never shuffle
+    beyond their canonical form."""
+    canon = df.select(
+        F.col(id_col), canonical_url(F.col(url)).alias("canon_url")
+    )
+    first = canon.groupBy("canon_url").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        canon.join(first, "canon_url")
+        .where(F.col(id_col) > F.col("canonical_id"))
+        .select(id_col, "canon_url", "canonical_id")
+    )
