@@ -2059,6 +2059,45 @@ SPARQL_AGG_EXPR_ORACLE = (
 )
 
 
+def q_sparql_having_inline(spark, sf_dir):
+    """Inline HAVING aggregates (r5): HAVING (SUM(?v * ?v) > n) with no
+    matching projection aggregate compiles to a hidden column of the SAME
+    single hash-aggregate (no second shuffle, no subplan), the group
+    filter runs pre-projection per SPARQL §18.2.4, and the hidden column
+    never leaks into the result. Also exercises the GROUP-BY-without-
+    projection-aggregate form that the inline support newly admits.
+    Sums are over integral values, so FP-exact and order-independent."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string"))
+        .alias("subj"),
+        F.lit("ev:n").alias("pred"),
+        (F.col("event_id") % 19).cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    ).distinct()
+    return execute(
+        triples,
+        """
+        SELECT ?u (COUNT(*) AS ?n)
+        WHERE { ?u ev:n ?v }
+        GROUP BY ?u
+        HAVING (SUM(?v * ?v) > 1000) HAVING (AVG(?v) < 10)
+        """,
+    )
+
+
+SPARQL_HAVING_INLINE_ORACLE = (
+    "WITH t AS (SELECT DISTINCT 'u' || CAST(user_id % 40 AS VARCHAR) AS u, "
+    "CAST(event_id % 19 AS VARCHAR) AS val FROM events) "
+    "SELECT u, COUNT(*) AS n FROM t GROUP BY u "
+    "HAVING SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)) > 1000 "
+    "AND AVG(CAST(val AS DOUBLE)) < 10"
+)
+
+
 def q_sparql_typed_group(spark, sf_dir):
     """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
     BY keys carry their hidden term metadata — the same lexical under
@@ -2409,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_typed_inline": q_sparql_typed_inline,
         "sparql_describe_where": q_sparql_describe_where,
         "sparql_agg_expr": q_sparql_agg_expr,
+        "sparql_having_inline": q_sparql_having_inline,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2716,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_typed_inline": SPARQL_TYPED_INLINE_ORACLE,
         "sparql_describe_where": SPARQL_DESCRIBE_WHERE_ORACLE,
         "sparql_agg_expr": SPARQL_AGG_EXPR_ORACLE,
+        "sparql_having_inline": SPARQL_HAVING_INLINE_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

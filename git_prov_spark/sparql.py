@@ -75,8 +75,10 @@ Supported subset (documented, validated — anything else raises SparqlError):
       join (EXISTS on the block's shared variables; is* against the graph's
       IRI-term / numeric-literal set) — top-level conjunct position only.
     GROUP BY ?g ...                             -- required iff aggregates
-    HAVING(?alias > n) ...                      -- =  != > >= < <= over the
-    ORDER BY [ASC|DESC](?v | expr) ...          --   aggregated columns;
+    HAVING(?alias > n) / HAVING(AGG(x) > n)     -- =  != > >= < <= over an
+    ORDER BY [ASC|DESC](?v | expr) ...          --   alias or an INLINE
+                                                --   aggregate (same single
+                                                --   hash-agg, hidden col);
                                                 --   expr sort keys allowed
     LIMIT n OFFSET m                            -- optional (either order)
 
@@ -612,6 +614,19 @@ class _Parser:
 
     def _parse_agg(self) -> Agg:
         """After the opening '(': AGG([DISTINCT] ?v | *) AS ?alias )."""
+        agg = self._parse_agg_core()
+        self._expect("AS")
+        kind, alias = self._next()
+        if kind != "var":
+            raise SparqlError("AS needs a ?alias variable")
+        self._expect(")")
+        agg.alias = alias[1:]
+        return agg
+
+    def _parse_agg_core(self) -> Agg:
+        """AGG([DISTINCT] ?v | expr | *) through its closing ')' — shared
+        by projection aggregates (which add AS ?alias) and inline HAVING
+        aggregates (which get a hidden alias at compile time)."""
         kind, fn = self._next()
         if kind != "word" or fn.upper() not in self._AGG_FUNCS:
             raise SparqlError(
@@ -649,12 +664,7 @@ class _Parser:
                 raise SparqlError("SEPARATOR needs a string literal")
             sep = _unescape_literal(lit[1:-1])
         self._expect(")")
-        self._expect("AS")
-        kind, alias = self._next()
-        if kind != "var":
-            raise SparqlError("AS needs a ?alias variable")
-        self._expect(")")
-        return Agg(func=func, var=var, distinct=distinct, alias=alias[1:],
+        return Agg(func=func, var=var, distinct=distinct, alias="",
                    sep=sep, expr=expr)
 
     def _parse_group(self) -> None:
@@ -1138,9 +1148,20 @@ class _Parser:
                 raise SparqlError("empty GROUP BY")
         while self._kw("HAVING"):
             self._expect("(")
-            kind, var = self._next()
-            if kind != "var":
-                raise SparqlError("HAVING supports ?col OP number")
+            kind, tok = self._peek()
+            colspec: str | Agg
+            if kind == "word" and tok.upper() in self._AGG_FUNCS:
+                # inline aggregate (r5): HAVING (SUM(?v) > 10) — computed
+                # as a hidden column in the SAME hash-aggregate, filtered,
+                # then dropped by the projection
+                colspec = self._parse_agg_core()
+            else:
+                kind, var = self._next()
+                if kind != "var":
+                    raise SparqlError(
+                        "HAVING supports ?alias OP number or "
+                        "AGG(arg) OP number")
+                colspec = var[1:]
             kind, op = self._next()
             if op in ("<", ">") and self._peek()[1] == "=":
                 self.i += 1
@@ -1154,7 +1175,7 @@ class _Parser:
             if kind != "num":
                 raise SparqlError("HAVING right side must be a number")
             self._expect(")")
-            self.q.having.append((var[1:], op, float(num)))
+            self.q.having.append((colspec, op, float(num)))
         if self._kw("ORDER"):
             self._expect("BY")
             # sort keys: ?var | ASC/DESC(expr) | (expr) | fn(...) — plain
@@ -2485,14 +2506,15 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
     solutions differing only in a datatype/tag stay two solutions) and
     ORDER BY (so DATATYPE/LANG sort keys compile map-side), then drop
     before the result leaves the engine."""
-    if q.having and not q.aggregates:
-        raise SparqlError("HAVING requires an aggregate projection")
+    if q.having and not q.aggregates and not q.group_by:
+        raise SparqlError(
+            "HAVING requires an aggregate projection or GROUP BY")
     if q.aggregates and q.proj_exprs:
         raise SparqlError(
             "mixing (expr AS ?alias) projections with aggregates is out of "
             "subset (project group keys, aggregate aliases, or BIND first)"
         )
-    if q.aggregates:
+    if q.aggregates or (q.having and q.group_by):
         # Aggregation runs over the solution set (the full-binding rows are
         # distinct tuples: each pattern's matched triple is determined by its
         # variable bindings plus constants, so no spurious duplicates exist —
@@ -2507,8 +2529,7 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             raise SparqlError(
                 f"projected vars must appear in GROUP BY: {stray}"
             )
-        cols = []
-        for a in q.aggregates:
+        def _agg_column(a: Agg) -> F.Column:
             if a.var is not None and a.var not in df.columns:
                 raise SparqlError(f"aggregate over unbound variable ?{a.var}")
             # value-expression argument (r5): compiled map-side by the same
@@ -2553,7 +2574,17 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
                 )
             if a.distinct and a.func != "count":
                 raise SparqlError("DISTINCT is supported on COUNT only")
-            cols.append(c.alias(a.alias))
+            return c
+
+        cols = [_agg_column(a).alias(a.alias) for a in q.aggregates]
+        # inline HAVING aggregates (r5) become hidden columns of the SAME
+        # hash-aggregate ('#' cannot appear in a user variable name), so
+        # HAVING (SUM(?v) > 10) costs no second aggregation
+        having_names: dict[int, str] = {}
+        for i, (colspec, _op, _num) in enumerate(q.having):
+            if isinstance(colspec, Agg):
+                having_names[i] = name = f"#having{i}"
+                cols.append(_agg_column(colspec).alias(name))
         # GROUP BY is TERM-level where metadata exists (r5): each key's
         # hidden companion joins the grouping keys, so "7"^^xsd:int and
         # "7"@en land in different groups (one hash-aggregate either way —
@@ -2568,19 +2599,26 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             if term_meta(v) in df.columns:
                 gkeys.append(term_meta(v))
         grouped = df.groupBy(*gkeys) if gkeys else df.groupBy()
-        df = grouped.agg(*cols).select(*q.select_order)
+        df = grouped.agg(*cols)
+        # HAVING runs BEFORE the projection (§18.2.4 order) so hidden
+        # inline-aggregate columns are still in scope; for alias refs the
+        # row predicate commutes with projection/DISTINCT, so alias-based
+        # HAVING behaves exactly as before
+        for i, (colspec, op, num) in enumerate(q.having):
+            name = having_names.get(i, colspec)
+            if name not in df.columns:
+                raise SparqlError(
+                    f"HAVING references unknown column ?{colspec}")
+            c = F.col(name).cast("double")
+            cond = {"=": c == num, "!=": c != num, "<": c < num,
+                    "<=": c <= num, ">": c > num, ">=": c >= num}[op]
+            df = df.where(cond)
+        df = df.select(*q.select_order)
         if q.distinct:
             # SELECT DISTINCT over aggregated rows: group keys are unique
             # per row, but a projection that drops them (or equal counts
             # across groups) can duplicate — SPARQL dedups the projection
             df = df.distinct()
-        for col, op, num in q.having:
-            if col not in df.columns:
-                raise SparqlError(f"HAVING references unknown column ?{col}")
-            c = F.col(col).cast("double")
-            cond = {"=": c == num, "!=": c != num, "<": c < num,
-                    "<=": c <= num, ">": c > num, ">=": c >= num}[op]
-            df = df.where(cond)
         df = _order(df, q)
     elif q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]

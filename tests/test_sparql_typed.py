@@ -364,3 +364,27 @@ def test_aggregate_over_expressions(spark):
     q = parse("SELECT ?g (COUNT(DISTINCT ?v) AS ?n) "
               "WHERE { ?g ev:n ?v } GROUP BY ?g")
     assert q.aggregates[0].var == "v" and q.aggregates[0].expr is None
+
+
+def test_having_inline_aggregates(spark):
+    """r5: HAVING may compare an INLINE aggregate — computed as a hidden
+    column of the same hash-aggregate — including with no aggregate in
+    the projection at all."""
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g1", "ev:n", "10", "xsd:int"),
+         ("demo", "g2", "ev:n", "3", "xsd:int")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    got = _rows(execute(t, """
+        SELECT ?g WHERE { ?g ev:n ?v } GROUP BY ?g HAVING (COUNT(*) > 1)"""))
+    assert got == [("g1",)]
+    got = _rows(execute(t, """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { ?g ev:n ?v }
+        GROUP BY ?g HAVING (SUM(?v * ?v) >= 100)"""))
+    assert got == [("g1", 2)]
+    # alias-based HAVING unchanged; hidden columns never leak
+    df = execute(t, """
+        SELECT ?g (SUM(?v) AS ?s) WHERE { ?g ev:n ?v }
+        GROUP BY ?g HAVING (?s > 5) HAVING (COUNT(*) > 1)""")
+    assert df.columns == ["g", "s"]
+    assert _rows(df) == [("g1", 12.0)]
