@@ -2098,6 +2098,44 @@ SPARQL_HAVING_INLINE_ORACLE = (
 )
 
 
+def q_sparql_order_agg(spark, sf_dir):
+    """Inline ORDER BY aggregates (r5): ORDER BY DESC(SUM(?v * ?v)) with
+    no matching projection alias sorts on a hidden column of the SAME
+    single hash-aggregate, dropped after the sort. The LIMIT makes the
+    ordering hash-observable (it selects WHICH top-K groups survive);
+    ?u breaks ties deterministically and sums are integral/FP-exact."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("u"), (F.col("user_id") % 60).cast("string"))
+        .alias("subj"),
+        F.lit("ev:n").alias("pred"),
+        (F.col("event_id") % 29).cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    ).distinct()
+    return execute(
+        triples,
+        """
+        SELECT ?u (COUNT(*) AS ?n)
+        WHERE { ?u ev:n ?v }
+        GROUP BY ?u
+        ORDER BY DESC(SUM(?v * ?v)) ?u
+        LIMIT 12
+        """,
+    )
+
+
+SPARQL_ORDER_AGG_ORACLE = (
+    "WITH t AS (SELECT DISTINCT 'u' || CAST(user_id % 60 AS VARCHAR) AS u, "
+    "CAST(event_id % 29 AS VARCHAR) AS val FROM events) "
+    "SELECT u, COUNT(*) AS n FROM t GROUP BY u "
+    "ORDER BY SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)) DESC, u "
+    "LIMIT 12"
+)
+
+
 def q_sparql_typed_group(spark, sf_dir):
     """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
     BY keys carry their hidden term metadata — the same lexical under
@@ -2449,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe_where": q_sparql_describe_where,
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_having_inline": q_sparql_having_inline,
+        "sparql_order_agg": q_sparql_order_agg,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2757,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe_where": SPARQL_DESCRIBE_WHERE_ORACLE,
         "sparql_agg_expr": SPARQL_AGG_EXPR_ORACLE,
         "sparql_having_inline": SPARQL_HAVING_INLINE_ORACLE,
+        "sparql_order_agg": SPARQL_ORDER_AGG_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

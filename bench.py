@@ -118,6 +118,9 @@ EXTRA_QUERIES = [
     "sparql_now_seeded",
     "dedup_substr",
     "dedup_url",
+    # round-5 additions, second batch: inline HAVING/ORDER BY aggregates
+    "sparql_having_inline",
+    "sparql_order_agg",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

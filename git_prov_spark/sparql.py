@@ -76,10 +76,11 @@ Supported subset (documented, validated — anything else raises SparqlError):
       IRI-term / numeric-literal set) — top-level conjunct position only.
     GROUP BY ?g ...                             -- required iff aggregates
     HAVING(?alias > n) / HAVING(AGG(x) > n)     -- =  != > >= < <= over an
-    ORDER BY [ASC|DESC](?v | expr) ...          --   alias or an INLINE
+    ORDER BY [ASC|DESC](?v | expr | AGG(x))     --   alias or an INLINE
                                                 --   aggregate (same single
                                                 --   hash-agg, hidden col);
-                                                --   expr sort keys allowed
+                                                --   expr and inline-agg
+                                                --   sort keys allowed
     LIMIT n OFFSET m                            -- optional (either order)
 
 Property paths (predicate position; SPARQL 1.1 [88]-[95] subset):
@@ -1198,12 +1199,19 @@ class _Parser:
                     asc = up == "ASC"
                     self.i += 1
                     self._expect("(")
-                    if (self._peek()[0] == "var"
+                    k2, t2 = self._peek()
+                    if k2 == "word" and t2.upper() in self._AGG_FUNCS:
+                        # inline aggregate sort key (r5): hidden column of
+                        # the same hash-aggregate, like inline HAVING
+                        self.q.order_by.append((self._parse_agg_core(), asc))
+                    elif (self._peek()[0] == "var"
                             and self.toks[self.i + 1][1] == ")"):
                         self.q.order_by.append((self._next()[1][1:], asc))
                     else:
                         self.q.order_by.append((self._parse_bind_expr(), asc))
                     self._expect(")")
+                elif up in self._AGG_FUNCS:
+                    self.q.order_by.append((self._parse_agg_core(), True))
                 elif tok == "(" or up in expr_words:
                     self.q.order_by.append((self._parse_bind_expr(), True))
                 else:
@@ -2514,7 +2522,8 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             "mixing (expr AS ?alias) projections with aggregates is out of "
             "subset (project group keys, aggregate aliases, or BIND first)"
         )
-    if q.aggregates or (q.having and q.group_by):
+    if q.aggregates or (q.group_by and (
+            q.having or any(isinstance(k, Agg) for k, _ in q.order_by))):
         # Aggregation runs over the solution set (the full-binding rows are
         # distinct tuples: each pattern's matched triple is determined by its
         # variable bindings plus constants, so no spurious duplicates exist —
@@ -2585,6 +2594,14 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             if isinstance(colspec, Agg):
                 having_names[i] = name = f"#having{i}"
                 cols.append(_agg_column(colspec).alias(name))
+        # inline ORDER BY aggregates (r5) ride the same hash-aggregate as
+        # hidden '#orderN' columns, kept through the projection just long
+        # enough to sort on, then dropped
+        order_names: dict[int, str] = {}
+        for i, (key, _asc) in enumerate(q.order_by):
+            if isinstance(key, Agg):
+                order_names[i] = name = f"#order{i}"
+                cols.append(_agg_column(key).alias(name))
         # GROUP BY is TERM-level where metadata exists (r5): each key's
         # hidden companion joins the grouping keys, so "7"^^xsd:int and
         # "7"@en land in different groups (one hash-aggregate either way —
@@ -2613,13 +2630,33 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             cond = {"=": c == num, "!=": c != num, "<": c < num,
                     "<=": c <= num, ">": c > num, ">=": c >= num}[op]
             df = df.where(cond)
-        df = df.select(*q.select_order)
-        if q.distinct:
-            # SELECT DISTINCT over aggregated rows: group keys are unique
-            # per row, but a projection that drops them (or equal counts
-            # across groups) can duplicate — SPARQL dedups the projection
-            df = df.distinct()
-        df = _order(df, q)
+        if order_names:
+            if q.distinct:
+                raise SparqlError(
+                    "ORDER BY an inline aggregate with SELECT DISTINCT is "
+                    "out of subset (DISTINCT dedups the projection first, "
+                    "leaving the sort key undefined — alias the aggregate)"
+                )
+            # sort on the hidden columns pre-drop: Project over Sort
+            # preserves row order, so the final select just prunes them
+            df = df.select(*q.select_order,
+                           *[order_names[i] for i in sorted(order_names)])
+            keys = []
+            for i, (key, asc) in enumerate(q.order_by):
+                c = (F.col(order_names[i]) if i in order_names
+                     else (F.col(key) if isinstance(key, str)
+                           else _bind_col(key, df)))
+                keys.append(c.asc() if asc else c.desc())
+            df = df.orderBy(*keys).select(*q.select_order)
+        else:
+            df = df.select(*q.select_order)
+            if q.distinct:
+                # SELECT DISTINCT over aggregated rows: group keys are
+                # unique per row, but a projection that drops them (or
+                # equal counts across groups) can duplicate — SPARQL
+                # dedups the projection
+                df = df.distinct()
+            df = _order(df, q)
     elif q.variables is not None:
         missing = [v for v in q.variables if v not in df.columns]
         if missing:
@@ -2658,6 +2695,10 @@ def _order(df: DataFrame, q: SelectQuery) -> DataFrame:
         return df
     keys = []
     for v, asc in q.order_by:
+        if isinstance(v, Agg):
+            raise SparqlError(
+                "ORDER BY an aggregate requires GROUP BY or an aggregate "
+                "projection (there is no group to aggregate over)")
         c = F.col(v) if isinstance(v, str) else _bind_col(v, df)
         keys.append(c.asc() if asc else c.desc())
     return df.orderBy(*keys)

@@ -388,3 +388,39 @@ def test_having_inline_aggregates(spark):
         GROUP BY ?g HAVING (?s > 5) HAVING (COUNT(*) > 1)""")
     assert df.columns == ["g", "s"]
     assert _rows(df) == [("g1", 12.0)]
+
+
+def test_order_by_inline_aggregates(spark):
+    """r5: ORDER BY may sort on an INLINE aggregate (hidden column of the
+    same hash-aggregate, dropped after the sort), with or without a
+    projection aggregate; rejected without GROUP BY and under DISTINCT."""
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g1", "ev:n", "10", "xsd:int"),
+         ("demo", "g2", "ev:n", "3", "xsd:int"),
+         ("demo", "g2", "ev:n", "4", "xsd:int"),
+         ("demo", "g2", "ev:n", "5", "xsd:int"),
+         ("demo", "g3", "ev:n", "30", "xsd:int")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    got = execute(t, """
+        SELECT ?g WHERE { ?g ev:n ?v }
+        GROUP BY ?g ORDER BY DESC(COUNT(*)) ?g""")
+    assert got.columns == ["g"]
+    assert [r[0] for r in got.collect()] == ["g2", "g1", "g3"]
+    # squares: g3=900 > g1=104 > g2=50; hidden col never leaks
+    df = execute(t, """
+        SELECT ?g (SUM(?v) AS ?s) WHERE { ?g ev:n ?v }
+        GROUP BY ?g ORDER BY DESC(SUM(?v * ?v))""")
+    assert df.columns == ["g", "s"]
+    assert [tuple(r) for r in df.collect()] == [
+        ("g3", 30.0), ("g1", 12.0), ("g2", 12.0)]
+    # inline agg sort changes WHICH rows survive a LIMIT
+    got = execute(t, """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { ?g ev:n ?v }
+        GROUP BY ?g HAVING (COUNT(*) > 1) ORDER BY SUM(?v * ?v) LIMIT 1""")
+    assert [tuple(r) for r in got.collect()] == [("g2", 3)]
+    with pytest.raises(SparqlError, match="requires GROUP BY"):
+        execute(t, "SELECT ?g ?v WHERE { ?g ev:n ?v } ORDER BY COUNT(*)")
+    with pytest.raises(SparqlError, match="DISTINCT"):
+        execute(t, """SELECT DISTINCT ?g WHERE { ?g ev:n ?v }
+                      GROUP BY ?g ORDER BY COUNT(*)""")
