@@ -2136,6 +2136,56 @@ SPARQL_ORDER_AGG_ORACLE = (
 )
 
 
+def q_sparql_agg_distinct(spark, sf_dir):
+    """DISTINCT on non-COUNT aggregates (r5): a second pattern fans each
+    ?v binding out across the group's ?x tags (bag semantics — COUNT(*)
+    sees the full multiset), while SUM/AVG/GROUP_CONCAT(DISTINCT ?v)
+    collapse to the distinct value set. Still ONE hash-aggregate (Spark
+    plans distinct-aggs with a map-side partial expand). Values are
+    integral so the double sums (and the sum/count division) are FP-exact
+    and engine-order-independent."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string"))
+    vals = ev.select(
+        F.lit("demo").alias("repo"), u.alias("subj"),
+        F.lit("ev:n").alias("pred"),
+        (F.col("event_id") % 23).cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    ).distinct()
+    tags = ev.select(
+        F.lit("demo").alias("repo"), u.alias("subj"),
+        F.lit("ev:a").alias("pred"),
+        F.concat(F.lit("x"), (F.col("user_id") % 7).cast("string"))
+        .alias("obj"),
+        F.lit("xsd:string").alias("obj_type"),
+    ).distinct()
+    return execute(
+        vals.unionByName(tags),
+        """
+        SELECT ?u (COUNT(*) AS ?n) (SUM(DISTINCT ?v) AS ?sd)
+               (AVG(DISTINCT ?v) AS ?ad)
+               (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=",") AS ?cs)
+        WHERE { ?u ev:a ?x . ?u ev:n ?v }
+        GROUP BY ?u
+        """,
+    )
+
+
+SPARQL_AGG_DISTINCT_ORACLE = (
+    "WITH n AS (SELECT DISTINCT 'u' || CAST(user_id % 50 AS VARCHAR) AS u, "
+    "CAST(event_id % 23 AS VARCHAR) AS val FROM events), "
+    "a AS (SELECT DISTINCT 'u' || CAST(user_id % 50 AS VARCHAR) AS u, "
+    "'x' || CAST(user_id % 7 AS VARCHAR) AS tag FROM events) "
+    "SELECT n.u AS u, COUNT(*) AS n, "
+    "SUM(DISTINCT CAST(val AS DOUBLE)) AS sd, "
+    "AVG(DISTINCT CAST(val AS DOUBLE)) AS ad, "
+    "string_agg(DISTINCT val, ',' ORDER BY val) AS cs "
+    "FROM n JOIN a ON n.u = a.u GROUP BY n.u"
+)
+
+
 def q_sparql_typed_group(spark, sf_dir):
     """TERM-level aggregation (r5 follow-through on VERDICT r4 #1): GROUP
     BY keys carry their hidden term metadata — the same lexical under
@@ -2488,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_having_inline": q_sparql_having_inline,
         "sparql_order_agg": q_sparql_order_agg,
+        "sparql_agg_distinct": q_sparql_agg_distinct,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2797,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_agg_expr": SPARQL_AGG_EXPR_ORACLE,
         "sparql_having_inline": SPARQL_HAVING_INLINE_ORACLE,
         "sparql_order_agg": SPARQL_ORDER_AGG_ORACLE,
+        "sparql_agg_distinct": SPARQL_AGG_DISTINCT_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     # round-5 additions, second batch: inline HAVING/ORDER BY aggregates
     "sparql_having_inline",
     "sparql_order_agg",
+    "sparql_agg_distinct",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -20,11 +20,14 @@ Supported subset (documented, validated — anything else raises SparqlError):
                                                 --   (non-aggregate queries)
     SELECT ?g (COUNT([DISTINCT] ?v|*) AS ?n)    -- aggregates: COUNT, SUM,
            (MIN(?v) AS ?lo)                     --   MIN, MAX, AVG (lexical
-           (SUM(?a * ?b) AS ?dot)               --   -> double), SAMPLE (min
-           (GROUP_CONCAT(?v; SEPARATOR=",")     --   witness), GROUP_CONCAT
-                AS ?cs) ...                     --   (sorted, deterministic);
+           (SUM([DISTINCT] ?a * ?b) AS ?dot)    --   -> double), SAMPLE (min
+           (GROUP_CONCAT([DISTINCT] ?v;         --   witness), GROUP_CONCAT
+                SEPARATOR=",") AS ?cs) ...      --   (sorted, deterministic);
     WHERE { s p o . s p o .                     --   args may be full value
-                                                --   expressions (r5)
+                                                --   expressions; DISTINCT on
+                                                --   any aggregate (value-
+                                                --   level; no-op on MIN/
+                                                --   MAX/SAMPLE) (r5)
             { SELECT ... } .                    -- subquery (SPARQL 1.1 §12):
                                                 --   evaluates bottom-up, then
                                                 --   joins on projected vars
@@ -2563,26 +2566,36 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
                     c = F.countDistinct(a.var)
             elif a.func == "count":
                 c = F.count(arg)
-            elif a.func in ("sum", "avg"):
-                # SPARQL SUM/AVG over numeric literals: cast the lexical form
-                agg_fn = F.sum if a.func == "sum" else F.avg
-                c = agg_fn(arg.cast("double"))
-            elif a.func == "min":
-                c = F.min(arg)
-            elif a.func == "max":
-                c = F.max(arg)
+            elif a.func == "sum":
+                # SPARQL SUM over numeric literals: cast the lexical form;
+                # DISTINCT (r5) sums the distinct value set — still one
+                # hash-aggregate (Spark plans distinct-aggs map-side)
+                c = (F.sum_distinct(arg.cast("double")) if a.distinct
+                     else F.sum(arg.cast("double")))
+            elif a.func == "avg":
+                # AVG(DISTINCT ?v) (r5) = sum/count over the distinct
+                # value set (no avg_distinct builtin); null on empty input
+                # either way
+                c = (F.sum_distinct(arg.cast("double"))
+                     / F.count_distinct(arg.cast("double"))
+                     if a.distinct else F.avg(arg.cast("double")))
+            elif a.func in ("min", "max"):
+                # DISTINCT is a semantic no-op on MIN/MAX (§18.5.1 applies
+                # Distinct to the multiset; the extremum is unchanged)
+                c = F.min(arg) if a.func == "min" else F.max(arg)
             elif a.func == "sample":
                 # SPARQL SAMPLE is implementation-defined; pick min for a
-                # deterministic (and oracle-reproducible) witness
+                # deterministic (and oracle-reproducible) witness —
+                # DISTINCT is likewise a no-op here
                 c = F.min(arg)
             else:  # group_concat — sorted for determinism (ARQ emits
-                # solution order, which a distributed plan cannot promise)
+                # solution order, which a distributed plan cannot promise);
+                # DISTINCT (r5) concatenates the distinct value set
+                collect = F.collect_set if a.distinct else F.collect_list
                 c = F.array_join(
-                    F.array_sort(F.collect_list(arg.cast("string"))),
+                    F.array_sort(collect(arg.cast("string"))),
                     a.sep,
                 )
-            if a.distinct and a.func != "count":
-                raise SparqlError("DISTINCT is supported on COUNT only")
             return c
 
         cols = [_agg_column(a).alias(a.alias) for a in q.aggregates]

@@ -424,3 +424,25 @@ def test_order_by_inline_aggregates(spark):
     with pytest.raises(SparqlError, match="DISTINCT"):
         execute(t, """SELECT DISTINCT ?g WHERE { ?g ev:n ?v }
                       GROUP BY ?g ORDER BY COUNT(*)""")
+
+
+def test_distinct_non_count_aggregates(spark):
+    """r5: DISTINCT on SUM/AVG/GROUP_CONCAT collapses the solution
+    multiset to the distinct value set (no-op on MIN/MAX). The ev:a fan
+    duplicates each ?v binding twice, so plain vs DISTINCT differ."""
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g1", "ev:n", "10", "xsd:int"),
+         ("demo", "g1", "ev:a", "x1", "xsd:string"),
+         ("demo", "g1", "ev:a", "x2", "xsd:string"),
+         ("demo", "g2", "ev:n", "3", "xsd:int"),
+         ("demo", "g2", "ev:a", "x1", "xsd:string")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    df = execute(t, """
+        SELECT ?g (SUM(?v) AS ?s) (SUM(DISTINCT ?v) AS ?sd)
+               (AVG(DISTINCT ?v) AS ?ad) (MIN(DISTINCT ?v) AS ?lo)
+               (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=",") AS ?cs)
+        WHERE { ?g ev:a ?x . ?g ev:n ?v } GROUP BY ?g ORDER BY ?g""")
+    assert [tuple(r) for r in df.collect()] == [
+        ("g1", 24.0, 12.0, 6.0, "10", "10,2"),
+        ("g2", 3.0, 3.0, 3.0, "3", "3")]
