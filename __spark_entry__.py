@@ -1730,6 +1730,44 @@ SPARQL_CONSTRUCT_ORACLE = (
 )
 
 
+def q_sparql_construct_where(spark, sf_dir):
+    """CONSTRUCT WHERE shorthand (§10.2.2) + solution modifiers on
+    CONSTRUCT (§16.2, both r5): the BGP is the template, and ORDER BY
+    DESC(?o) ?s LIMIT 25 cuts the solution sequence BEFORE template
+    instantiation — the LIMIT makes the ordering hash-observable (it
+    selects WHICH 25 triples exist). (s, o) pairs are distinct, so the
+    two-key sort is a total order on both engines (byte-wise ASCII)."""
+    from git_prov_spark.sparql import construct
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("s"), (F.col("user_id") % 70).cast("string"))
+        .alias("subj"),
+        (F.when(F.col("event_id") % 2 == 0, "ev:n")
+         .otherwise("ev:m")).alias("pred"),
+        F.concat(F.lit("o"), (F.col("event_id") % 37).cast("string"))
+        .alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    ).distinct()
+    return construct(
+        triples,
+        """
+        CONSTRUCT WHERE { ?s ev:n ?o }
+        ORDER BY DESC(?o) ?s LIMIT 25
+        """,
+    )
+
+
+SPARQL_CONSTRUCT_WHERE_ORACLE = (
+    "WITH t AS (SELECT DISTINCT 's' || CAST(user_id % 70 AS VARCHAR) AS s, "
+    "'o' || CAST(event_id % 37 AS VARCHAR) AS o FROM events "
+    "WHERE event_id % 2 = 0) "
+    "SELECT s AS subj, 'ev:n' AS pred, o AS obj FROM t "
+    "ORDER BY o DESC, s LIMIT 25"
+)
+
+
 SPARQL_AGG_ORACLE = (
     "WITH t AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS subj, "
     "'ev:did_' || event_type AS pred, "
@@ -2539,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_having_inline": q_sparql_having_inline,
         "sparql_order_agg": q_sparql_order_agg,
         "sparql_agg_distinct": q_sparql_agg_distinct,
+        "sparql_construct_where": q_sparql_construct_where,
         "sparql_strlang": q_sparql_strlang,
         "sparql_opt_filter": q_sparql_opt_filter,
         "sparql_now_seeded": q_sparql_now_seeded,
@@ -2849,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_having_inline": SPARQL_HAVING_INLINE_ORACLE,
         "sparql_order_agg": SPARQL_ORDER_AGG_ORACLE,
         "sparql_agg_distinct": SPARQL_AGG_DISTINCT_ORACLE,
+        "sparql_construct_where": SPARQL_CONSTRUCT_WHERE_ORACLE,
         "sparql_strlang": SPARQL_STRLANG_ORACLE,
         "sparql_opt_filter": SPARQL_OPT_FILTER_ORACLE,
         "sparql_now_seeded": SPARQL_NOW_SEEDED_ORACLE,

@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "sparql_having_inline",
     "sparql_order_agg",
     "sparql_agg_distinct",
+    "sparql_construct_where",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -10,7 +10,12 @@ is the optimizer/executor, exactly as ARQ is for the reference.
 Supported subset (documented, validated — anything else raises SparqlError):
 
     PREFIX foo: <iri>                           -- any number
-    CONSTRUCT { s p o . ... }                   -- template → triple DF
+    CONSTRUCT { s p o . ... } WHERE ...         -- template → triple DF;
+    CONSTRUCT WHERE { BGP }                     --   §10.2.2 shorthand (the
+                                                --   BGP is the template);
+                                                --   ORDER BY/LIMIT/OFFSET
+                                                --   cut the solution seq
+                                                --   pre-template (§16.2)
     ASK { ... }                                 -- → bool (ask())
     DESCRIBE term|?var [...] [WHERE { ... }]    -- → subject triples (vars
                                                 --   need the WHERE; one
@@ -401,7 +406,14 @@ class _Parser:
             self.q.prefixes[pname[:-1]] = iri[1:-1]
         if self._kw("CONSTRUCT"):
             self.q.form = "construct"
-            self.q.construct = self._parse_template()
+            kind, tok = self._peek()
+            if kind == "word" and tok.upper() == "WHERE":
+                # CONSTRUCT WHERE { BGP } shorthand (§10.2.2): the WHERE
+                # pattern IS the template — filled in post-parse, once the
+                # group is known to be a plain BGP
+                self._construct_shorthand = True
+            else:
+                self.q.construct = self._parse_template()
         elif self._kw("ASK"):
             self.q.form = "ask"
         elif self._kw("DESCRIBE"):
@@ -439,6 +451,27 @@ class _Parser:
         self._parse_group()
         if self.q.form == "select":
             self._parse_modifiers()
+        elif self.q.form == "construct":
+            if getattr(self, "_construct_shorthand", False):
+                if (self.q.path_patterns or self.q.unions
+                        or self.q.optionals or self.q.minuses or self.q.binds
+                        or self.q.filters or self.q.values_blocks
+                        or self.q.subqueries or self.q.graphs):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE shorthand allows only a plain "
+                        "BGP (§10.2.2) — spell the template out for "
+                        "anything richer")
+                if not self.q.patterns:
+                    raise SparqlError("empty CONSTRUCT WHERE pattern")
+                self.q.construct = list(self.q.patterns)
+            # solution modifiers apply to the solution sequence BEFORE
+            # template instantiation (§16.2): ORDER BY + LIMIT selects the
+            # top-N solutions; grouping forms have no construct meaning
+            self._parse_modifiers()
+            if self.q.aggregates or self.q.group_by or self.q.having:
+                raise SparqlError(
+                    "GROUP BY / HAVING / aggregates are not allowed in "
+                    "CONSTRUCT (no projection to aggregate into)")
         if self._peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self._peek()[1]!r}")
         return self.q
@@ -2398,6 +2431,16 @@ def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFr
     if q.construct is None:
         raise SparqlError("not a CONSTRUCT query (use execute for SELECT)")
     sol = _solutions(triples, q, repo)
+    # solution modifiers (§16.2, r5): ORDER BY / OFFSET / LIMIT cut the
+    # solution sequence BEFORE template instantiation — ORDER BY + LIMIT
+    # is the meaningful combo (top-N solutions feed the template; the
+    # output graph is still a set)
+    if q.order_by:
+        sol = _order(sol, q)
+    if q.offset is not None:
+        sol = sol.offset(q.offset)
+    if q.limit is not None:
+        sol = sol.limit(q.limit)
     parts = []
     for s, p, o in q.construct:
         cols = []

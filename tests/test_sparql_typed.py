@@ -446,3 +446,31 @@ def test_distinct_non_count_aggregates(spark):
     assert [tuple(r) for r in df.collect()] == [
         ("g1", 24.0, 12.0, 6.0, "10", "10,2"),
         ("g2", 3.0, 3.0, 3.0, "3", "3")]
+
+
+def test_construct_where_shorthand(spark):
+    """r5: CONSTRUCT WHERE { BGP } (§10.2.2) uses the BGP as template;
+    ORDER BY/LIMIT/OFFSET cut the solution sequence pre-template (§16.2);
+    non-BGP shorthand bodies and grouping forms are loud errors."""
+    from git_prov_spark.sparql import construct, parse
+
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g1", "ev:m", "9", "xsd:int"),
+         ("demo", "g2", "ev:n", "3", "xsd:int"),
+         ("demo", "g3", "ev:n", "7", "xsd:int")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    got = construct(t, "CONSTRUCT WHERE { ?s ev:n ?o }")
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("g1", "ev:n", "2"), ("g2", "ev:n", "3"), ("g3", "ev:n", "7")]
+    got = construct(t, """CONSTRUCT { ?s ev:top ?o } WHERE { ?s ev:n ?o }
+                          ORDER BY DESC(?o) LIMIT 2""")
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("g2", "ev:top", "3"), ("g3", "ev:top", "7")]
+    got = construct(t, """CONSTRUCT WHERE { ?s ev:n ?o }
+                          ORDER BY ?o OFFSET 1 LIMIT 1""")
+    assert [tuple(r) for r in got.collect()] == [("g2", "ev:n", "3")]
+    with pytest.raises(SparqlError, match="plain *BGP"):
+        parse("CONSTRUCT WHERE { ?s ev:n ?o OPTIONAL { ?s ev:m ?m } }")
+    with pytest.raises(SparqlError, match="not allowed in"):
+        parse("CONSTRUCT { ?s ev:x ?o } WHERE { ?s ev:n ?o } GROUP BY ?s")
