@@ -717,6 +717,31 @@ def q_corpus_quota(spark, sf_dir):
     return curate.source_quota(_t(spark, sf_dir, "documents"), quota=15)
 
 
+def q_corpus_vocab(spark, sf_dir):
+    """Corpus-wide vocabulary extraction (text.vocabulary): global term
+    counts + doc frequencies, top-100 by (n_total DESC, token) — the
+    counting pass tokenizer/BPE training starts from. ONE hash-aggregate
+    (Zipf-collapsing map-side partials); the top-K lowers to
+    TakeOrderedAndProject, never a full sort. The LIMIT makes the
+    count-ordering hash-observable."""
+    return ctext.vocabulary(
+        _t(spark, sf_dir, "documents"), top_k=100
+    ).select("token", F.col("n_total").cast("long").alias("n_total"),
+             F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (curate.training_order): a
+    seed-keyed portable hash gives every doc a shard (hash mod 64) and a
+    within-shard rank — the epoch-order randomization a data loader
+    consumes. One window PARTITIONED BY shard (hash-balanced; never a
+    global single-partition sort); same (shard, pos) at any parallelism
+    level, per the north_rule determinism requirement."""
+    return curate.training_order(
+        _t(spark, sf_dir, "documents"), seed=7
+    ).select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
 def q_text_langid(spark, sf_dir):
     df = ctext.lang_id(_t(spark, sf_dir, "documents"))
     return df.select(
@@ -2598,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontam": q_corpus_decontam,
         "corpus_mix": q_corpus_mix,
         "corpus_quota": q_corpus_quota,
+        "corpus_vocab": q_corpus_vocab,
+        "corpus_shuffle": q_corpus_shuffle,
         "corpus_stream_dedup": q_corpus_stream_dedup,
         "text_pii": q_text_pii,
         "corpus_manifest": q_corpus_manifest,
@@ -2802,6 +2829,9 @@ def oracle_sql() -> dict[str, str]:
             rates=[("en", 10_000), ("other", 2_500)],
         ),
         "corpus_quota": oracles.sql_source_quota("documents", quota=15),
+        "corpus_vocab": oracles.sql_vocabulary("documents", top_k=100),
+        "corpus_shuffle": oracles.sql_training_order("documents", seed=7,
+                                                     n_shards=64),
         # batches are monotone in doc_id (originals then +2M copies), so the
         # stateful stream's earlier-in-(batch,id)-order relation reduces to
         # plain id order; canonical looks only at batches <= the row's own.

@@ -123,6 +123,8 @@ EXTRA_QUERIES = [
     "sparql_order_agg",
     "sparql_agg_distinct",
     "sparql_construct_where",
+    "corpus_vocab",
+    "corpus_shuffle",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

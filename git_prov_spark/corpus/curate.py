@@ -406,3 +406,37 @@ def source_quota(
         .select(F.col(id_col), F.col(source_col),
                 F.coalesce(F.col("_win"), F.lit(False)).alias("kept"))
     )
+
+
+def training_order(documents: DataFrame, id_col: str = "doc_id",
+                   seed: int = 0, n_shards: int = 64) -> DataFrame:
+    """(doc_id, shard, pos) — deterministic training-order shuffle: the
+    epoch-order randomization every LLM training run applies before the
+    data loader reads.
+
+    Each doc gets a seed-keyed portable 60-bit hash; ``shard`` is that
+    hash mod n_shards, ``pos`` its rank within the shard (hash, then id
+    as a total-order tiebreak). Reproducible across runs, retries and
+    parallelism levels (north_rule determinism); a new ``seed`` is a
+    fresh epoch permutation.
+
+    Scale: one narrow (id, hash) projection and ONE window partitioned
+    by shard — never a global single-partition sort; shards are
+    hash-balanced so no window task sees more than ~corpus/n_shards
+    rows. A loader consumes shard files in pos order.
+    """
+    from .hashing import spark_h64
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.expr(spark_h64(
+        f"concat('shuffle:{seed}:', cast({id_col} as string))"))
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        documents.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

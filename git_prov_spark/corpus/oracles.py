@@ -731,3 +731,31 @@ def sql_source_quota(src: str, quota: int, salt: str = "quota-v1") -> str:
         f"PARTITION BY source ORDER BY hv, doc_id) AS rk FROM hashed) "
         f"SELECT doc_id, source, rk <= {quota} AS kept FROM ranked"
     )
+
+
+def sql_vocabulary(src: str = "documents", top_k: int = 100) -> str:
+    """DuckDB twin of text.vocabulary(top_k=top_k): global term counts,
+    top-K by (n_total DESC, token) — the LIMIT makes the count-ordering
+    hash-observable."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "flat AS (SELECT doc_id, unnest(tokens) AS token FROM toks) "
+        "SELECT token, COUNT(*) AS n_total, "
+        "COUNT(DISTINCT doc_id) AS n_docs "
+        f"FROM flat GROUP BY token ORDER BY n_total DESC, token "
+        f"LIMIT {top_k}"
+    )
+
+
+def sql_training_order(src: str = "documents", seed: int = 0,
+                       n_shards: int = 64) -> str:
+    """DuckDB twin of curate.training_order: same portable 60-bit hash →
+    same shard assignment and same within-shard rank."""
+    h = duck_h64(f"'shuffle:{seed}:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH h AS (SELECT doc_id, {h} AS hh FROM {src}) "
+        f"SELECT doc_id, CAST(hh % {n_shards} AS INTEGER) AS shard, "
+        "CAST(row_number() OVER ("
+        f"PARTITION BY hh % {n_shards} ORDER BY hh, doc_id) AS BIGINT)"
+        " AS pos FROM h"
+    )

@@ -51,6 +51,29 @@ def _n_stop() -> Column:
     return F.size(F.filter(F.col("tokens"), lambda t: t.isin(*EN_STOPWORDS)))
 
 
+def vocabulary(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+               top_k: int | None = None, min_total: int = 1) -> DataFrame:
+    """(token, n_total, n_docs) global term statistics — the corpus-wide
+    counting pass tokenizer/BPE training and stopword mining start from.
+
+    Scale: the explode is map-side; counting is ONE hash-aggregate whose
+    map-side partials collapse hard (token cardinality ≪ token
+    occurrences — Zipf); ``top_k`` lowers to TakeOrderedAndProject
+    (per-partition heaps, K rows to the driver merge — never a full
+    sort). n_docs rides the same aggregate as a distinct-count expand.
+    Ties on n_total break by token, so top-K is deterministic."""
+    tok = with_tokens(df, text).select(
+        F.col(id_col), F.explode("tokens").alias("token"))
+    out = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    if min_total > 1:
+        out = out.where(F.col("n_total") >= min_total)
+    if top_k is not None:
+        out = out.orderBy(F.col("n_total").desc(), "token").limit(top_k)
+    return out
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_chars_actual) — whitespace + regex tokenizer."""
     return with_tokens(df).select(
