@@ -338,9 +338,12 @@ class SelectQuery:
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[FilterExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
-    having: list[tuple[str, str, float]] = field(default_factory=list)  # (col, op, num)
-    # (var-name | BindExpr, asc) — plain vars stay strings, expression sort
-    # keys carry their BindExpr
+    # (alias-name | inline Agg, op, num) — inline aggregates become hidden
+    # columns of the projection hash-aggregate (r5)
+    having: list[tuple] = field(default_factory=list)
+    # (var-name | BindExpr | inline Agg, asc) — plain vars stay strings,
+    # expression sort keys carry their BindExpr, inline aggregates (r5)
+    # become hidden columns of the projection hash-aggregate
     order_by: list[tuple] = field(default_factory=list)
     # (graph-term, Group): GRAPH ?g { ... } / GRAPH "owner/name" { ... }
     graphs: list[tuple] = field(default_factory=list)
@@ -2417,7 +2420,8 @@ def _bind_datatype(
     return df.join(dtmap, var, "left")
 
 
-def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+def construct(triples: DataFrame, query: str, repo: str | None = None, *,
+              now: str | None = None, seed: int | None = None) -> DataFrame:
     """Run a SPARQL CONSTRUCT (subset) string: template patterns instantiated
     once per WHERE solution → a (subj, pred, obj) triple DataFrame.
 
@@ -2427,7 +2431,7 @@ def construct(triples: DataFrame, query: str, repo: str | None = None) -> DataFr
     driver. Solutions that leave a template variable unbound (via OPTIONAL)
     skip that template instance, per SPARQL semantics.
     """
-    q = parse(query, repo=repo)
+    q = parse(query, repo=repo, now=now, seed=seed)
     if q.construct is None:
         raise SparqlError("not a CONSTRUCT query (use execute for SELECT)")
     sol = _solutions(triples, q, repo)
@@ -2477,20 +2481,22 @@ def query(triples: DataFrame, text: str, repo: str | None = None, *,
     if form == "select":
         return execute(triples, text, repo=repo, now=now, seed=seed)
     fn = {"construct": construct, "ask": ask, "describe": describe}[form]
-    return fn(triples, text, repo=repo)
+    return fn(triples, text, repo=repo, now=now, seed=seed)
 
 
-def ask(triples: DataFrame, query: str, repo: str | None = None) -> bool:
+def ask(triples: DataFrame, query: str, repo: str | None = None, *,
+        now: str | None = None, seed: int | None = None) -> bool:
     """Run a SPARQL ASK (subset) string: True iff the WHERE clause has at
     least one solution. Short-circuits with limit(1) — the scan stops at
     the first matching partition batch."""
-    q = parse(query, repo=repo)
+    q = parse(query, repo=repo, now=now, seed=seed)
     if q.form != "ask":
         raise SparqlError(f"{q.form.upper()} query: use the matching function")
     return bool(_solutions(triples, q, repo).limit(1).take(1))
 
 
-def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFrame:
+def describe(triples: DataFrame, query: str, repo: str | None = None, *,
+             now: str | None = None, seed: int | None = None) -> DataFrame:
     """Run a SPARQL DESCRIBE (subset) string: all triples whose subject is
     one of the given constant terms, or (r5, §16.4) one of the values a
     DESCRIBE variable takes over the WHERE clause's solutions —
@@ -2499,7 +2505,7 @@ def describe(triples: DataFrame, query: str, repo: str | None = None) -> DataFra
     store against the distinct resource set (never a collected isin list —
     the resource set is unbounded), with constants described
     unconditionally (ARQ behavior) via a unioned literal row."""
-    q = parse(query, repo=repo)
+    q = parse(query, repo=repo, now=now, seed=seed)
     if q.form != "describe":
         raise SparqlError(f"{q.form.upper()} query: use the matching function")
     df = triples

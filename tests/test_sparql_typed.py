@@ -448,6 +448,32 @@ def test_distinct_non_count_aggregates(spark):
         ("g2", 3.0, 3.0, 3.0, "3", "3")]
 
 
+def test_seeded_builtins_all_query_forms(spark):
+    """r5: the seeded now/seed parameters pass through construct/ask/
+    describe and the query() dispatcher — not just execute()."""
+    from git_prov_spark.sparql import ask, construct, query
+
+    t = spark.createDataFrame(
+        [("demo", "g1", "ev:n", "2", "xsd:int"),
+         ("demo", "g2", "ev:n", "3", "xsd:int")],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    out = construct(t, """CONSTRUCT { ?s ev:r ?r }
+                          WHERE { ?s ev:n ?o . BIND(RAND() AS ?r) }""",
+                    seed=3)
+    rows = sorted(tuple(r) for r in out.collect())
+    assert len(rows) == 2 and all(p == "ev:r" for _, p, _ in rows)
+    # deterministic: same seed → same graph; different seed → different
+    again = construct(t, """CONSTRUCT { ?s ev:r ?r }
+                            WHERE { ?s ev:n ?o . BIND(RAND() AS ?r) }""",
+                      seed=3)
+    assert sorted(tuple(r) for r in again.collect()) == rows
+    assert ask(t, "ASK { ?s ev:n ?o FILTER(?o > RAND()) }", seed=1) in (
+        True, False)  # executes without the unseeded-rejection error
+    via = query(t, """CONSTRUCT { ?s ev:r ?r }
+                      WHERE { ?s ev:n ?o . BIND(RAND() AS ?r) }""", seed=3)
+    assert sorted(tuple(r) for r in via.collect()) == rows
+
+
 def test_construct_where_shorthand(spark):
     """r5: CONSTRUCT WHERE { BGP } (§10.2.2) uses the BGP as template;
     ORDER BY/LIMIT/OFFSET cut the solution sequence pre-template (§16.2);
