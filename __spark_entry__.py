@@ -907,6 +907,34 @@ SPARQL_PATH_OPS_ORACLE = (
 )
 
 
+def q_sparql_path_range(spark, sf_dir):
+    """ARQ path quantifiers (r5): ?a ev:next{2,3} ?b — kept by Jena's
+    engine after being dropped from the SPARQL 1.1 REC (the reference
+    delegates to ARQ, services/SparqlService.java:26). Desugars at parse
+    time to the multiset alternation of the fixed lengths (§18.4 union of
+    a 2-hop and a 3-hop sequence join), so the physical plan is two
+    equi-join chains over the edge relation unioned WITHOUT dedup — on the
+    segment-chain fixture every pair has exactly one path, making the bag
+    equal the UNION ALL the oracle writes. No closure, no Python."""
+    from git_prov_spark.sparql import execute
+
+    return execute(
+        _chain_triples(spark, sf_dir),
+        "SELECT ?a ?b WHERE { ?a ev:next{2,3} ?b }",
+    )
+
+
+SPARQL_PATH_RANGE_ORACLE = (
+    f"WITH {CHAIN_EDGES_CTE}, "
+    "p2 AS (SELECT e1.s, e2.d FROM e e1 JOIN e e2 ON e2.s = e1.d), "
+    "p3 AS (SELECT p2.s, e3.d FROM p2 JOIN e e3 ON e3.s = p2.d) "
+    "SELECT 'user-' || CAST(s AS VARCHAR) AS a, "
+    "'user-' || CAST(d AS VARCHAR) AS b FROM p2 "
+    "UNION ALL SELECT 'user-' || CAST(s AS VARCHAR), "
+    "'user-' || CAST(d AS VARCHAR) FROM p3"
+)
+
+
 def q_sparql_filter_range(spark, sf_dir):
     """FILTER inequality over numeric-literal objects: both bounds compile
     to range predicates on the solution columns (cast to double, exactly
@@ -2566,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- SPARQL frontend ------------------------------------------------
         "sparql_path_seeded": q_sparql_path_seeded,
         "sparql_path_ops": q_sparql_path_ops,
+        "sparql_path_range": q_sparql_path_range,
         "sparql_filter_range": q_sparql_filter_range,
         "sparql_regex": q_sparql_regex,
         "sparql_bind_values": q_sparql_bind_values,
@@ -2926,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path": SPARQL_PATH_ORACLE,
         "sparql_path_seeded": SPARQL_PATH_SEEDED_ORACLE,
         "sparql_path_ops": SPARQL_PATH_OPS_ORACLE,
+        "sparql_path_range": SPARQL_PATH_RANGE_ORACLE,
         "sparql_filter_range": SPARQL_FILTER_RANGE_ORACLE,
         "sparql_regex": SPARQL_REGEX_ORACLE,
         "sparql_bind_values": SPARQL_BIND_VALUES_ORACLE,

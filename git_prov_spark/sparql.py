@@ -541,7 +541,59 @@ class _Parser:
         elif mod == "?":
             self.i += 1
             prim = PathOpt(prim)
+        elif mod == "{":
+            self.i += 1
+            prim = self._finish_path_range(prim)
         return PathInv(prim) if inverse else prim
+
+    def _finish_path_range(self, prim: PathExpr) -> PathExpr:
+        """ARQ's path quantifiers `e{n}` / `e{n,m}` / `e{n,}` / `e{,m}`
+        (dropped from the SPARQL 1.1 REC but kept by Jena's engine, which
+        the reference delegates to — services/SparqlService.java:26),
+        desugared at parse time onto the existing AST: a fixed count is a
+        sequence of n copies, a bounded range the multiset alternation of
+        its fixed lengths (§18.4 union), an open range n-1 copies feeding
+        `+`. Zero lower bounds take the `?`/`*` zero-length-path nodes, so
+        the compiler and the seeded constant-endpoint fast path are
+        untouched. Caller has consumed the '{'."""
+        lo: int | None = None
+        hi: int | None = None
+        kind, tok = self._next()
+        if kind == "num":
+            lo = int(tok)
+            kind, tok = self._next()
+        if tok == ",":
+            kind, tok = self._next()
+            if kind == "num":
+                hi = int(tok)
+                kind, tok = self._next()
+        else:
+            hi = lo
+        if tok != "}" or (lo is None and hi is None):
+            raise SparqlError("malformed path quantifier {n,m}")
+        lo = lo or 0
+        if hi is not None and hi < max(lo, 1):
+            raise SparqlError(
+                f"path quantifier upper bound below lower: {{{lo},{hi}}}"
+                + (" — e{0} (the pure zero-length path) is out of subset;"
+                   " use e? or e* for zero-length semantics" if hi == 0
+                   else "")
+            )
+
+        def n_seq(n: int) -> PathExpr:
+            return prim if n == 1 else PathSeq(tuple([prim] * n))
+
+        if hi is None:  # {n,} — unbounded
+            if lo == 0:
+                return PathStar(prim)
+            if lo == 1:
+                return PathPlus(prim)
+            return PathSeq(tuple([prim] * (lo - 1) + [PathPlus(prim)]))
+        alts = [n_seq(k) for k in range(max(lo, 1), hi + 1)]
+        expr = alts[0] if len(alts) == 1 else PathAlt(tuple(alts))
+        # {0,m}: zero-length ∪ lengths 1..m — PathOpt carries the
+        # distinct-when-zero-length convention shared with `?`/`*`
+        return PathOpt(expr) if lo == 0 else expr
 
     def _parse_negated_set(self) -> PathNeg:
         """After '!': iri | ^iri | '(' iri-or-^iri ('|' ...)* ')' — the

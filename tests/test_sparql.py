@@ -1764,3 +1764,67 @@ def test_order_by_numeric_expression(spark):
         SELECT ?s ?c WHERE { ?s ev:count ?c } ORDER BY DESC(ABS(?c))
     """)
     assert [r.s for r in df.collect()] == ["e2", "e1"]
+
+
+# --------------------------------------------------------------------------
+# Round-5 surface: path quantifiers {n} {n,m} {n,} {,m} (ARQ extension)
+# --------------------------------------------------------------------------
+
+def test_path_quantifier_fixed(chain_triples):
+    # a->b->c->d chain: exactly two hops
+    got = _rows(execute(chain_triples,
+                        "SELECT ?a ?b WHERE { ?a ev:next{2} ?b }"))
+    assert got == [("a", "c"), ("b", "d")]
+    # {1} is the plain predicate
+    assert _rows(execute(chain_triples,
+                         "SELECT ?a ?b WHERE { ?a ev:next{1} ?b }")) == \
+        [("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_path_quantifier_bounded_range(chain_triples):
+    got = _rows(execute(chain_triples,
+                        "SELECT ?a ?b WHERE { ?a ev:next{2,3} ?b }"))
+    assert got == [("a", "c"), ("a", "d"), ("b", "d")]
+
+
+def test_path_quantifier_open_range(chain_triples):
+    # {2,} = at least two hops
+    got = _rows(execute(chain_triples,
+                        "SELECT ?a ?b WHERE { ?a ev:next{2,} ?b }"))
+    assert got == [("a", "c"), ("a", "d"), ("b", "d")]
+    # {1,} desugars to + : seeded fast path still applies from a constant
+    got = _rows(execute(chain_triples,
+                        'SELECT ?b WHERE { "a" ev:next{1,} ?b }'))
+    assert got == [("b",), ("c",), ("d",)]
+
+
+def test_path_quantifier_zero_lower(chain_triples):
+    # {,1} == ? : zero-or-one, zero-length over every graph term
+    got = _rows(execute(chain_triples,
+                        'SELECT ?b WHERE { "b" ev:next{,1} ?b }'))
+    assert got == [("b",), ("c",)]
+    # {0,} == * from a constant subject
+    got = _rows(execute(chain_triples,
+                        'SELECT ?b WHERE { "b" ev:next{0,} ?b }'))
+    assert got == [("b",), ("c",), ("d",)]
+    # {0,2}: identity + one + two hops, deduped like ? / *
+    got = _rows(execute(chain_triples,
+                        'SELECT ?b WHERE { "a" ev:next{0,2} ?b }'))
+    assert got == [("a",), ("b",), ("c",)]
+
+
+def test_path_quantifier_composed(chain_triples):
+    # quantifier over a parenthesized path, then a tag hop
+    got = _rows(execute(chain_triples,
+                        'SELECT ?x WHERE { "a" ev:next{3}/ev:tag ?x }'))
+    assert got == [("x2",)]
+    # inverse of a quantified path
+    got = _rows(execute(chain_triples,
+                        'SELECT ?a WHERE { ?a ^ev:next{2} "a" }'))
+    assert got == [("c",)]
+
+
+def test_path_quantifier_validation():
+    for bad in ("{0}", "{}", "{3,2}", "{,}"):
+        with pytest.raises(SparqlError):
+            parse("SELECT ?a ?b WHERE { ?a ev:next%s ?b }" % bad)
