@@ -963,6 +963,37 @@ SPARQL_FILTER_RANGE_ORACLE = (
 )
 
 
+def q_sparql_group_expr(spark, sf_dir):
+    """GROUP BY (expr AS ?alias) (r5): the key expression compiles through
+    the BIND expression compiler as a map-side projection AHEAD of the
+    hash-aggregate, so the grouped plan is byte-for-byte the plain-key
+    plan with a computed key column — one shuffle, map-side partials
+    intact. ARQ accepts expression group keys (SPARQL 1.1 §10, GroupClause
+    ::= 'GROUP' 'BY' GroupCondition+ where GroupCondition may be
+    '(' Expression 'AS' Var ')')."""
+    from git_prov_spark.sparql import execute
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("subj"),
+        F.lit("ev:by_user").alias("pred"),
+        F.col("user_id").cast("string").alias("obj"),
+        F.lit("xsd:int").alias("obj_type"),
+    )
+    return execute(
+        triples,
+        "SELECT ?bucket (COUNT(?e) AS ?n) WHERE { ?e ev:by_user ?u } "
+        "GROUP BY (FLOOR(?u / 100) AS ?bucket) ORDER BY ?bucket",
+    )
+
+
+SPARQL_GROUP_EXPR_ORACLE = (
+    "SELECT FLOOR(CAST(user_id AS DOUBLE) / 100) AS bucket, "
+    "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY bucket"
+)
+
+
 def q_sparql_regex(spark, sf_dir):
     """FILTER(regex(?v, pat)) → rlike on the binding column (unanchored
     substring semantics, like SPARQL REGEX / ARQ)."""
@@ -2602,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists": q_sparql_exists,
         "sparql_subquery": q_sparql_subquery,
         "sparql_group_concat": q_sparql_group_concat,
+        "sparql_group_expr": q_sparql_group_expr,
         "sparql_arith": q_sparql_arith,
         "sparql_path_in_optional": q_sparql_path_in_optional,
         "sparql_describe": q_sparql_describe,
@@ -2963,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_exists": SPARQL_EXISTS_ORACLE,
         "sparql_subquery": SPARQL_SUBQUERY_ORACLE,
         "sparql_group_concat": SPARQL_GROUP_CONCAT_ORACLE,
+        "sparql_group_expr": SPARQL_GROUP_EXPR_ORACLE,
         "sparql_arith": SPARQL_ARITH_ORACLE,
         "sparql_path_in_optional": SPARQL_PATH_IN_OPTIONAL_ORACLE,
         "kg_pred_counts": _kg_pred_counts_oracle(),

@@ -338,6 +338,10 @@ class SelectQuery:
     values_blocks: list[tuple] = field(default_factory=list)  # (vars, rows)
     filters: list[FilterExpr] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    # (BindExpr, alias) — GROUP BY (expr AS ?alias) keys (r5): computed
+    # map-side like a BIND, then grouped on the alias (which group_by also
+    # lists), so the plan stays one hash-aggregate
+    group_exprs: list[tuple] = field(default_factory=list)
     # (alias-name | inline Agg, op, num) — inline aggregates become hidden
     # columns of the projection hash-aggregate (r5)
     having: list[tuple] = field(default_factory=list)
@@ -1234,8 +1238,28 @@ class _Parser:
     def _parse_modifiers(self) -> None:
         if self._kw("GROUP"):
             self._expect("BY")
-            while self._peek()[0] == "var":
-                self.q.group_by.append(self._next()[1][1:])
+            while True:
+                kind, tok = self._peek()
+                if kind == "var":
+                    self.q.group_by.append(self._next()[1][1:])
+                elif tok == "(":
+                    # GROUP BY (expr AS ?alias) (r5): the key expression
+                    # reuses the BIND compiler, computed map-side before
+                    # the hash-aggregate — same plan shape as a plain key
+                    self.i += 1
+                    expr = self._parse_bind_expr()
+                    self._expect("AS")
+                    kind2, var = self._next()
+                    if kind2 != "var":
+                        raise SparqlError(
+                            "GROUP BY (expr AS ?alias): alias must be a "
+                            "variable")
+                    self._expect(")")
+                    alias = var[1:]
+                    self.q.group_exprs.append((expr, alias))
+                    self.q.group_by.append(alias)
+                else:
+                    break
             if not self.q.group_by:
                 raise SparqlError("empty GROUP BY")
         while self._kw("HAVING"):
@@ -2626,6 +2650,14 @@ def _finish_select(df: DataFrame, q: SelectQuery) -> DataFrame:
             "mixing (expr AS ?alias) projections with aggregates is out of "
             "subset (project group keys, aggregate aliases, or BIND first)"
         )
+    # GROUP BY (expr AS ?alias) keys (r5): computed here like trailing
+    # BINDs — a map-side projection ahead of the hash-aggregate, so the
+    # grouped plan is unchanged apart from the key column's definition
+    for gexpr, galias in q.group_exprs:
+        if galias in df.columns:
+            raise SparqlError(
+                f"GROUP BY alias would rebind already-bound ?{galias}")
+        df = df.withColumn(galias, _bind_col(gexpr, df))
     if q.aggregates or (q.group_by and (
             q.having or any(isinstance(k, Agg) for k, _ in q.order_by))):
         # Aggregation runs over the solution set (the full-binding rows are

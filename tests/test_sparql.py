@@ -1828,3 +1828,47 @@ def test_path_quantifier_validation():
     for bad in ("{0}", "{}", "{3,2}", "{,}"):
         with pytest.raises(SparqlError):
             parse("SELECT ?a ?b WHERE { ?a ev:next%s ?b }" % bad)
+
+
+# --------------------------------------------------------------------------
+# Round-5 surface: GROUP BY (expr AS ?alias) keys
+# --------------------------------------------------------------------------
+
+def test_group_by_expression_key(spark):
+    rows = [("r", f"e{i}", "ev:n", str(v), "xsd:int")
+            for i, v in enumerate([3, 7, 12, 15, 20, 21])]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string")
+    df = execute(t, """
+        SELECT ?decade (COUNT(?s) AS ?n) (SUM(?v) AS ?total)
+        WHERE { ?s ev:n ?v }
+        GROUP BY (FLOOR(?v / 10) AS ?decade) ORDER BY ?decade
+    """)
+    assert [(r.decade, r.n, r.total) for r in df.collect()] == [
+        (0.0, 2, 10.0), (1.0, 2, 27.0), (2.0, 2, 41.0)]
+
+
+def test_group_by_expression_mixed_with_plain_key(spark):
+    rows = [("r", f"e{i}", "ev:n", str(v), "xsd:int")
+            for i, v in enumerate([3, 7, 12, 15])]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string")
+    df = execute(t, """
+        SELECT ?p ?len (COUNT(?s) AS ?n)
+        WHERE { ?s ?p ?v } GROUP BY ?p (STRLEN(?v) AS ?len) ORDER BY ?len
+    """)
+    assert [(r.p, r.len, r.n) for r in df.collect()] == [
+        ("ev:n", 1, 2), ("ev:n", 2, 2)]
+
+
+def test_group_by_expression_validation(spark):
+    rows = [("r", "e0", "ev:n", "3", "xsd:int")]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, obj_type string")
+    # alias may not rebind a WHERE variable
+    with pytest.raises(SparqlError):
+        execute(t, "SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s ev:n ?v } "
+                   "GROUP BY (STRLEN(?v) AS ?v)").collect()
+    # alias must be a variable
+    with pytest.raises(SparqlError):
+        parse('SELECT ?x WHERE { ?s ev:n ?v } GROUP BY (STRLEN(?v) AS "x")')
