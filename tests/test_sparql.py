@@ -384,10 +384,9 @@ def test_execute_agg_validation(triples_df):
         execute(triples_df,
                 "SELECT ?c ?e (COUNT(?e) AS ?n) WHERE { ?c prov:used ?e } "
                 "GROUP BY ?c", repo=HOT)
-    with pytest.raises(SparqlError):   # DISTINCT only on COUNT
-        execute(triples_df,
-                "SELECT (SUM(DISTINCT ?a) AS ?t) "
-                "WHERE { ?d gitprov:additions ?a }", repo=HOT)
+    # SUM(DISTINCT ?v) is SUPPORTED since r5 (see
+    # tests/test_sparql_typed.py::test_distinct_non_count_aggregates) —
+    # only MIN/MAX/SAMPLE treat DISTINCT as a no-op, nothing raises here
     with pytest.raises(SparqlError):   # aggregate over unbound variable
         execute(triples_df,
                 "SELECT (COUNT(?zz) AS ?n) WHERE { ?c a prov:Activity }",
@@ -510,8 +509,11 @@ def test_construct_validation(triples_df):
         execute(triples_df,
                 "CONSTRUCT { ?c gitprov:x ?c } WHERE { ?c a prov:Activity }",
                 repo=HOT)
-    with pytest.raises(SparqlError):   # solution modifiers not supported
-        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT 5")
+    # solution modifiers on CONSTRUCT are SUPPORTED since r5 (§16.2 cuts
+    # the solution sequence pre-template — see
+    # tests/test_sparql_typed.py::test_construct_solution_modifiers)
+    q = parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT 5")
+    assert q.limit == 5 and q.form == "construct"
     with pytest.raises(SparqlError):   # empty template
         parse("CONSTRUCT { } WHERE { ?s ?p ?o }")
 
