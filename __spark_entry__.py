@@ -766,6 +766,21 @@ def q_text_fingerprint(spark, sf_dir):
     return ctext.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_quality_gate(spark, sf_dir):
+    """Gopher/C4-style composite quality rule bundle (r5): five per-rule
+    booleans + the keep conjunction, integer-exact so the DuckDB twin is
+    bit-identical. Pure map-side expressions — no shuffle."""
+    return ctext.quality_gate(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_bigrams(spark, sf_dir):
+    """Adjacent BPE-pretoken pair counts (r5) — the counting step of a
+    BPE merge round: map-side pair minting, ONE hash-aggregate with
+    map-side partials, tail pruned by min_total before the deterministic
+    (count desc, pair) top-K."""
+    return ctext.bigram_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.as_media(_t(spark, sf_dir, "documents"))
     return multimodal.media_features(media)
@@ -2699,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pandas": q_ann_topk_pandas,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
+        "text_quality_gate": q_text_quality_gate,
+        "corpus_bigrams": q_corpus_bigrams,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -2949,6 +2966,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": oracles.sql_span_exact_dupes(f"({AUG_BOILER_SQL})"),
         "text_langid": oracles.sql_lang_id("documents"),
         "text_quality": oracles.sql_quality("documents"),
+        "text_quality_gate": oracles.sql_quality_gate("documents"),
+        "corpus_bigrams": oracles.sql_bigram_stats("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "mm_frames": oracles.sql_frame_samples("documents"),

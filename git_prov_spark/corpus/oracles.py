@@ -759,3 +759,53 @@ def sql_training_order(src: str = "documents", seed: int = 0,
         f"PARTITION BY hh % {n_shards} ORDER BY hh, doc_id) AS BIGINT)"
         " AS pos FROM h"
     )
+
+
+def sql_quality_gate(src: str = "documents") -> str:
+    from .text import (GATE_MAX_MEAN_LEN, GATE_MAX_PUNCT_PCT, GATE_MAX_WORDS,
+                       GATE_MIN_MEAN_LEN, GATE_MIN_STOP_HITS, GATE_MIN_WORDS)
+
+    n_stop = f"len(list_filter(tokens, t -> list_contains({_stop_list()}, t)))"
+    n_punct = "length(regexp_replace(text, '[^.,;:!?''\"()\\-]', '', 'g'))"
+    sum_len = ("COALESCE(list_sum(list_transform(tokens, "
+               "t -> CAST(length(t) AS BIGINT))), 0)")
+    lines = "string_split(text, chr(10))"
+    max_freq = ("list_max(list_transform(list_distinct(lines), "
+                "d -> len(list_filter(lines, x -> x = d))))")
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        f"sig AS (SELECT doc_id, len(tokens) AS n_tokens, {sum_len} AS sum_len, "
+        f"length(text) AS n_chars, {n_punct} AS n_punct, {n_stop} AS n_stop, "
+        f"len({lines}) AS n_lines, "
+        f"(SELECT {max_freq} FROM (SELECT {lines} AS lines)) AS max_line_freq "
+        "FROM toks), "
+        "rules AS (SELECT doc_id, "
+        f"n_tokens >= {GATE_MIN_WORDS} AND n_tokens <= {GATE_MAX_WORDS} "
+        "AS r_wordcount, "
+        f"n_tokens > 0 AND {GATE_MIN_MEAN_LEN} * n_tokens <= sum_len "
+        f"AND sum_len <= {GATE_MAX_MEAN_LEN} * n_tokens AS r_meanlen, "
+        f"{GATE_MAX_PUNCT_PCT} * n_punct <= n_chars AS r_symbol, "
+        f"n_stop >= {GATE_MIN_STOP_HITS} AS r_stopword, "
+        "n_lines <= 1 OR max_line_freq * 2 <= n_lines AS r_dupline "
+        "FROM sig) "
+        "SELECT doc_id, r_wordcount, r_meanlen, r_symbol, r_stopword, "
+        "r_dupline, r_wordcount AND r_meanlen AND r_symbol AND r_stopword "
+        "AND r_dupline AS keep FROM rules"
+    )
+
+
+def sql_bigram_stats(src: str = "documents", top_k: int = 200,
+                     min_total: int = 2) -> str:
+    from .text import BPE_TOKEN_PATTERN
+
+    return (
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(COALESCE(text, ''), '{BPE_TOKEN_PATTERN}') AS bt "
+        f"FROM {src}), "
+        "pairs AS (SELECT doc_id, bt[i] || ' ' || bt[i + 1] AS pair "
+        "FROM toks, UNNEST(generate_series(1, len(bt) - 1)) AS t(i) "
+        "WHERE len(bt) >= 2) "
+        "SELECT pair, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs "
+        f"FROM pairs GROUP BY pair HAVING COUNT(*) >= {min_total} "
+        f"ORDER BY n_total DESC, pair LIMIT {top_k}"
+    )

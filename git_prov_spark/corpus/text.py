@@ -287,3 +287,89 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
         t3.alias("scrubbed"),
         F.sha2(t3, 256).alias("scrubbed_sha"),
     )
+
+
+# Gopher-style quality-gate thresholds (integer-exact so the DuckDB twin
+# compares bit-for-bit; the published rules use ratios — each is rewritten
+# as a cross-multiplied integer inequality)
+GATE_MIN_WORDS = 20
+GATE_MAX_WORDS = 100_000
+GATE_MIN_MEAN_LEN = 4    # 4 <= sum_len / n_tokens  <=>  4*n_tokens <= sum_len
+GATE_MAX_MEAN_LEN = 10
+GATE_MAX_PUNCT_PCT = 10  # n_punct / n_chars <= 10%  <=>  10*n_punct <= n_chars
+GATE_MIN_STOP_HITS = 2
+
+
+def quality_gate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, r_wordcount, r_meanlen, r_symbol, r_stopword, r_dupline,
+    keep) — a Gopher/C4-style composite quality rule bundle: five
+    per-rule booleans plus the conjunction, the filter shape every
+    LLM-data pipeline runs before training (Rae et al. 2021 §A1.1 rules
+    re-expressed over this engine's signals). One map-side projection —
+    every rule is a Spark built-in over the same normalized text, no
+    shuffle, no Python; at 100 TB this is a scan that keeps whatever
+    pushdown the caller's source filter provides, and `keep` is the
+    column downstream curation joins on."""
+    toks = with_tokens(df)
+    n_tokens = F.size("tokens").cast("long")
+    sum_len = F.aggregate(
+        F.col("tokens"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_chars = F.length(norm_text()).cast("long")
+    n_punct = F.length(F.regexp_replace(norm_text(), PUNCT_REGEX, "")).cast("long")
+    n_stop = _n_stop().cast("long")
+    lines = F.split(norm_text(), "\n")
+    distinct_lines = F.array_distinct(lines)
+    max_line_freq = F.array_max(
+        F.transform(distinct_lines,
+                    lambda d: F.size(F.filter(lines, lambda x: x == d)))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+
+    r_wordcount = (n_tokens >= GATE_MIN_WORDS) & (n_tokens <= GATE_MAX_WORDS)
+    r_meanlen = (n_tokens > 0) & (GATE_MIN_MEAN_LEN * n_tokens <= sum_len) \
+        & (sum_len <= GATE_MAX_MEAN_LEN * n_tokens)
+    r_symbol = GATE_MAX_PUNCT_PCT * n_punct <= n_chars
+    r_stopword = n_stop >= GATE_MIN_STOP_HITS
+    # no single line may make up more than half the doc's lines (the
+    # duplicate-line boilerplate rule); single-line docs pass vacuously
+    r_dupline = (n_lines <= 1) | (max_line_freq * 2 <= n_lines)
+    return toks.select(
+        F.col(id_col),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_stopword.alias("r_stopword"),
+        r_dupline.alias("r_dupline"),
+        (r_wordcount & r_meanlen & r_symbol & r_stopword & r_dupline)
+        .alias("keep"),
+    )
+
+
+def bigram_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                 top_k: int = 200, min_total: int = 2) -> DataFrame:
+    """(pair, n_total, n_docs) — adjacent BPE-pretoken pair statistics:
+    the counting step of a BPE merge round (and the collocation table a
+    corpus report wants). Pairs are minted map-side with
+    transform-over-sequence on the pretoken array (pretokens never
+    contain whitespace, so ' ' joins unambiguously), then ONE
+    hash-aggregate with map-side partials; min_total prunes the long
+    tail before the deterministic (count desc, pair) top-K so the
+    ordered limit never sees singleton pairs. At 100 TB the aggregate
+    keys are pair strings — bounded by vocabulary², in practice Zipfian,
+    and the min_total filter keeps the reduce side narrow."""
+    toks = df.withColumn("_bt", bpe_tokens_col(text)).where(F.size("_bt") >= 2)
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(0, size(_bt) - 2), "
+            "i -> concat(_bt[i], ' ', _bt[i + 1]))"
+        )).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    if min_total > 1:
+        out = out.where(F.col("n_total") >= min_total)
+    return out.orderBy(F.col("n_total").desc(), "pair").limit(top_k)
