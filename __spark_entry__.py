@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from git_prov_spark import graph as _graph
 from git_prov_spark.corpus import curate, dedup, hashing, multimodal, oracles, similarity
 from git_prov_spark.corpus import text as ctext
 from git_prov_spark.operators import global_row_number
@@ -779,6 +780,62 @@ def q_corpus_bigrams(spark, sf_dir):
     map-side partials, tail pruned by min_total before the deterministic
     (count desc, pair) top-K."""
     return ctext.bigram_stats(_t(spark, sf_dir, "documents"))
+
+
+GRAPH_EDGE_MIN_EVENTS = 12  # (user,type) pairs below this are noise edges
+
+
+def _event_graph_edges(spark, sf_dir):
+    """Symmetrized user↔event-type affinity graph: a (user,type) edge
+    exists when the user fired that event type ≥ GRAPH_EDGE_MIN_EVENTS
+    times (the threshold is what gives the graph degree variety — the
+    unthresholded bipartite graph is near-complete and every PageRank is
+    uniform). Reverse edges make every node source-bearing, so pagerank
+    needs no dangling-mass term."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= GRAPH_EDGE_MIN_EVENTS)
+        .select(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("type-"), F.col("event_type")).alias("t"),
+        )
+    )
+    return pairs.select(F.col("u").alias("src"), F.col("t").alias("dst")) \
+        .unionByName(pairs.select(F.col("t").alias("src"), F.col("u").alias("dst")))
+
+
+_EVENT_GRAPH_PAIRS_SQL = (
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS u, "
+    "'type-' || event_type AS t FROM events "
+    f"GROUP BY user_id, event_type HAVING COUNT(*) >= {GRAPH_EDGE_MIN_EVENTS}"
+)
+EVENT_GRAPH_EDGES_SQL = (
+    f"SELECT u AS src, t AS dst FROM ({_EVENT_GRAPH_PAIRS_SQL}) pe "
+    f"UNION ALL SELECT t, u FROM ({_EVENT_GRAPH_PAIRS_SQL}) pe2"
+)
+
+
+def q_graph_degree(spark, sf_dir):
+    """Whole-graph degree statistics (r5): two partial-aggregated counts
+    + one full-outer join on the node key (graph.degree_stats) — the
+    schema-sanity profile a KG build gets checked with."""
+    from git_prov_spark import graph
+
+    return graph.degree_stats(_event_graph_edges(spark, sf_dir))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Deterministic distributed PageRank (r5): 5 synchronous rounds of
+    (edges ⋈ ranks) + one hash-aggregate each; per-destination
+    contributions are src-sorted then left-folded so the doubles are
+    bit-identical on ANY cluster size/partitioning — which is also what
+    lets the DuckDB twin (graph.sql_pagerank, same fold) hash-match
+    exactly, no tolerance needed."""
+    from git_prov_spark import graph
+
+    return graph.pagerank(_event_graph_edges(spark, sf_dir))
 
 
 def q_mm_features(spark, sf_dir):
@@ -2720,6 +2777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "mm_features": q_mm_features,
+        "graph_degree": q_graph_degree,
+        "graph_pagerank": q_graph_pagerank,
         "udf_diffstats": q_udf_diffstats,
         # -- reference-operator demos (SURVEY §2) ---------------------------
         "scan_filter": q_scan_filter,
@@ -2970,6 +3029,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bigrams": oracles.sql_bigram_stats("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
+        "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),
+        "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

@@ -1,0 +1,167 @@
+"""Graph analytics over an edge relation (src, dst) — degree statistics
+and a deterministic distributed PageRank.
+
+The KG this engine builds is a graph; the reference exposes it only
+through SPARQL (services/SparqlService.java:26), but any serious KG
+deployment also wants whole-graph analytics (degree profiles for schema
+sanity, centrality for entity ranking). These run over ANY (src, dst)
+edge DataFrame: the built triples (subj, obj of IRI type), the near-dup
+similarity graph, or an interaction graph.
+
+Scale notes (100 TB):
+- degree_stats is two hash-aggregates + one shuffle join on node — all
+  narrow (node, count) rows.
+- pagerank is n_iter rounds of (edges ⋈ ranks) + one hash-aggregate per
+  round; edges are pre-joined with out-degree ONCE so the loop shuffles
+  only (src, dst, out_deg, rank). Per-destination contributions are
+  collected, SORTED BY SOURCE, then left-folded — double addition is not
+  associative, and a plan-order `sum()` would make the result depend on
+  partitioning; the sorted fold is bit-identical on any cluster size and
+  lets a DuckDB twin reproduce it exactly (`list(x ORDER BY src)` +
+  `list_reduce`). The list per node is bounded by in-degree; a hub node
+  with 10^8 in-edges would need the same salted two-phase fold the
+  repo's chunk packer uses (operators.py) — documented, not needed at
+  the tested scales.
+- Every node is required to have at least one out-edge (no dangling
+  mass): callers with bipartite or sink-bearing graphs symmetrize first
+  (add reverse edges), which is also what keeps the chain strongly
+  connected and the iteration convergent.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg, degree) for every node of the edge bag.
+
+    Multi-edges count multiply (pass edges.distinct() for simple-graph
+    semantics). Two partial-aggregated counts and one full-outer join on
+    the node key — no row ever carries more than (string, long, long)."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0)))
+            .alias("degree"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes): the degree distribution — the one-line schema
+    sanity check a KG build gets eyeballed with. One extra aggregate over
+    degree_stats' output."""
+    return (
+        degree_stats(edges)
+        .groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
+             damping: float = PAGERANK_DAMPING) -> DataFrame:
+    """(node, rank) after `n_iter` synchronous PageRank iterations from a
+    uniform start — bit-deterministic across cluster sizes AND engines.
+
+    rank_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank_k(u) / out_deg(u)
+
+    The Σ is evaluated as a left fold over the (src-sorted) contribution
+    list, never a plan-order sum — see module docstring. Requires every
+    node to have ≥1 out-edge (callers symmetrize; loudly unchecked here
+    because the check would cost a full anti-join per call — pagerank_demo
+    in __spark_entry__ shows the symmetrized construction)."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one bounded driver scalar (node count), reused below
+    base = (1.0 - damping) / n  # python double; oracle embeds repr() of same
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    fat_edges = edges.join(out_deg, "src")  # (src, dst, out_deg), loop-invariant
+    fat_edges = fat_edges.localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contribs = fat_edges.join(
+            ranks, fat_edges["src"] == ranks["node"]
+        ).select(
+            "src", "dst",
+            (F.col("rank") / F.col("out_deg").cast("double")).alias("contrib"),
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("src", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+        ranks = nodes.join(
+            summed, nodes["node"] == summed["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+            .alias("rank"),
+        )
+    return ranks
+
+
+def sql_degree_stats(edges_sql: str) -> str:
+    """DuckDB twin of degree_stats over `edges_sql` (a SELECT producing
+    src, dst)."""
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1), "
+        "i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1) "
+        "SELECT COALESCE(o.node, i.node) AS node, "
+        "COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg, "
+        "COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree "
+        "FROM o FULL OUTER JOIN i ON o.node = i.node"
+    )
+
+
+def sql_pagerank(edges_sql: str, n_iter: int = PAGERANK_ITERS,
+                 damping: float = PAGERANK_DAMPING) -> str:
+    """DuckDB twin of pagerank: the same sorted-fold per destination
+    (`list(contrib ORDER BY src)` + `list_reduce`), iterations unrolled
+    as chained CTEs — bit-identical doubles to the Spark plan."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        ("fe AS (SELECT e.src, e.dst, o.out_deg FROM e JOIN "
+         "(SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1) o "
+         "ON o.src = e.src)"),
+        # CAST(... AS DOUBLE) throughout: DuckDB parses bare decimal
+        # literals as exact DECIMALs, whose arithmetic would diverge from
+        # the IEEE doubles the Spark plan computes (1.0 - 0.85 is
+        # 0.15000000000000002 in both engines only when both are binary64)
+        ("r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank "
+         "FROM nodes CROSS JOIN nn)"),
+    ]
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list(r.rank / CAST(fe.out_deg AS DOUBLE) ORDER BY fe.src)), "
+            "(acc, x) -> acc + x)")
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"c{k} AS (SELECT fe.dst AS node, {fold} AS s "
+            f"FROM fe JOIN r{k-1} r ON r.node = fe.src GROUP BY fe.dst)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.node, "
+            f"(CAST(1.0 AS DOUBLE) - CAST({damping!r} AS DOUBLE)) / nn.n "
+            f"+ CAST({damping!r} AS DOUBLE) * COALESCE(c{k}.s, "
+            "CAST(0.0 AS DOUBLE)) AS rank FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN c{k} ON c{k}.node = nodes.node)"
+        )
+    return ", ".join(parts) + f" SELECT node, rank FROM r{n_iter}"

@@ -1,0 +1,96 @@
+"""graph.py: degree stats and deterministic PageRank — exact parity with
+an in-test pure-Python reference, and bit-stability across partitionings
+(the property the sorted-fold aggregation exists to provide)."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from git_prov_spark.graph import (
+    PAGERANK_DAMPING,
+    degree_histogram,
+    degree_stats,
+    pagerank,
+)
+
+# a small asymmetric digraph where every node has an out-edge
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"), ("e", "d"), ("c", "e"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def _py_pagerank(edges, n_iter, damping=PAGERANK_DAMPING):
+    """Reference PageRank with the SAME fold order (contributions added
+    in src-sorted order) so doubles are comparable bit-for-bit."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        incoming = {v: [] for v in nodes}
+        for s, d in edges:
+            incoming[d].append((s, rank[s] / float(out_deg[s])))
+        nxt = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(incoming[v]):
+                acc += c
+            nxt[v] = base + damping * acc
+        rank = nxt
+    return rank
+
+
+def test_degree_stats(edges_df):
+    got = {r.node: (r.out_deg, r.in_deg, r.degree)
+           for r in degree_stats(edges_df).collect()}
+    assert got == {
+        "a": (2, 2, 4), "b": (1, 1, 2), "c": (2, 3, 5),
+        "d": (2, 1, 3), "e": (1, 1, 2),
+    }
+
+
+def test_degree_histogram(edges_df):
+    got = {r.degree: r.n_nodes for r in degree_histogram(edges_df).collect()}
+    assert got == {2: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_pagerank_matches_reference_bitwise(edges_df):
+    want = _py_pagerank(EDGES, n_iter=5)
+    got = {r.node: r["rank"] for r in pagerank(edges_df, n_iter=5).collect()}
+    assert got == want  # exact float equality, not approx
+
+
+def test_pagerank_partitioning_invariant(edges_df):
+    """Re-partitioning must not change a single bit of any rank — the
+    reason contributions fold in src-sorted order instead of sum()."""
+    a = sorted(pagerank(edges_df, n_iter=4).collect())
+    b = sorted(pagerank(edges_df.repartition(7), n_iter=4).collect())
+    assert a == b
+
+
+def test_pagerank_mass_conserved(edges_df):
+    """Every node has an out-edge, so total rank stays ~1 (up to fp)."""
+    total = sum(r["rank"] for r in pagerank(edges_df, n_iter=5).collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_ranks_sinks_lower(spark):
+    # hub: everything points at h; h spreads its mass back over all three
+    # (if h pointed at only one node, that node would inherit h's entire
+    # rank and could top it)
+    rows = [("a", "h"), ("b", "h"), ("c", "h"),
+            ("h", "a"), ("h", "b"), ("h", "c"),
+            ("b", "a"), ("c", "b")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.node: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    assert got["h"] == max(got.values())
