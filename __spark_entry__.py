@@ -782,6 +782,80 @@ def q_corpus_bigrams(spark, sf_dir):
     return ctext.bigram_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap sessionization (r5, timeseries.sessionize): 30-min inactivity
+    breaks, ONE Exchange+Sort for both window functions (lag diff flag +
+    running sum), then a hash-aggregate per (user, session). The
+    burst-detection shape every event pipeline runs before events become
+    KG activities."""
+    from git_prov_spark.timeseries import _epoch, sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"))
+    return s.select(
+        "user_id", "session_seq", "n_events",
+        _epoch(F.col("started_at")).alias("started_epoch"),
+        _epoch(F.col("ended_at")).alias("ended_epoch"),
+        "duration_sec",
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = (
+    "WITH f AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) "
+    "- lag(CAST(floor(epoch(ts)) AS BIGINT)) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+    "THEN 1 ELSE 0 END AS br FROM events), "
+    "s AS (SELECT user_id, ts, CAST(1 + SUM(br) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "AS session_seq FROM f) "
+    "SELECT user_id, session_seq, COUNT(*) AS n_events, "
+    "MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS started_epoch, "
+    "MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS ended_epoch, "
+    "MAX(CAST(floor(epoch(ts)) AS BIGINT)) "
+    "- MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec "
+    "FROM s GROUP BY 1, 2"
+)
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (r5, timeseries.asof_join): every click joined to the
+    user's most recent prior-or-simultaneous view. Union-and-carry form —
+    ONE shuffle, `last(ignorenulls)` carries the view payload forward,
+    zero pair materialization (the naive l.ts >= r.ts range join is
+    O(|L|·|R|) per key). The DuckDB twin uses the NATIVE ASOF LEFT JOIN
+    operator, so the semantics are validated against an independent
+    implementation, not a re-transcription."""
+    from git_prov_spark.timeseries import _epoch, asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _epoch(F.col("ts")).alias("tsec"), "event_id",
+        "event_type", "value")
+    clicks = base.where(F.col("event_type") == "click").select(
+        "user_id", F.col("tsec").alias("ts"), "event_id")
+    # pre-aggregate the right side to one row per (user, second): ties at
+    # identical timestamps would otherwise be resolution-order-dependent
+    views = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("tsec").alias("ts"))
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts")
+
+
+EVENTS_ASOF_ORACLE = (
+    "WITH base AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, "
+    "event_id, event_type, value FROM events), "
+    "clicks AS (SELECT user_id, ts, event_id FROM base "
+    "WHERE event_type = 'click'), "
+    "views AS (SELECT user_id, ts, MAX(value) AS value FROM base "
+    "WHERE event_type = 'view' GROUP BY 1, 2) "
+    "SELECT l.user_id, l.ts, l.event_id, r.value AS value_asof "
+    "FROM clicks l ASOF LEFT JOIN views r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts"
+)
+
+
 GRAPH_EDGE_MIN_EVENTS = 12  # (user,type) pairs below this are noise edges
 
 
@@ -2779,6 +2853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
+        "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "udf_diffstats": q_udf_diffstats,
         # -- reference-operator demos (SURVEY §2) ---------------------------
         "scan_filter": q_scan_filter,
@@ -3031,6 +3107,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),
         "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
+        "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
+        "events_asof": EVENTS_ASOF_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

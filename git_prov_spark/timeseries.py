@@ -1,0 +1,132 @@
+"""Event-time operators over an activity stream: gap sessionization and
+as-of joins.
+
+A provenance/KG pipeline's upstream is an event log (pushes, CI runs,
+crawl fetches); before events become activities you sessionize them
+(burst detection, rate accounting) and align them against slowly-changing
+context (which deploy / config / model version was live when the event
+fired). Both are shuffle-shaped traps at 100 TB if written naively:
+
+- sessionize: ONE shuffle — `Window.partitionBy(key).orderBy(ts)`; the
+  gap flag is a `lag` diff, the session id a running SUM of flags over
+  the same window (two window functions, one physical Exchange+Sort; no
+  self-join, no global sort, hash-balanced across keys).
+- asof_join: the classic scalable form — UNION the left and right
+  streams tagged, ONE window over (key, ts, tag) with
+  `last_value(ignorenulls)` carrying the most recent right-side row
+  forward; cost = one shuffle of (key, ts, narrow payload). The naive
+  range join (l.ts >= r.ts with a max-aggregate) explodes to O(|L|·|R|)
+  pairs per key; this never materializes a pair. DuckDB validates the
+  semantics with its NATIVE `ASOF JOIN` operator in the oracle twin.
+
+Ties: a right row at exactly the left row's timestamp DOES match
+(`ts_r <= ts_l`, DuckDB ASOF's `>=` convention); among equal-ts right
+rows the LAST in (ts, tag, id) order wins deterministically because the
+window orders on the full tiebreak key.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30  # Google-Analytics-style default inactivity gap
+
+
+def _epoch(col: F.Column) -> F.Column:
+    """Whole epoch seconds of a timestamp column. TIMESTAMP_NTZ won't cast
+    straight to long (Spark 4); the hop through TIMESTAMP uses the
+    session timezone, which this engine pins to UTC (session.py:52) — so
+    a naive value means the same instant here and in the DuckDB twin's
+    epoch()."""
+    return col.cast("timestamp").cast("long")
+
+
+def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """(key, session_seq, n_events, started_at, ended_at, duration_sec).
+
+    A session breaks when consecutive events of one key are more than
+    `gap_min` minutes apart (strict >, so an event exactly at the gap
+    continues the session). session_seq numbers a key's sessions from 1
+    in time order — deterministic: the window orders on (ts, event_id)
+    when an `event_id` column exists, so equal timestamps cannot flap."""
+    extra_order = ["event_id"] if "event_id" in events.columns else []
+    w = Window.partitionBy(key).orderBy(ts, *extra_order)
+    gap_sec = gap_min * 60
+    flagged = events.select(
+        key, ts, *extra_order,
+        F.when(
+            _epoch(F.col(ts)) - F.lag(_epoch(F.col(ts))).over(w) > gap_sec,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_break"),
+    )
+    # running sum of break flags over the SAME window spec: Catalyst plans
+    # both window functions in one Exchange+Sort (no second shuffle)
+    with_sess = flagged.select(
+        key, ts,
+        (F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) + 1).alias("session_seq"),
+    )
+    return with_sess.groupBy(key, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("started_at"),
+        F.max(ts).alias("ended_at"),
+        (F.max(_epoch(F.col(ts))) - F.min(_epoch(F.col(ts))))
+        .alias("duration_sec"),
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts: str = "ts", right_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Left rows joined to the most recent right row with ts_r <= ts_l
+    per key (null-padded when none precedes).
+
+    Union-and-carry form: tag both inputs, one window over
+    (key ORDER BY ts, tag, payload tiebreak) where right rows sort BEFORE
+    left rows at equal ts (tag 0 < 1 — that is what makes the boundary
+    inclusive), then `last(ignorenulls=True)` carries each right payload
+    column forward; finally keep the left rows. One shuffle, zero pair
+    explosion. Left payload columns RIDE THE UNION (null on right rows)
+    rather than rejoining afterwards — a rejoin would need a
+    deterministic row id, and `monotonically_increasing_id` is not
+    stable across plan evaluations."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, ts)]
+    left_extra = [c for c in left.columns if c not in (key, ts)]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    tagged_r = right.select(
+        key,
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_extra],
+    )
+    tagged_l = left.select(
+        key, F.col(ts).alias("_ts"), F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in right_cols],
+        *left_extra,
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    # deterministic total order: equal-(ts, tag) rows tiebreak on the
+    # payload columns themselves, so the carried value cannot flap
+    tiebreak = [F.col(f"_r_{c}") for c in right_cols]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_tag"), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        key, "_ts", "_tag", *left_extra,
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w)
+            .alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_tag") == 1).select(
+        key, F.col("_ts").alias(ts), *left_extra,
+        *[f"{c}{suffix}" for c in right_cols],
+    )

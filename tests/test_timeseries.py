@@ -1,0 +1,92 @@
+"""timeseries.py: gap sessionization and as-of join — hand-computed
+goldens on crafted timelines plus the union-and-carry invariants (ties,
+boundary inclusivity, null padding, left-payload carriage)."""
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from git_prov_spark.timeseries import asof_join, sessionize
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+@pytest.fixture(scope="module")
+def timeline(spark):
+    # user 1: events at 0, 10, 29, 70, 95 min → sessions {0,10,29}, {70,95}
+    #   (29→70 is 41 min > 30; 70→95 is 25 min ≤ 30)
+    # user 2: single event
+    # user 3: two events exactly 30 min apart → ONE session (strict >)
+    rows = [
+        (100, _ts(0), 1), (101, _ts(10), 1), (102, _ts(29), 1),
+        (103, _ts(70), 1), (104, _ts(95), 1),
+        (200, _ts(5), 2),
+        (300, _ts(0), 3), (301, _ts(30), 3),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+
+
+def test_sessionize_golden(timeline):
+    got = {(r.user_id, r.session_seq): (r.n_events, r.duration_sec)
+           for r in sessionize(timeline).collect()}
+    assert got == {
+        (1, 1): (3, 29 * 60), (1, 2): (2, 25 * 60),
+        (2, 1): (1, 0),
+        (3, 1): (2, 30 * 60),  # exactly the gap continues the session
+    }
+
+
+def test_sessionize_gap_param(timeline):
+    # with a 20-min gap user 1 splits further: consecutive diffs are
+    # 10, 19, 41, 25 min → {0,10,29}, {70}, {95}
+    got = {(r.user_id, r.session_seq): r.n_events
+           for r in sessionize(timeline, gap_min=20).collect() if r.user_id == 1}
+    assert got == {(1, 1): 3, (1, 2): 1, (1, 3): 1}
+
+
+def test_asof_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (1, 50, 12), (2, 100, 13)],
+        "user_id long, ts long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 150, 8.0), (2, 500, 9.0)],
+        "user_id long, ts long, value double")
+    got = {r.event_id: r.value_asof
+           for r in asof_join(left, right, key="user_id", ts="ts").collect()}
+    assert got[10] == 7.0     # boundary inclusive: ts_r == ts_l matches
+    assert got[11] == 8.0     # most recent prior wins, not first
+    assert got[12] is None    # nothing precedes → null-padded
+    assert got[13] is None    # right row is in the future
+    # left payload columns survive the union-and-carry round trip
+    rows = asof_join(left, right, key="user_id", ts="ts").collect()
+    assert {r.event_id for r in rows} == {10, 11, 12, 13}
+
+
+def test_asof_partitioning_invariant(spark):
+    left = spark.createDataFrame(
+        [(u, t, u * 1000 + t) for u in (1, 2, 3) for t in (5, 10, 20, 40)],
+        "user_id long, ts long, event_id long")
+    right = spark.createDataFrame(
+        [(u, t, float(u + t)) for u in (1, 2, 3) for t in (1, 8, 30)],
+        "user_id long, ts long, value double")
+    a = sorted(map(tuple, asof_join(left, right).collect()))
+    b = sorted(map(tuple,
+                   asof_join(left.repartition(7), right.repartition(3))
+                   .collect()))
+    assert a == b
+
+
+def test_asof_no_cartesian(spark):
+    left = spark.createDataFrame([(1, 10, 1)],
+                                 "user_id long, ts long, event_id long")
+    right = spark.createDataFrame([(1, 5, 1.0)],
+                                  "user_id long, ts long, value double")
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
