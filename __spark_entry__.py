@@ -856,6 +856,25 @@ EVENTS_ASOF_ORACLE = (
 )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window event aggregation (r5, timeseries.windowed_counts):
+    F.window() hourly buckets → one hash-aggregate on (window, type) with
+    order-independent aggregates only (counts, distinct users, max), so
+    the result is bit-reproducible at any partitioning. The batch plan
+    twin of the streaming windowed-agg shape."""
+    from git_prov_spark.timeseries import windowed_counts
+
+    return windowed_counts(_t(spark, sf_dir, "events"))
+
+
+EVENTS_WINDOWED_ORACLE = (
+    "SELECT CAST(floor(epoch(time_bucket(INTERVAL 60 MINUTE, ts))) AS BIGINT)"
+    " AS window_start_epoch, event_type, COUNT(*) AS n_events, "
+    "COUNT(DISTINCT user_id) AS n_users, MAX(value) AS max_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
 GRAPH_EDGE_MIN_EVENTS = 12  # (user,type) pairs below this are noise edges
 
 
@@ -2855,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_windowed": q_events_windowed,
         "udf_diffstats": q_udf_diffstats,
         # -- reference-operator demos (SURVEY §2) ---------------------------
         "scan_filter": q_scan_filter,
@@ -3109,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
+        "events_windowed": EVENTS_WINDOWED_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

@@ -130,3 +130,32 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
         key, F.col("_ts").alias(ts), *left_extra,
         *[f"{c}{suffix}" for c in right_cols],
     )
+
+
+WINDOW_WIDTH_MIN = 60  # default tumbling-window width
+
+
+def windowed_counts(events: DataFrame, key: str = "event_type",
+                    ts: str = "ts", user: str = "user_id",
+                    width_min: int = WINDOW_WIDTH_MIN) -> DataFrame:
+    """(window_start_epoch, key, n_events, n_users, max_value) per
+    tumbling event-time window — the rate/anomaly profile every event
+    pipeline materializes. Built on F.window() (the SAME construct a
+    readStream plan would use with a watermark, so this batch op is the
+    streaming op's plan twin) → one hash-aggregate on (window, key);
+    aggregates chosen order-independent (counts, distinct count, max) so
+    the result is exactly reproducible at any partitioning — no double
+    summation whose value depends on add order."""
+    win = F.window(F.col(ts).cast("timestamp"), f"{width_min} minutes")
+    return (
+        events.groupBy(win.alias("win"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col(user)).alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start_epoch"),
+            key, "n_events", "n_users", "max_value",
+        )
+    )

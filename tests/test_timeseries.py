@@ -90,3 +90,26 @@ def test_asof_no_cartesian(spark):
     plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windowed_counts_golden(spark):
+    from git_prov_spark.timeseries import windowed_counts
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 5, "click", 2.0),
+        (2, datetime(2024, 1, 1, 0, 50), 5, "click", 7.0),
+        (3, datetime(2024, 1, 1, 0, 55), 6, "view", 1.0),
+        (4, datetime(2024, 1, 1, 1, 5), 5, "click", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.window_start_epoch, r.event_type):
+           (r.n_events, r.n_users, r.max_value)
+           for r in windowed_counts(ev).collect()}
+    h0 = int(datetime(2024, 1, 1, 0, 0).timestamp())
+    h1 = h0 + 3600
+    assert got == {
+        (h0, "click"): (2, 1, 7.0),
+        (h0, "view"): (1, 1, 1.0),
+        (h1, "click"): (1, 1, 3.0),
+    }
