@@ -125,6 +125,17 @@ EXTRA_QUERIES = [
     "sparql_construct_where",
     "corpus_vocab",
     "corpus_shuffle",
+    # round-5 additions, third batch: path quantifiers, expression group
+    # keys, quality gate, bigram stats, graph analytics, event-time ops
+    "sparql_path_range",
+    "sparql_group_expr",
+    "text_quality_gate",
+    "corpus_bigrams",
+    "graph_degree",
+    "graph_pagerank",
+    "events_sessionize",
+    "events_asof",
+    "events_windowed",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
