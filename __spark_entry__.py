@@ -782,6 +782,39 @@ def q_corpus_bigrams(spark, sf_dir):
     return ctext.bigram_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR-style importance resampling (r5, curate.importance_sample —
+    Xie et al. 2023): reweight the raw corpus toward the 'en' target
+    domain via hashed token buckets with INTEGER-bit log-likelihood
+    ratios (flog2 — no float log anywhere, so the decision is
+    bit-identical across Spark / DuckDB / re-runs), then keep each doc
+    with probability 2^-deficit via the portable-hash acceptance rule.
+    Bucket stats broadcast; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = ctext.lang_id(docs).select(
+        "doc_id", (F.col("lang_pred") == "en").alias("_is_en"))
+    return curate.importance_sample(docs.join(tgt, "doc_id"), "_is_en")
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-doc top-3 keyword extraction by integer-quantized TF-IDF (r5,
+    text.tfidf_terms): ONE (doc, token) hash-aggregate, df derived from
+    it, scalar n_docs broadcast, top-k window bounded by a single doc's
+    vocabulary. IDF quantized to whole bits (flog2) so the cross-engine
+    hash gate never depends on libm log()."""
+    return ctext.tfidf_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_surprisal(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality bucketing (r5,
+    text.surprisal_buckets): mean integer-bit unigram surprisal per doc
+    under a corpus-trained LM, fixed-point micro-bits (exact long `div`,
+    no float ever materializes), equal-population head/middle/tail
+    buckets by rank — global_row_number's range-partitioned rank, never
+    a single-partition window."""
+    return ctext.surprisal_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap sessionization (r5, timeseries.sessionize): 30-min inactivity
     breaks, ONE Exchange+Sort for both window functions (lag diff flag +
@@ -2866,6 +2899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
         "corpus_bigrams": q_corpus_bigrams,
+        "corpus_dsir": q_corpus_dsir,
+        "text_tfidf": q_text_tfidf,
+        "text_surprisal": q_text_surprisal,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3123,6 +3159,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.sql_quality("documents"),
         "text_quality_gate": oracles.sql_quality_gate("documents"),
         "corpus_bigrams": oracles.sql_bigram_stats("documents"),
+        "corpus_dsir": oracles.sql_importance_sample("documents"),
+        "text_tfidf": oracles.sql_tfidf_terms("documents", k=3),
+        "text_surprisal": oracles.sql_surprisal_buckets("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

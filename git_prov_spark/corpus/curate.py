@@ -440,3 +440,118 @@ def training_order(documents: DataFrame, id_col: str = "doc_id",
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def flog2(col: F.Column) -> F.Column:
+    """Integer floor(log2(x)) for a positive integral column, computed as
+    length(bin(x)) - 1 — pure string/int built-ins that Spark and DuckDB
+    evaluate identically (verified: 1→0, 8→3, 1023→9, 1024→10, 2^63-1→62).
+    Float log() is NOT used anywhere in the importance pipeline: libm/JVM
+    transcendentals are only 1-ulp-accurate, so a cross-engine value-hash
+    gate cannot depend on them."""
+    return (F.length(F.bin(col.cast("long"))) - 1).cast("long")
+
+
+def importance_sample(
+    documents: DataFrame,
+    target_col: str,
+    n_buckets: int = 256,
+    cap: int = 24,
+    salt: str = "dsir-v1",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, logw_bits, deficit, keep) — DSIR-style importance
+    resampling (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): reweight a raw crawl toward a target domain
+    using hashed n-gram features, then sample each document with
+    probability proportional to its importance weight.
+
+    ``target_col`` is a boolean column on ``documents`` marking the
+    target-domain subset (e.g. high-quality or in-language docs). Model:
+
+    - every token hashes into one of ``n_buckets`` feature buckets
+      (portable md5 hash — identical in Spark, DuckDB and Python);
+    - the bucket's log-likelihood ratio is quantized to INTEGER bits:
+      L[b] = flog2(ct[b]+1) - flog2(cr[b]+1) where ct/cr are the bucket's
+      token counts in the target subset / full corpus (+1 = add-one
+      smoothing, so empty buckets are defined). Power-of-two quantization
+      is the price of bit-exact cross-engine determinism — float log()
+      would differ in the last ulp between JVM and libm (see flog2);
+    - a document's importance score is the exact integer sum
+      logw_bits = Σ_tokens L[bucket(token)] (long addition — associative,
+      so any partitioning/aggregation order yields identical bits; a doc
+      with no tokens scores 0, the empty product);
+    - sampling: deficit = min(max_logw - logw_bits, cap) and the doc is
+      kept iff hash(salt:id) % 2^deficit == 0 — i.e. with probability
+      2^-deficit ∝ 2^logw_bits, the importance-resampling acceptance rule
+      with power-of-two-quantized weights. The top-weight doc is always
+      kept (2^0 = 1); ``cap`` bounds the acceptance odds so the sampled
+      set stays non-degenerate.
+
+    Deterministic end-to-end: re-runs, retries, any executor count, and
+    the DuckDB oracle all produce identical rows — no RNG, no floats.
+
+    Scale (100 TB): the token explode is map-side; the (doc, bucket)
+    count is ONE hash-aggregate with map-side partials (keys bounded by
+    docs × n_buckets, no hot key beyond a doc's own size); bucket stats
+    are ≤ n_buckets rows — broadcast back; the per-doc sum regroups the
+    already-narrow (doc, bucket, n) rows by doc_id; max_logw is a scalar
+    aggregate broadcast into the final map-side keep expression. The raw
+    text never shuffles.
+    """
+    from .hashing import spark_h64
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not (0 <= cap <= 40):
+        raise ValueError("cap must be in [0, 40]")
+    from ..corpus.text import with_tokens
+
+    ids = documents.select(F.col(id_col), F.col(target_col).alias("_tgt"))
+    tok = (
+        with_tokens(documents, text)
+        .select(F.col(id_col), F.col(target_col).alias("_tgt"),
+                F.explode("tokens").alias("_token"))
+        .withColumn("_bucket",
+                    F.expr(spark_h64("_token")) % F.lit(n_buckets))
+    )
+    db = tok.groupBy(id_col, "_tgt", "_bucket").agg(
+        F.count(F.lit(1)).alias("_n_db"))
+    stats = db.groupBy("_bucket").agg(
+        F.sum("_n_db").alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("_n_db")).otherwise(0)).alias("_ct"),
+    ).select(
+        "_bucket",
+        (flog2(F.col("_ct") + 1) - flog2(F.col("_cr") + 1)).alias("_L"),
+    )
+    per_doc = (
+        db.join(F.broadcast(stats), "_bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n_db") * F.col("_L")).alias("logw_bits"))
+    )
+    scored = (
+        ids.join(per_doc, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("logw_bits"), F.lit(0)).cast("long")
+                .alias("logw_bits"))
+    )
+    # scalar max as a literal-keyed hash-aggregate (NOT a global agg whose
+    # final merge plans Exchange SinglePartition) broadcast to every row —
+    # the 1-row BroadcastNestedLoopJoin is Spark's own scalar-subquery
+    # shape, cost O(N), declared in tools/plan_audit.py
+    lmax = (scored.groupBy(F.lit(1).alias("_k"))
+            .agg(F.max("logw_bits").alias("_lmax")).drop("_k"))
+    h = F.expr(spark_h64(f"concat('{salt}', ':', cast({id_col} as string))"))
+    return (
+        scored.crossJoin(F.broadcast(lmax))
+        .withColumn(
+            "deficit",
+            F.least(F.col("_lmax") - F.col("logw_bits"), F.lit(cap))
+            .cast("int"))
+        .select(
+            F.col(id_col), "logw_bits", "deficit",
+            (h % F.expr("shiftleft(cast(1 as bigint), deficit)") == 0)
+            .alias("keep"),
+        )
+    )

@@ -809,3 +809,91 @@ def sql_bigram_stats(src: str = "documents", top_k: int = 200,
         f"FROM pairs GROUP BY pair HAVING COUNT(*) >= {min_total} "
         f"ORDER BY n_total DESC, pair LIMIT {top_k}"
     )
+
+
+def _duck_flog2(expr: str) -> str:
+    """DuckDB twin of curate.flog2: integer floor(log2(x)) via
+    length(bin(x))-1. The CAST matters — DuckDB SUM() returns HUGEINT,
+    and bin() must see the same 64-bit lexical form Spark's bin() sees."""
+    return f"(length(bin(CAST({expr} AS BIGINT))) - 1)"
+
+
+def sql_importance_sample(src: str = "documents", n_buckets: int = 256,
+                          cap: int = 24, salt: str = "dsir-v1") -> str:
+    """DuckDB twin of curate.importance_sample with the stopword-ratio
+    'en' predicate as the target domain: same portable token-bucket hash,
+    same integer-bit log-likelihood ratios, same power-of-two acceptance
+    rule — bit-identical keep decisions."""
+    hits = f"len(list_filter(tokens, t -> list_contains({_stop_list()}, t)))"
+    hdoc = duck_h64(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        f"lang AS (SELECT doc_id, len(tokens) > 0 AND {hits} * 20 >= "
+        "len(tokens) AS tgt, tokens FROM toks), "
+        "tok AS (SELECT doc_id, tgt, unnest(tokens) AS token FROM lang), "
+        f"db AS (SELECT doc_id, tgt, {duck_h64('token')} % {n_buckets} "
+        "AS bucket, COUNT(*) AS n_db FROM tok GROUP BY 1, 2, 3), "
+        "stats AS (SELECT bucket, "
+        f"{_duck_flog2('SUM(CASE WHEN tgt THEN n_db ELSE 0 END) + 1')} - "
+        f"{_duck_flog2('SUM(n_db) + 1')} AS l FROM db GROUP BY bucket), "
+        "perdoc AS (SELECT doc_id, CAST(SUM(n_db * l) AS BIGINT) AS logw "
+        "FROM db JOIN stats USING (bucket) GROUP BY doc_id), "
+        f"scored AS (SELECT d.doc_id, COALESCE(p.logw, 0) AS logw_bits "
+        f"FROM {src} d LEFT JOIN perdoc p ON d.doc_id = p.doc_id), "
+        "mx AS (SELECT MAX(logw_bits) AS lmax FROM scored) "
+        "SELECT doc_id, CAST(logw_bits AS BIGINT) AS logw_bits, "
+        f"CAST(LEAST(lmax - logw_bits, {cap}) AS INTEGER) AS deficit, "
+        f"({hdoc} % (CAST(1 AS BIGINT) << "
+        f"CAST(LEAST(lmax - logw_bits, {cap}) AS INTEGER))) = 0 AS keep "
+        "FROM scored, mx"
+    )
+
+
+def sql_tfidf_terms(src: str = "documents", k: int = 3) -> str:
+    """DuckDB twin of text.tfidf_terms: integer-quantized IDF
+    (flog2(n_docs // df)), top-k per doc by (score DESC, token)."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "flat AS (SELECT doc_id, unnest(tokens) AS token FROM toks), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM flat "
+        "GROUP BY 1, 2), "
+        "dfq AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY token), "
+        f"nd AS (SELECT COUNT(*) AS n FROM {src}), "
+        "scored AS (SELECT doc_id, token, tf, df_docs, "
+        f"tf * {_duck_flog2('n // df_docs')} AS score "
+        "FROM tf JOIN dfq USING (token), nd) "
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df_docs AS BIGINT) AS df_docs, CAST(score AS BIGINT) AS score "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, token) AS rk FROM scored) "
+        f"WHERE rk <= {k}"
+    )
+
+
+def sql_surprisal_buckets(src: str = "documents", n_buckets: int = 3) -> str:
+    """DuckDB twin of text.surprisal_buckets: integer-bit unigram
+    surprisal, fixed-point mean, rank-exact equal-population buckets."""
+    from .text import SURPRISAL_EMPTY, SURPRISAL_FIXED_POINT
+
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "flat AS (SELECT doc_id, unnest(tokens) AS token FROM toks), "
+        "ct AS (SELECT token, COUNT(*) AS c FROM flat GROUP BY token), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ct), "
+        f"bits AS (SELECT token, {_duck_flog2('t')} - {_duck_flog2('c')} "
+        "AS b FROM ct, tot), "
+        "perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+        "CAST(SUM(b) AS BIGINT) AS sum_bits "
+        "FROM flat JOIN bits USING (token) GROUP BY doc_id), "
+        "scored AS (SELECT d.doc_id, "
+        "CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(sum_bits, 0) AS BIGINT) AS sum_bits, "
+        "CASE WHEN COALESCE(n_tokens, 0) > 0 THEN "
+        f"(COALESCE(sum_bits, 0) * {SURPRISAL_FIXED_POINT}) // n_tokens "
+        f"ELSE {SURPRISAL_EMPTY} END AS avg_q "
+        f"FROM {src} d LEFT JOIN perdoc USING (doc_id)), "
+        f"n AS (SELECT COUNT(*) AS nt FROM {src}) "
+        "SELECT doc_id, n_tokens, sum_bits, CAST(avg_q AS BIGINT) AS avg_q, "
+        "CAST(((row_number() OVER (ORDER BY avg_q, doc_id) - 1) "
+        f"* {n_buckets}) // nt AS INTEGER) AS bucket FROM scored, n"
+    )

@@ -373,3 +373,151 @@ def bigram_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     if min_total > 1:
         out = out.where(F.col("n_total") >= min_total)
     return out.orderBy(F.col("n_total").desc(), "pair").limit(top_k)
+
+
+def tfidf_terms(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                k: int = 3) -> DataFrame:
+    """(doc_id, token, tf, df_docs, score) — top-k keyword extraction per
+    document by integer-quantized TF-IDF.
+
+    IDF is quantized to whole bits — flog2(n_docs // df_docs), computed
+    with length(bin(x))-1 (see curate.flog2) — because float log() differs
+    in the last ulp between the JVM and libm, and the cross-engine hash
+    gate demands bit-exact values. A token appearing in more than half
+    the corpus gets 0 bits (score 0): exactly the stopword-suppression
+    TF-IDF exists for. score = tf * idf_bits; ties and zero scores rank
+    deterministically by token. Docs with < k distinct tokens emit what
+    they have; empty docs emit nothing.
+
+    Scale: tf is ONE hash-aggregate over (doc, token) — map-side partials
+    collapse repeated tokens before the shuffle; df derives from tf by a
+    second aggregate of already-distinct (doc, token) rows (narrow);
+    n_docs is a scalar broadcast; the top-k window partitions by doc_id —
+    bounded by a single document's vocabulary, never corpus-wide. Text
+    never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from .curate import flog2
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = (
+        with_tokens(df, text)
+        .select(F.col(id_col), F.explode("tokens").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    # literal-keyed so the final merge never plans Exchange SinglePartition;
+    # the 1-row broadcast is declared in tools/plan_audit.py
+    n_docs = (df.groupBy(F.lit(1).alias("_k"))
+              .agg(F.count(F.lit(1)).alias("_n_docs")).drop("_k"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            # `div` = exact long division — a double `/` would round past
+            # 2^53 and break the cross-engine bit-exactness contract
+            F.col("tf") * flog2(F.expr("_n_docs div df_docs")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.asc("token"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(F.col(id_col), "token",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df_docs").cast("long").alias("df_docs"),
+                F.col("score").cast("long").alias("score"))
+    )
+
+
+# sentinel avg-surprisal for empty documents: larger than any real value
+# (max possible bits-per-token is ~62, so 62 * SURPRISAL_FIXED_POINT is the
+# true ceiling) — empty docs sort last (most surprising) in both engines
+# without NULL-ordering divergence (Spark asc = NULLS FIRST, DuckDB ASC =
+# NULLS LAST; a sentinel sidesteps the mismatch entirely).
+SURPRISAL_FIXED_POINT = 1_000_000
+SURPRISAL_EMPTY = 1 << 40
+
+
+def surprisal_buckets(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", n_buckets: int = 3) -> DataFrame:
+    """(doc_id, n_tokens, sum_bits, avg_q, bucket) — CCNet-style
+    perplexity-proxy quality bucketing: score every document by its mean
+    token surprisal under a unigram LM trained on the corpus itself, then
+    split the corpus into equal-population buckets (bucket 0 = most
+    fluent / lowest perplexity ... n_buckets-1 = tail).
+
+    The LM is integer-quantized: surprisal(token) = flog2(T) - flog2(ct)
+    bits (T = total token occurrences, ct = the token's count) ≈ -log2 p
+    within one bit — float log() is banned for cross-engine bit-exactness
+    (see curate.flog2). A doc's score is the exact long sum of its
+    tokens' bits; avg_q = sum_bits * 1e6 // n_tokens is fixed-point
+    micro-bits-per-token (integer division — no float ever materializes).
+    Empty docs get the SURPRISAL_EMPTY sentinel and land in the tail.
+
+    Bucketing is rank-exact, not percentile-approximate: a global rank
+    over (avg_q, doc_id) — computed by the range-partitioned
+    global_row_number operator, never a single-partition window — and
+    bucket = (rank-1) * n_buckets // N. Deterministic at any parallelism.
+
+    Scale: unigram counts are ONE Zipf-collapsing hash-aggregate; the
+    per-token surprisal join shuffles narrow (doc, token) rows on token;
+    the per-doc sum regroups by doc_id; the global rank moves P partition
+    counts to the driver, never data. Text never shuffles.
+    """
+    from ..operators import global_row_number
+    from .curate import flog2
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    tok = with_tokens(df, text).select(
+        F.col(id_col), F.explode("tokens").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_ct"))
+    # literal-keyed scalar (see tfidf_terms) — also the better degenerate
+    # form: an all-empty corpus yields zero rows here, not one null row
+    # whose flog2(NULL) would poison every bit score downstream
+    total = (counts.groupBy(F.lit(1).alias("_k"))
+             .agg(F.sum("_ct").alias("_T")).drop("_k"))
+    bits = (
+        counts.crossJoin(F.broadcast(total))
+        .select("token",
+                (flog2(F.col("_T")) - flog2(F.col("_ct"))).alias("_bits"))
+    )
+    per_doc = (
+        tok.join(bits, "token")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("_bits").alias("sum_bits"))
+    )
+    scored = (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long")
+            .alias("sum_bits"),
+        )
+        .withColumn(
+            "avg_q",
+            F.when(F.col("n_tokens") > 0,
+                   # exact long division: sum_bits * 1e6 overflows double
+                   # precision (2^53) for ~10^9-token docs; `div` does not
+                   F.expr(f"(sum_bits * {SURPRISAL_FIXED_POINT})"
+                          " div n_tokens"))
+            .otherwise(F.lit(SURPRISAL_EMPTY)).cast("long"))
+    )
+    n_total = df.count()
+    if n_total == 0:
+        return scored.withColumn("bucket", F.lit(None).cast("int"))
+    ranked = global_row_number(scored, ["avg_q", id_col], out_col="_rank")
+    return ranked.select(
+        id_col, "n_tokens", "sum_bits", "avg_q",
+        F.expr(f"cast(((_rank - 1) * {n_buckets}) div {n_total} as int)")
+        .alias("bucket"),
+    )

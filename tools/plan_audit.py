@@ -117,6 +117,9 @@ def main() -> None:
         "ann_topk_pandas": "brute-force baseline (mapInPandas matmul)",
         "ann_topk_ivf": "trained K(√N)-centroid broadcast fan-out — linear K*N, candidate search itself is an equi-join on capped cluster lists",
         "dedup_semantic": "same trained-centroid broadcast fan-out as ann_topk_ivf (linear K*N assignment); the epsilon-ball prune itself is an equi-join on capped cluster lists",
+        "corpus_dsir": "1-row scalar broadcast (max log-weight) — Spark's own scalar-subquery shape, cost O(N); every data-bearing join is an equi-join",
+        "text_tfidf": "1-row scalar broadcast (corpus doc count) joined onto narrow (doc, token) rows — linear",
+        "text_surprisal": "1-row scalar broadcast (total token count) onto the vocabulary — linear; the bucket rank is the range-partitioned global_row_number, never a single-partition window",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
