@@ -136,6 +136,12 @@ EXTRA_QUERIES = [
     "events_sessionize",
     "events_asof",
     "events_windowed",
+    # round-5 additions, fourth batch: data-selection passes — DSIR
+    # importance resampling, integer-quantized TF-IDF keywords,
+    # perplexity-proxy surprisal buckets
+    "corpus_dsir",
+    "text_tfidf",
+    "text_surprisal",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
