@@ -815,6 +815,15 @@ def q_text_surprisal(spark, sf_dir):
     return ctext.surprisal_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_text_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (r5, text.novelty_scores): share of a doc's
+    distinct 4-gram shingles with corpus document-frequency exactly 1 —
+    the boilerplate/diversity signal next to the dedup verdicts. One
+    distinct-(doc,shingle) shuffle + ONE df hash-aggregate + narrow join
+    back; linear in shingle occurrences, no pair join anywhere."""
+    return ctext.novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap sessionization (r5, timeseries.sessionize): 30-min inactivity
     breaks, ONE Exchange+Sort for both window functions (lag diff flag +
@@ -2902,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": q_corpus_dsir,
         "text_tfidf": q_text_tfidf,
         "text_surprisal": q_text_surprisal,
+        "text_novelty": q_text_novelty,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3162,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir": oracles.sql_importance_sample("documents"),
         "text_tfidf": oracles.sql_tfidf_terms("documents", k=3),
         "text_surprisal": oracles.sql_surprisal_buckets("documents"),
+        "text_novelty": oracles.sql_novelty("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

@@ -142,6 +142,7 @@ EXTRA_QUERIES = [
     "corpus_dsir",
     "text_tfidf",
     "text_surprisal",
+    "text_novelty",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

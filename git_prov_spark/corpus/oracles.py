@@ -897,3 +897,21 @@ def sql_surprisal_buckets(src: str = "documents", n_buckets: int = 3) -> str:
         "CAST(((row_number() OVER (ORDER BY avg_q, doc_id) - 1) "
         f"* {n_buckets}) // nt AS INTEGER) AS bucket FROM scored, n"
     )
+
+
+def sql_novelty(src: str = "documents", n: int = 4) -> str:
+    """DuckDB twin of text.novelty_scores: df==1 shingles over the same
+    distinct (doc, shingle) relation, integer-exact percentage."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), sh AS ({shingles_cte(n)}), "
+        "dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle), "
+        "perdoc AS (SELECT doc_id, COUNT(*) AS n_shingles, "
+        "SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel "
+        "FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles, "
+        "CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel, "
+        "CASE WHEN COALESCE(n_shingles, 0) > 0 THEN "
+        "CAST((n_novel * 100) // n_shingles AS BIGINT) ELSE NULL END "
+        f"AS novel_pct FROM {src} d LEFT JOIN perdoc USING (doc_id)"
+    )

@@ -155,3 +155,32 @@ class TestSurprisal:
         b = sorted(map(tuple,
                    ctext.surprisal_buckets(docs.repartition(5)).collect()))
         assert a == b
+
+
+class TestNovelty:
+    def test_matches_duckdb_twin(self, docs):
+        out = ctext.novelty_scores(docs)
+        _compare(out, oracles.sql_novelty("documents"),
+                 _pdf(docs), ["doc_id"])
+
+    def test_shared_passage_lowers_novelty(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(0, shared + " unique0 only0 here0 now0"),
+             (1, shared + " unique1 only1 here1 now1"),
+             (2, "completely different words without any overlap at all")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ctext.novelty_scores(df).collect()}
+        # docs 0/1 share the 6-token passage's shingles; doc 2 shares nothing
+        assert rows[2]["novel_pct"] == 100
+        assert rows[0]["novel_pct"] < 100 and rows[1]["novel_pct"] < 100
+        assert rows[0]["n_novel"] < rows[0]["n_shingles"]
+
+    def test_short_doc_null_pct(self, spark):
+        df = spark.createDataFrame(
+            [(0, "one two three"), (1, "the quick brown fox jumps")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in ctext.novelty_scores(df).collect()}
+        # 3 tokens < n=4 → no shingles → NULL pct, zero counts
+        assert rows[0]["n_shingles"] == 0 and rows[0]["novel_pct"] is None
+        assert rows[1]["n_shingles"] == 2 and rows[1]["novel_pct"] == 100
