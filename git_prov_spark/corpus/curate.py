@@ -508,7 +508,7 @@ def importance_sample(
         raise ValueError("cap must be in [0, 40]")
     from ..corpus.text import with_tokens
 
-    ids = documents.select(F.col(id_col), F.col(target_col).alias("_tgt"))
+    ids = documents.select(F.col(id_col))
     tok = (
         with_tokens(documents, text)
         .select(F.col(id_col), F.col(target_col).alias("_tgt"),

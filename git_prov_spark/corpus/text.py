@@ -546,8 +546,11 @@ def novelty_scores(df: DataFrame, n: int = 4, id_col: str = "doc_id",
     """
     from .dedup import shingles
 
-    sh = shingles(df, n=n, id_col=id_col) if text == "text" else shingles(
-        df.withColumnRenamed(text, "text"), n=n, id_col=id_col)
+    # shingles() reads the conventional "text" column; aliasing (rather
+    # than renaming) also covers a df that already carries an unrelated
+    # "text" column next to the requested one
+    sh = shingles(df.select(F.col(id_col), F.col(text).alias("text")),
+                  n=n, id_col=id_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         sh.join(dfreq, "shingle")
