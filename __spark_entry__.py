@@ -815,6 +815,26 @@ def q_text_surprisal(spark, sf_dir):
     return ctext.surprisal_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination (r5,
+    decontam.semantic_contamination): the paraphrase-leakage companion to
+    the n-gram pass — eval split (vec_id % 10 == 0) expands to its
+    hamming-1 LSH probe buckets and broadcasts; the corpus equi-joins on
+    bucket and exact-cosine-filters. Corpus never self-joins, never
+    shuffles — linear, the 100 TB shape. Threshold 0.3 here (real
+    embeddings use ~0.8; the fixture vectors are near-random, where 0.3
+    flags 83/450 at sf0.01 — the same fixture convention as
+    dedup_embedding_cosine)."""
+    from git_prov_spark.corpus.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        threshold=0.3,
+    )
+
+
 def q_text_novelty(spark, sf_dir):
     """Per-doc n-gram novelty (r5, text.novelty_scores): share of a doc's
     distinct 4-gram shingles with corpus document-frequency exactly 1 —
@@ -2912,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_surprisal": q_text_surprisal,
         "text_novelty": q_text_novelty,
+        "corpus_semantic_decontam": q_corpus_semantic_decontam,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3173,6 +3194,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": oracles.sql_tfidf_terms("documents", k=3),
         "text_surprisal": oracles.sql_surprisal_buckets("documents"),
         "text_novelty": oracles.sql_novelty("documents"),
+        "corpus_semantic_decontam": oracles.sql_semantic_contamination(
+            "embeddings", threshold=0.3),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

@@ -143,6 +143,7 @@ EXTRA_QUERIES = [
     "text_tfidf",
     "text_surprisal",
     "text_novelty",
+    "corpus_semantic_decontam",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -73,3 +73,68 @@ def decontaminate(
         .select(id_col)
     )
     return train.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(vec_id, n_hits, max_cos_r, contaminated) for EVERY training
+    vector — EMBEDDING-level benchmark decontamination: the pass real
+    pipelines run alongside n-gram decontam (contamination_report) to
+    catch paraphrased/translated eval leakage that shares no exact
+    n-gram. A hit is an eval vector with cosine >= threshold that lands
+    in the training vector's hyperplane-LSH bucket or one of its
+    hamming-1 neighbors (the EVAL side expands to its 1 + n_planes probe
+    buckets — eval sets are small, the expansion is free).
+
+    Scale (100 TB): the corpus side computes one bucket id map-side and
+    equi-joins against the broadcast probe-expanded eval set — the
+    corpus never self-joins and never shuffles; cost is linear in corpus
+    size plus the (tiny) in-bucket candidate mass. Bucketing bounds
+    recall exactly like ann_topk_multiprobe (candidates at hamming <= 1
+    of the eval bucket are guaranteed); raise n_planes coverage or run
+    the IVF path for stricter recall. Determinism: hyperplane weights
+    are hash-derived literals and the cosine is the fixed left fold
+    (dedup.cosine_expr), so both engines see identical doubles and the
+    DuckDB twin matches bit-for-bit.
+    """
+    from .dedup import cosine_expr
+    from .hashing import ANN_PLANES
+    from .similarity import lsh_bucket_expr, probe_masks
+
+    bucket = lsh_bucket_expr("embedding")
+    tr = train_emb.select(
+        F.col(id_col), F.col("embedding").alias("_temb"),
+        F.expr(bucket).alias("_b"))
+    masks = probe_masks(ANN_PLANES)
+    ev = (
+        eval_emb.select(F.col(id_col).alias("_eid"),
+                        F.col("embedding").alias("_eemb"))
+        .withColumn("_b0", F.expr(bucket.replace("embedding", "_eemb")))
+        .withColumn("_m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select("_eid", "_eemb", F.expr("int(_b0) ^ int(_m)").alias("_b"))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        tr.join(ev, "_b")
+        .withColumn("_cos", F.expr(cosine_expr("_temb", "_eemb")))
+        .where(F.col("_cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"),
+             F.round(F.max("_cos"), 4).alias("_maxcos"))
+    )
+    return (
+        train_emb.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("_maxcos").alias("max_cos_r"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -915,3 +915,33 @@ def sql_novelty(src: str = "documents", n: int = 4) -> str:
         "CAST((n_novel * 100) // n_shingles AS BIGINT) ELSE NULL END "
         f"AS novel_pct FROM {src} d LEFT JOIN perdoc USING (doc_id)"
     )
+
+
+def sql_semantic_contamination(src: str = "embeddings",
+                               threshold: float = 0.8,
+                               eval_mod: int = 10) -> str:
+    """DuckDB twin of decontam.semantic_contamination over the
+    deterministic vec_id-stride eval split (eval = vec_id % eval_mod == 0):
+    identical hash-derived hyperplane buckets, identical hamming-1 probe
+    expansion, identical left-fold cosine — bit-identical hits."""
+    from .similarity import probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(ANN_PLANES))
+    bkt = duck_lsh_bucket("embedding")
+    cos = duck_cosine("t.embedding", "e.embedding")
+    return (
+        f"WITH tr AS (SELECT vec_id, embedding, CAST({bkt} AS INTEGER) AS b "
+        f"FROM {src} WHERE vec_id % {eval_mod} <> 0), "
+        f"ev0 AS (SELECT vec_id AS eid, embedding, CAST({bkt} AS INTEGER) "
+        f"AS b0 FROM {src} WHERE vec_id % {eval_mod} = 0), "
+        f"ev AS (SELECT eid, embedding, xor(b0, m) AS b FROM ev0, "
+        f"unnest([{masks}]) AS u(m)), "
+        "hits AS (SELECT t.vec_id, COUNT(*) AS n_hits, "
+        f"round(MAX({cos}), 4) AS max_cos_r "
+        "FROM tr t JOIN ev e USING (b) "
+        f"WHERE {cos} >= {threshold} GROUP BY t.vec_id) "
+        "SELECT d.vec_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "h.max_cos_r AS max_cos_r, COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        f"FROM (SELECT vec_id FROM {src} WHERE vec_id % {eval_mod} <> 0) d "
+        "LEFT JOIN hits h USING (vec_id)"
+    )

@@ -91,3 +91,58 @@ def test_pii_scrub_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # zero shuffle
+
+
+# -- semantic (embedding-level) decontamination ------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _unit(seed, dim=64):
+    """Deterministic pseudo-random unit-ish vector (no RNG)."""
+    return [((seed * 31 + i * 17) % 97 - 48) / 48.0 for i in range(dim)]
+
+
+def test_semantic_contamination_catches_exact_leak(spark):
+    from git_prov_spark.corpus.decontam import semantic_contamination
+
+    leak = _unit(7)
+    train = _vecs(spark, [(1, leak), (2, _unit(11)), (3, _unit(23))])
+    eval_df = _vecs(spark, [(100, leak)])  # identical vector leaked
+    got = {r.vec_id: r for r in
+           semantic_contamination(train, eval_df, threshold=0.95).collect()}
+    # identical vector: same bucket (mask 0 probe), cosine 1.0
+    assert got[1].contaminated and got[1].n_hits == 1
+    assert abs(got[1].max_cos_r - 1.0) < 1e-9
+    assert not got[2].contaminated and got[2].max_cos_r is None
+    assert not got[3].contaminated
+
+
+def test_semantic_contamination_near_dup_crosses_one_bit(spark):
+    """A slightly perturbed leak may flip ONE hyperplane sign — the
+    hamming-1 probe expansion still catches it."""
+    from git_prov_spark.corpus.decontam import semantic_contamination
+
+    base = _unit(7)
+    near = list(base)
+    near[0] += 0.05  # small perturbation: cosine stays ~1
+    train = _vecs(spark, [(1, near), (2, _unit(41))])
+    eval_df = _vecs(spark, [(100, base)])
+    got = {r.vec_id: r for r in
+           semantic_contamination(train, eval_df, threshold=0.9).collect()}
+    assert got[1].contaminated and got[1].max_cos_r > 0.99
+
+
+def test_semantic_contamination_eval_side_broadcasts(spark):
+    from git_prov_spark.corpus.decontam import semantic_contamination
+
+    train = _vecs(spark, [(i, _unit(i)) for i in range(30)])
+    eval_df = _vecs(spark, [(100, _unit(3))])
+    plan = (
+        semantic_contamination(train, eval_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
