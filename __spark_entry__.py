@@ -993,6 +993,54 @@ def q_graph_pagerank(spark, sf_dir):
     return graph.pagerank(_event_graph_edges(spark, sf_dir))
 
 
+# Supplier co-supply graph: an edge between two suppliers when they ship
+# lines of the same order at least the corpus-mean number of times (the
+# scale-free c·n_pairs >= Σc threshold keeps integer arithmetic — no
+# float mean — and adapts to any SF; a fixed absolute cut is complete at
+# one SF and empty at another). The within-order self-join is bounded by
+# order size (≤7 lineitems), the scale-correct co-occurrence shape.
+SUPPLIER_GRAPH_EDGES_SQL = (
+    "WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+    "p AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS c "
+    "FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey "
+    "AND x.l_suppkey < y.l_suppkey GROUP BY 1, 2), "
+    "s AS (SELECT COUNT(*) AS np, SUM(c) AS sc FROM p) "
+    "SELECT a AS src, b AS dst FROM p, s WHERE c * np >= sc"
+)
+
+
+def _supplier_graph_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    pairs = (
+        os_.alias("x")
+        .join(os_.alias("y"),
+              (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+              & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+        .groupBy(F.col("x.l_suppkey").alias("a"),
+                 F.col("y.l_suppkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = pairs.agg(F.count(F.lit(1)).alias("np"), F.sum("c").alias("sc"))
+    return (
+        pairs.crossJoin(F.broadcast(s))
+        .where(F.col("c") * F.col("np") >= F.col("sc"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-node triangle counts + local clustering coefficient
+    (r5, graph.triangle_counts) over the supplier co-supply graph:
+    degree-ordered orientation caps every wedge fan-out at O(sqrt(m)) —
+    the only triangle-enumeration shape that survives power-law hubs at
+    100 TB; both joins are equi-joins. lcc is one IEEE division of exact
+    longs, so the DuckDB twin hash-matches bit-for-bit."""
+    from git_prov_spark import graph
+
+    return graph.triangle_counts(_supplier_graph_edges(spark, sf_dir))
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.as_media(_t(spark, sf_dir, "documents"))
     return multimodal.media_features(media)
@@ -2939,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_windowed": q_events_windowed,
@@ -3200,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),
         "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
+        "graph_triangles": _graph.sql_triangles(SUPPLIER_GRAPH_EDGES_SQL),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

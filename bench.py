@@ -144,6 +144,7 @@ EXTRA_QUERIES = [
     "text_surprisal",
     "text_novelty",
     "corpus_semantic_decontam",
+    "graph_triangles",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

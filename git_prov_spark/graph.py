@@ -116,6 +116,83 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS,
     return ranks
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_tri, lcc) — exact per-node triangle counts and
+    local clustering coefficient over the SIMPLE undirected graph induced
+    by the edge bag (self-loops dropped, direction and multiplicity
+    ignored; `degree` is the distinct-neighbor count).
+
+    Algorithm: degree-ordered orientation (Ortmann/Brandes; the
+    node-iterator++ every distributed triangle counter uses). Each
+    undirected edge is oriented from its (degree, node)-smaller endpoint
+    to its larger one, making the orientation a DAG under a total order —
+    every triangle {a ≺ b ≺ c} is enumerated exactly once as the wedge
+    (a→b, a→c) closed by the oriented edge b→c.
+
+    Scale (100 TB): orientation bounds every node's out-degree by
+    O(sqrt(m)) on arbitrary (even power-law) graphs, so the wedge
+    self-join — the only superlinear step — generates
+    Σ C(outdeg, 2) = O(m^1.5) rows worst-case instead of the hub-degree
+    blowup a naive neighbor join suffers; both the wedge join (on u) and
+    the closing join (on the (v, w) pair) are equi-joins, never
+    cartesian. lcc is one IEEE division of exact longs — bit-identical
+    across engines and cluster sizes; NULL for degree-1 nodes (no
+    possible wedge, 0/0)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    # und is canonical (a < b), so the tie on equal degrees breaks to a.
+    low_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    o = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(low_first, F.col("_db")).otherwise(F.col("_da"))
+            .alias("dv"),
+        )
+    )
+    wedge_lt = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    wedges = (
+        o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+        .join(o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2")),
+              "u")
+        .where(wedge_lt)
+        .select("u", "v1", "v2")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"])
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.coalesce("n_tri", F.lit(0)) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).alias("lcc"),
+        )
+    )
+
+
 def sql_degree_stats(edges_sql: str) -> str:
     """DuckDB twin of degree_stats over `edges_sql` (a SELECT producing
     src, dst)."""
@@ -165,3 +242,40 @@ def sql_pagerank(edges_sql: str, n_iter: int = PAGERANK_ITERS,
             f"LEFT JOIN c{k} ON c{k}.node = nodes.node)"
         )
     return ", ".join(parts) + f" SELECT node, rank FROM r{n_iter}"
+
+
+def sql_triangles(edges_sql: str) -> str:
+    """DuckDB twin of triangle_counts: the same canonicalization,
+    degree-ordered orientation, wedge join, and single-division lcc —
+    exact longs throughout, bit-identical doubles."""
+    return (
+        f"WITH e0 AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0 WHERE src <> dst), "
+        "deg AS (SELECT node, COUNT(*) AS degree FROM "
+        "(SELECT a AS node FROM und UNION ALL SELECT b FROM und) "
+        "GROUP BY 1), "
+        "o AS (SELECT CASE WHEN da.degree < db.degree OR "
+        "(da.degree = db.degree AND a < b) THEN a ELSE b END AS u, "
+        "CASE WHEN da.degree < db.degree OR "
+        "(da.degree = db.degree AND a < b) THEN b ELSE a END AS v, "
+        "CASE WHEN da.degree < db.degree OR "
+        "(da.degree = db.degree AND a < b) THEN db.degree ELSE da.degree "
+        "END AS dv FROM und "
+        "JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b), "
+        "w AS (SELECT o1.u, o1.v AS v1, o2.v AS v2 FROM o o1 "
+        "JOIN o o2 ON o1.u = o2.u WHERE o1.dv < o2.dv OR "
+        "(o1.dv = o2.dv AND o1.v < o2.v)), "
+        "tri AS (SELECT w.u, w.v1, w.v2 FROM w "
+        "JOIN o ON o.u = w.v1 AND o.v = w.v2), "
+        "pn AS (SELECT node, COUNT(*) AS n_tri FROM "
+        "(SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri "
+        "UNION ALL SELECT v2 FROM tri) GROUP BY 1) "
+        "SELECT deg.node, deg.degree, "
+        "CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri, "
+        "CASE WHEN deg.degree >= 2 THEN "
+        "CAST(COALESCE(pn.n_tri, 0) * 2 AS DOUBLE) / "
+        "CAST(deg.degree * (deg.degree - 1) AS DOUBLE) "
+        "ELSE NULL END AS lcc "
+        "FROM deg LEFT JOIN pn USING (node)"
+    )

@@ -94,3 +94,78 @@ def test_pagerank_ranks_sinks_lower(spark):
     df = spark.createDataFrame(rows, "src string, dst string")
     got = {r.node: r["rank"] for r in pagerank(df, n_iter=8).collect()}
     assert got["h"] == max(got.values())
+
+
+# -- triangle counting --------------------------------------------------------
+
+from git_prov_spark.graph import triangle_counts  # noqa: E402
+
+# K4 minus edge {a,d}, plus pendant e: triangles {a,b,c} and {b,c,d}
+TRI_EDGES = [("a", "b"), ("a", "c"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def _py_triangles(edges):
+    """Brute-force third implementation: simple undirected graph, count
+    triangles per node by neighbor-set intersection."""
+    nbr = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    out = {}
+    for v, ns in nbr.items():
+        t = sum(len(nbr[a] & nbr[b]) > 0 and b in nbr[a]
+                for i, a in enumerate(sorted(ns))
+                for b in sorted(ns)[i + 1:])
+        deg = len(ns)
+        lcc = 2.0 * t / (deg * (deg - 1)) if deg >= 2 else None
+        out[v] = (deg, t, lcc)
+    return out
+
+
+def test_triangle_counts_known_graph(spark):
+    df = spark.createDataFrame(TRI_EDGES, "src string, dst string")
+    got = {r.node: (r.degree, r.n_tri, r.lcc)
+           for r in triangle_counts(df).collect()}
+    assert got == {
+        "a": (2, 1, 1.0), "b": (3, 2, 2.0 / 3.0), "c": (3, 2, 2.0 / 3.0),
+        "d": (3, 1, 1.0 / 3.0), "e": (1, 0, None),
+    }
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Pseudo-random graph (hash-derived, no RNG) vs the pure-Python
+    neighbor-intersection reference."""
+    edges = [(f"n{(i * 7) % 23}", f"n{(i * i + 3) % 23}")
+             for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = _py_triangles(edges)
+    got = {r.node: (r.degree, r.n_tri, r.lcc)
+           for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+def test_triangle_counts_ignores_direction_multiplicity_loops(spark):
+    noisy = TRI_EDGES + [("b", "a"), ("a", "b"), ("c", "c"), ("d", "c")]
+    a = sorted(triangle_counts(
+        spark.createDataFrame(TRI_EDGES, "src string, dst string")).collect())
+    b = sorted(triangle_counts(
+        spark.createDataFrame(noisy, "src string, dst string")).collect())
+    assert a == b
+
+
+def test_triangle_counts_partitioning_invariant(spark):
+    df = spark.createDataFrame(TRI_EDGES * 3, "src string, dst string")
+    a = sorted(triangle_counts(df).collect())
+    b = sorted(triangle_counts(df.repartition(7)).collect())
+    assert a == b
+
+
+def test_triangle_counts_no_cartesian(spark):
+    df = spark.createDataFrame(TRI_EDGES, "src string, dst string")
+    plan = (triangle_counts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
