@@ -835,6 +835,29 @@ def q_corpus_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
+    pair-count → argmax → greedy leftmost merge over the distinct-word
+    table — the tokenizer-training pass. Corpus-sized work is ONE
+    explode+hash-aggregate (word frequencies); every round after is
+    vocabulary-sized with one bounded driver scalar (the argmax row).
+    The DuckDB twin unrolls the identical loop (the sql_pagerank
+    pattern) with the same left fold — all 8 merges hash-match."""
+    from git_prov_spark.corpus.bpe import bpe_merge_table
+
+    return bpe_merge_table(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_bpe_vocab(spark, sf_dir):
+    """Per-word tokenization under the 8 learned BPE merges (r5,
+    bpe.bpe_vocab) — evidence the merges are APPLIED with exact greedy
+    leftmost semantics, not just ranked: (word, freq, n_syms, toks)
+    hash-matches the unrolled DuckDB fold bit-for-bit."""
+    from git_prov_spark.corpus.bpe import bpe_vocab
+
+    return bpe_vocab(_t(spark, sf_dir, "documents"))
+
+
 def q_text_novelty(spark, sf_dir):
     """Per-doc n-gram novelty (r5, text.novelty_scores): share of a doc's
     distinct 4-gram shingles with corpus document-frequency exactly 1 —
@@ -2981,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": q_text_surprisal,
         "text_novelty": q_text_novelty,
         "corpus_semantic_decontam": q_corpus_semantic_decontam,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_bpe_vocab": q_corpus_bpe_vocab,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3245,6 +3270,8 @@ def oracle_sql() -> dict[str, str]:
         "text_novelty": oracles.sql_novelty("documents"),
         "corpus_semantic_decontam": oracles.sql_semantic_contamination(
             "embeddings", threshold=0.3),
+        "corpus_bpe_merges": oracles.sql_bpe_merges("documents"),
+        "corpus_bpe_vocab": oracles.sql_bpe_vocab("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

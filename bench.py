@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     "text_novelty",
     "corpus_semantic_decontam",
     "graph_triangles",
+    "corpus_bpe_merges",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

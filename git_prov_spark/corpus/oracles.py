@@ -945,3 +945,59 @@ def sql_semantic_contamination(src: str = "embeddings",
         f"FROM (SELECT vec_id FROM {src} WHERE vec_id % {eval_mod} <> 0) d "
         "LEFT JOIN hits h USING (vec_id)"
     )
+
+
+def _bpe_cte_chain(src: str, n_merges: int) -> str:
+    """Shared CTE chain for the BPE twins: word frequencies, char-split
+    symbols, then per round (pair count → argmax by (cnt DESC, pair) →
+    greedy leftmost fold). The fold is list_reduce over a list-of-lists
+    lift (acc and elements both list<string>, DuckDB's fixed-acc-type
+    constraint) — the SAME left fold bpe._apply_merge runs, so every
+    intermediate tokenization is identical and all n_merges argmaxes
+    match the Spark loop exactly."""
+    from .text import BPE_TOKEN_PATTERN
+
+    parts = [
+        ("v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+         "(SELECT unnest(regexp_extract_all(COALESCE(text, ''), "
+         f"'{BPE_TOKEN_PATTERN}')) AS word FROM {src}) "
+         "WHERE strpos(word, chr(31)) = 0 GROUP BY word)"),
+        ("w0 AS (SELECT word, freq, list_transform(range(1, "
+         "length(word) + 1), i -> word[i]) AS syms FROM v)"),
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"pc{k} AS (SELECT pair, SUM(freq) AS cnt FROM "
+            "(SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            f"i -> syms[i] || chr(31) || syms[i + 1])) AS pair FROM w{k-1}) "
+            "GROUP BY pair)")
+        parts.append(
+            f"win{k} AS (SELECT string_split(pair, chr(31))[1] AS wa, "
+            "string_split(pair, chr(31))[2] AS wb, cnt FROM "
+            f"pc{k} ORDER BY cnt DESC, pair LIMIT 1)")
+        parts.append(
+            f"w{k} AS (SELECT word, freq, list_reduce("
+            "list_transform(syms, s -> [s]), (acc, x) -> CASE WHEN "
+            "len(acc) > 0 AND acc[-1] = wa AND x[1] = wb THEN "
+            "list_append(acc[1:len(acc)-1], wa || wb) ELSE "
+            f"list_append(acc, x[1]) END) AS syms FROM w{k-1}, win{k})")
+    return "WITH " + ", ".join(parts)
+
+
+def sql_bpe_merges(src: str = "documents", n_merges: int = 8) -> str:
+    """DuckDB twin of bpe.bpe_merge_table."""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, wa AS lhs, "
+        f"wb AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM win{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"{_bpe_cte_chain(src, n_merges)} {rows}"
+
+
+def sql_bpe_vocab(src: str = "documents", n_merges: int = 8) -> str:
+    """DuckDB twin of bpe.bpe_vocab."""
+    return (
+        f"{_bpe_cte_chain(src, n_merges)} "
+        "SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms, "
+        f"array_to_string(syms, ' ') AS toks FROM w{n_merges}"
+    )
