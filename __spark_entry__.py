@@ -835,6 +835,30 @@ def q_corpus_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_sketch_hll_registers(spark, sf_dir):
+    """Mergeable HyperLogLog register table (r5, sketches.hll_registers)
+    over lineitem order keys: ONE hash-aggregate whose map-side partials
+    collapse to ≤256 (int,int) rows per partition before the shuffle —
+    distinct-counting at 100 TB without shuffling the key set. Portable
+    md5 hash + integer leading-zero rank: both engines mint identical
+    registers."""
+    from git_prov_spark.corpus.sketches import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_sketch_hll_estimate(spark, sf_dir):
+    """HLL cardinality estimate (r5, sketches.hll_estimate): the raw
+    harmonic estimate folds ≤256 exact power-of-two reciprocals in
+    bucket order (sorted fold — the pagerank discipline), so the double
+    is bit-identical across engines; the row carries the exact distinct
+    count and floor()ed basis-point error so the gate also checks the
+    sketch's accuracy claim."""
+    from git_prov_spark.corpus.sketches import hll_estimate
+
+    return hll_estimate(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3006,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_semantic_decontam": q_corpus_semantic_decontam,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_hll_estimate": q_sketch_hll_estimate,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3272,6 +3298,10 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", threshold=0.3),
         "corpus_bpe_merges": oracles.sql_bpe_merges("documents"),
         "corpus_bpe_vocab": oracles.sql_bpe_vocab("documents"),
+        "sketch_hll_registers": oracles.sql_hll_registers(
+            "lineitem", "l_orderkey"),
+        "sketch_hll_estimate": oracles.sql_hll_estimate(
+            "lineitem", "l_orderkey"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

@@ -146,6 +146,7 @@ EXTRA_QUERIES = [
     "corpus_semantic_decontam",
     "graph_triangles",
     "corpus_bpe_merges",
+    "sketch_hll_estimate",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

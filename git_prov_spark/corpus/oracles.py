@@ -1001,3 +1001,44 @@ def sql_bpe_vocab(src: str = "documents", n_merges: int = 8) -> str:
         "SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms, "
         f"array_to_string(syms, ' ') AS toks FROM w{n_merges}"
     )
+
+
+def sql_hll_registers(src: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of sketches.hll_registers: identical portable hash,
+    identical integer leading-zero rank via length(bin(w))."""
+    vbits = 60 - p
+    mask = (1 << vbits) - 1
+    h = duck_h64(f"CAST({col} AS VARCHAR)")
+    return (
+        f"WITH hx AS (SELECT CAST(({h} >> {vbits}) AS INTEGER) AS bucket, "
+        f"({h} & {mask}) AS w FROM {src} WHERE {col} IS NOT NULL) "
+        f"SELECT bucket, CAST(MAX(CASE WHEN w = 0 THEN {vbits + 1} "
+        f"ELSE {vbits} - (length(bin(CAST(w AS BIGINT))) - 1) END) "
+        "AS INTEGER) AS rho FROM hx GROUP BY bucket"
+    )
+
+
+def sql_hll_estimate(src: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of sketches.hll_estimate: the same bucket-ordered
+    left fold of exact power-of-two reciprocals (sql_pagerank's
+    list_prepend + list_reduce shape), same repr()-embedded alpha — the
+    raw_est double matches bit-for-bit."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (
+        f"WITH regs AS ({sql_hll_registers(src, col, p)}), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << rho) "
+        "AS DOUBLE) ORDER BY bucket)), (acc, x) -> acc + x) "
+        "AS s_present FROM regs), "
+        f"e AS (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) "
+        f"AS exact_distinct FROM {src} WHERE {col} IS NOT NULL) "
+        "SELECT *, CAST(floor(abs(raw_est - exact_distinct) * 10000.0 "
+        "/ exact_distinct) AS BIGINT) AS err_bp FROM ("
+        f"SELECT CAST({m} AS BIGINT) AS m, n_present, "
+        f"CAST({m} - n_present AS BIGINT) AS n_zero, "
+        f"CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE) "
+        f"/ (s_present + CAST({m} - n_present AS DOUBLE)) AS raw_est, "
+        "exact_distinct FROM a, e)"
+    )

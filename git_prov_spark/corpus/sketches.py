@@ -1,0 +1,119 @@
+"""Deterministic HyperLogLog distinct-count sketches (Flajolet et al.
+2007) — the mergeable counting structure a 100 TB pipeline uses where an
+exact COUNT(DISTINCT) would shuffle the full key set: per-source
+cardinality dashboards, dedup-rate monitoring across ingestion days,
+join-cardinality estimation before planning.
+
+Why hand-rolled instead of `approx_count_distinct`: Spark's HLL++ is
+neither cross-engine reproducible nor exposed as a mergeable register
+table. This one is BOTH — the hash is the repo's portable 60-bit md5
+hash (hashing.spark_h64 / duck_h64 / py_h64), every register is exact
+integer arithmetic (leading-zero rank via the length(bin(x)) trick —
+curate.flog2's — never float log), and the estimate is one sorted left
+fold of power-of-two reciprocals (exact doubles), so Spark, DuckDB, and
+the pure-Python reference produce bit-identical registers AND estimate.
+
+Scale (100 TB): the register build is ONE hash-aggregate whose map-side
+partials collapse to ≤2^p rows per partition before the shuffle — the
+reduce side sees at most (n_partitions × 2^p) narrow (int, int) rows
+regardless of corpus size. Sketches MERGE by bucket-wise max (union
+semantics), so per-day / per-source register tables roll up without
+touching raw data — `merge_registers` is that one aggregate. The
+estimate step folds ≤2^p rows on the driver side of a collect_list —
+bounded by the sketch width, never by the data.
+
+No bias correction / linear-counting switch is applied to `raw_est`:
+both corrections need ln(), whose last ulp differs between libm and the
+JVM — the gate demands bit-exact doubles. The register table carries
+everything needed to apply any estimator offline; `n_zero` is provided
+so callers can see when they are in the linear-counting regime.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import spark_h64
+
+HLL_P = 8                     # 2^8 = 256 registers (±6.5% std error)
+HLL_HASH_BITS = 60            # spark_h64 yields a 60-bit hash
+
+
+def _alpha(m: int) -> float:
+    # the standard HLL alpha_m constant; embedded via repr() into both
+    # engines' plans so the doubles agree bit-for-bit
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """(bucket, rho): the sketch itself. bucket = top p hash bits; rho =
+    1 + leading-zero count of the remaining bits (integer-exact via
+    length(bin(w))). Buckets no value hashed into are absent (rho 0)."""
+    vbits = HLL_HASH_BITS - p
+    h = spark_h64(f"cast({col} as string)")
+    w = f"({h} & {(1 << vbits) - 1})"
+    rho = (f"CASE WHEN {w} = 0 THEN {vbits + 1} "
+           f"ELSE {vbits} - (length(bin({w})) - 1) END")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.expr(f"cast(shiftright({h}, {vbits}) as int)").alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("bucket").agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def merge_registers(*sketches: DataFrame) -> DataFrame:
+    """Union semantics: bucket-wise max over any number of register
+    tables — how per-day / per-source sketches roll up without rescans."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").cast("int").alias("rho"))
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """One row: (m, n_present, n_zero, raw_est, exact_distinct,
+    err_bp). raw_est is the uncorrected HLL estimate
+    alpha_m · m² / (Σ 2^-rho + n_zero); the Σ folds in bucket order
+    (sorted fold — double addition is not associative) and every 2^-rho
+    is an exact power-of-two reciprocal, so the double is bit-identical
+    across engines and partitionings. exact_distinct (one extra
+    aggregate — fine at gate scale, optional at 100 TB) and the
+    floor()ed basis-point error make the row self-evaluating."""
+    m = 1 << p
+    regs = hll_registers(df, col, p)
+    alpha = _alpha(m)
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        # SQL-expr form: pyspark's F.shiftleft only takes a literal shift
+        # width, but the SQL function shifts by a column just fine
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(bucket, rho))), "
+            "cast(0.0 as double), (acc, x) -> acc + cast(1.0 as double) "
+            "/ cast(shiftleft(cast(1 as bigint), x.rho) as double))"
+        ).alias("s_present"),
+    )
+    exact = df.where(F.col(col).isNotNull()).agg(
+        F.count_distinct(F.col(col)).alias("exact_distinct"))
+    return (
+        agg.crossJoin(exact)
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "n_present",
+            (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+            (F.lit(alpha) * F.lit(float(m * m))
+             / (F.col("s_present")
+                + (F.lit(m) - F.col("n_present")).cast("double")))
+            .alias("raw_est"),
+            F.col("exact_distinct").cast("long"),
+        )
+        .withColumn(
+            "err_bp",
+            F.floor(
+                F.abs(F.col("raw_est") - F.col("exact_distinct"))
+                * F.lit(10000.0) / F.col("exact_distinct")
+            ).cast("long"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""sketches.py: deterministic HyperLogLog — exact parity with a
+pure-Python reference (third implementation beside the DuckDB twin),
+the merge = bucket-wise-max union law, accuracy sanity, and bit
+invariance under repartitioning."""
+from __future__ import annotations
+
+from git_prov_spark.corpus.hashing import py_h64
+from git_prov_spark.corpus.sketches import (
+    HLL_HASH_BITS,
+    HLL_P,
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+
+
+def _py_registers(values, p=HLL_P):
+    vbits = HLL_HASH_BITS - p
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = py_h64(str(v))
+        bucket, w = h >> vbits, h & ((1 << vbits) - 1)
+        rho = vbits + 1 if w == 0 else vbits - (w.bit_length() - 1)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_estimate(values, p=HLL_P):
+    m = 1 << p
+    regs = _py_registers(values, p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0.0
+    for b in sorted(regs):
+        s += 1.0 / (1 << regs[b])
+    return alpha * float(m * m) / (s + float(m - len(regs)))
+
+
+def _ids(spark, n, stride=1):
+    return spark.range(0, n * stride, stride).selectExpr("id AS k")
+
+
+def test_registers_match_python_reference(spark):
+    vals = list(range(0, 3000, 3))
+    got = {r.bucket: r.rho
+           for r in hll_registers(_ids(spark, 1000, 3), "k").collect()}
+    assert got == _py_registers(vals)
+
+
+def test_estimate_matches_python_bitwise(spark):
+    vals = list(range(0, 3000, 3))
+    row = hll_estimate(_ids(spark, 1000, 3), "k").collect()[0]
+    assert row.raw_est == _py_estimate(vals)  # exact float equality
+    assert row.exact_distinct == 1000
+    assert row.m == 256 and row.n_present + row.n_zero == 256
+
+
+def test_estimate_accuracy(spark):
+    """p=8 → ~6.5% std error; 20% is > 3 sigma for 5000 distinct."""
+    row = hll_estimate(_ids(spark, 5000), "k").collect()[0]
+    assert abs(row.raw_est - 5000) / 5000 < 0.20
+    assert row.err_bp < 2000
+
+
+def test_merge_is_union(spark):
+    """Registers of the union == bucket-wise max of the parts — the
+    mergeability that makes per-day sketches roll up without rescans."""
+    a, b = _ids(spark, 800), spark.range(500, 1500).selectExpr("id AS k")
+    merged = {r.bucket: r.rho for r in merge_registers(
+        hll_registers(a, "k"), hll_registers(b, "k")).collect()}
+    union = {r.bucket: r.rho
+             for r in hll_registers(a.unionByName(b), "k").collect()}
+    assert merged == union
+
+
+def test_partitioning_invariant(spark):
+    df = _ids(spark, 2000)
+    a = hll_estimate(df, "k").collect()[0]
+    b = hll_estimate(df.repartition(13), "k").collect()[0]
+    assert a == b  # bit-for-bit, incl. the folded double
+
+
+def test_nulls_ignored(spark):
+    df = spark.sql("SELECT CASE WHEN id % 2 = 0 THEN id END AS k "
+                   "FROM range(100)")
+    row = hll_estimate(df, "k").collect()[0]
+    assert row.exact_distinct == 50
