@@ -859,6 +859,26 @@ def q_sketch_hll_estimate(spark, sf_dir):
     return hll_estimate(_t(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
+def q_sketch_cms_counters(spark, sf_dir):
+    """Count-Min counter table (r5, sketches.cms_counters) over lineitem
+    part keys: ONE pass, d-way map-side explode, hash-aggregate partials
+    collapse to ≤d·w cells per partition — frequency monitoring at
+    100 TB in 4×256 integers; counters merge by cell-wise sum."""
+    from git_prov_spark.corpus.sketches import cms_counters
+
+    return cms_counters(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def q_sketch_cms_topk(spark, sf_dir):
+    """CMS heavy-hitter readout (r5, sketches.cms_estimates): top-50 by
+    estimated count with the exact count alongside — the gate verifies
+    the never-undercount property and the exact collision overcounts
+    cell by cell (all-integer, hash-exact)."""
+    from git_prov_spark.corpus.sketches import cms_estimates
+
+    return cms_estimates(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3032,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_estimate": q_sketch_hll_estimate,
+        "sketch_cms_counters": q_sketch_cms_counters,
+        "sketch_cms_topk": q_sketch_cms_topk,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3302,6 +3324,10 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_orderkey"),
         "sketch_hll_estimate": oracles.sql_hll_estimate(
             "lineitem", "l_orderkey"),
+        "sketch_cms_counters": oracles.sql_cms_counters(
+            "lineitem", "l_partkey"),
+        "sketch_cms_topk": oracles.sql_cms_estimates(
+            "lineitem", "l_partkey"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

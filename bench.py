@@ -147,6 +147,7 @@ EXTRA_QUERIES = [
     "graph_triangles",
     "corpus_bpe_merges",
     "sketch_hll_estimate",
+    "sketch_cms_topk",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -1042,3 +1042,49 @@ def sql_hll_estimate(src: str, col: str, p: int = 8) -> str:
         f"/ (s_present + CAST({m} - n_present AS DOUBLE)) AS raw_est, "
         "exact_distinct FROM a, e)"
     )
+
+
+def _duck_cms_idx(col: str, d: int, w: int) -> list[str]:
+    """DuckDB twins of sketches._cms_idx_exprs — same portable hash,
+    same MinHash permutation constants, same mod-w fold."""
+    h = duck_hmod(f"CAST({col} AS VARCHAR)")
+    return [
+        f"CAST(({perm_expr(h, *MINHASH_PERMS[i])}) % {w} AS INTEGER)"
+        for i in range(d)
+    ]
+
+
+def sql_cms_counters(src: str, col: str, d: int = 4, w: int = 256) -> str:
+    """DuckDB twin of sketches.cms_counters."""
+    idx = _duck_cms_idx(col, d, w)
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS hrow, {idx[i]} AS idx FROM {src} "
+        f"WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    return (
+        f"SELECT hrow, idx, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM ({arms}) GROUP BY hrow, idx"
+    )
+
+
+def sql_cms_estimates(src: str, col: str, k: int = 50,
+                      d: int = 4, w: int = 256) -> str:
+    """DuckDB twin of sketches.cms_estimates: exact counts per value,
+    re-hash the value through the same d index expressions, min over the
+    joined counter cells, top-k by (est DESC, value)."""
+    idx = _duck_cms_idx("value", d, w)
+    probes = " UNION ALL ".join(
+        f"SELECT value, exact_cnt, {i} AS hrow, {idx[i]} AS idx FROM e"
+        for i in range(d)
+    )
+    return (
+        f"WITH cnts AS ({sql_cms_counters(src, col, d, w)}), "
+        f"e AS (SELECT {col} AS value, CAST(COUNT(*) AS BIGINT) "
+        f"AS exact_cnt FROM {src} WHERE {col} IS NOT NULL GROUP BY 1), "
+        f"vc AS ({probes}), "
+        "est AS (SELECT value, exact_cnt, MIN(cnt) AS est_cnt "
+        "FROM vc JOIN cnts USING (hrow, idx) GROUP BY 1, 2) "
+        "SELECT value, exact_cnt, est_cnt, est_cnt - exact_cnt "
+        f"AS overcount FROM est ORDER BY est_cnt DESC, value LIMIT {k}"
+    )

@@ -117,3 +117,86 @@ def hll_estimate(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the frequency twin of
+# the HLL cardinality sketch — heavy-hitter monitoring over 100 TB token
+# streams in d×w integers. Counters are mergeable by cell-wise ADDITION
+# (per-day rollup, like HLL's bucket-wise max); point estimates are the
+# min over d rows and NEVER undercount (conservative property, tested).
+# Same determinism discipline: portable md5 hash + the MinHash (a,b)
+# permutation constants, integer arithmetic end to end.
+
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_idx_exprs(col: str, d: int, w: int) -> list[str]:
+    from .hashing import MINHASH_PERMS, perm_expr, spark_hmod
+
+    h = spark_hmod(f"cast({col} as string)")
+    return [
+        f"cast(({perm_expr(h, *MINHASH_PERMS[i])}) % {w} as int)"
+        for i in range(d)
+    ]
+
+
+def cms_counters(df: DataFrame, col: str,
+                 d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(hrow, idx, cnt): the d×w counter table. ONE pass — the d-way
+    explode is map-side and the hash-aggregate's partials collapse to
+    ≤d·w rows per partition before the shuffle, so the reduce side is
+    sketch-sized regardless of corpus size."""
+    structs = ", ".join(
+        f"struct({i} as hrow, {e} as idx)"
+        for i, e in enumerate(_cms_idx_exprs(col, d, w)))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.expr(f"array({structs})")).alias("cell"))
+        .select("cell.hrow", "cell.idx")
+        .groupBy("hrow", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_counters(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — CMS union semantics."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("hrow", "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimates(df: DataFrame, col: str, k: int = 50,
+                  d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(value, exact_cnt, est_cnt, overcount) for the top-k values by
+    (est_cnt DESC, value) — the heavy-hitter readout, with the exact
+    count alongside so the gate also checks the never-undercount
+    property and the collision overcounts. The counter table broadcasts
+    (≤d·w rows); the per-value probe is map-side hashing + one
+    broadcast join + a sketch-row min."""
+    counters = cms_counters(df, col, d, w)
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    structs = ", ".join(
+        f"struct({i} as hrow, {e} as idx)"
+        for i, e in enumerate(_cms_idx_exprs("value", d, w)))
+    cells = exact.select(
+        "value", "exact_cnt",
+        F.explode(F.expr(f"array({structs})")).alias("cell"),
+    ).select("value", "exact_cnt", "cell.hrow", "cell.idx")
+    return (
+        cells.join(F.broadcast(counters), ["hrow", "idx"])
+        .groupBy("value", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "value", "exact_cnt", "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), "value")
+        .limit(k)
+    )

@@ -86,3 +86,84 @@ def test_nulls_ignored(spark):
                    "FROM range(100)")
     row = hll_estimate(df, "k").collect()[0]
     assert row.exact_distinct == 50
+
+
+# -- Count-Min ----------------------------------------------------------------
+
+from git_prov_spark.corpus.hashing import MERSENNE_P, MINHASH_PERMS  # noqa: E402
+from git_prov_spark.corpus.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_counters,
+    cms_estimates,
+    merge_counters,
+)
+
+
+def _py_cms(values, d=CMS_D, w=CMS_W):
+    cells = {}
+    for v in values:
+        if v is None:
+            continue
+        h = py_h64(str(v)) % MERSENNE_P
+        for i in range(d):
+            a, b = MINHASH_PERMS[i]
+            idx = ((a * h + b) % MERSENNE_P) % w
+            cells[(i, idx)] = cells.get((i, idx), 0) + 1
+    return cells
+
+
+def _py_cms_est(values, v, cells, d=CMS_D, w=CMS_W):
+    h = py_h64(str(v)) % MERSENNE_P
+    return min(
+        cells[(i, ((MINHASH_PERMS[i][0] * h + MINHASH_PERMS[i][1])
+                   % MERSENNE_P) % w)]
+        for i in range(d))
+
+
+def _skewed(spark, n=4000):
+    # Zipf-ish: value = floor(sqrt(id)) → small values very frequent
+    return spark.range(n).selectExpr(
+        "CAST(floor(sqrt(CAST(id AS DOUBLE))) AS BIGINT) AS k")
+
+
+def test_cms_counters_match_python(spark):
+    import math
+    vals = [int(math.floor(math.sqrt(float(i)))) for i in range(4000)]
+    got = {(r.hrow, r.idx): r.cnt
+           for r in cms_counters(_skewed(spark), "k").collect()}
+    assert got == _py_cms(vals)
+
+
+def test_cms_never_undercounts_and_tops_match(spark):
+    import math
+    vals = [int(math.floor(math.sqrt(float(i)))) for i in range(4000)]
+    cells = _py_cms(vals)
+    rows = cms_estimates(_skewed(spark), "k", k=20).collect()
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt          # conservative
+        assert r.overcount == r.est_cnt - r.exact_cnt
+        assert r.exact_cnt == exact[r.value]
+        assert r.est_cnt == _py_cms_est(vals, r.value, cells)
+    # the true heaviest value (63: ids 3969..3999 plus sqrt band) is present
+    assert rows[0].est_cnt == max(r.est_cnt for r in rows)
+
+
+def test_cms_merge_is_sum(spark):
+    a, b = _skewed(spark, 1500), _skewed(spark, 2500)
+    merged = {(r.hrow, r.idx): r.cnt for r in merge_counters(
+        cms_counters(a, "k"), cms_counters(b, "k")).collect()}
+    union = {(r.hrow, r.idx): r.cnt
+             for r in cms_counters(a.unionByName(b), "k").collect()}
+    assert merged == union
+
+
+def test_cms_partitioning_invariant(spark):
+    df = _skewed(spark)
+    x = sorted(map(tuple, cms_estimates(df, "k", k=30).collect()))
+    y = sorted(map(tuple, cms_estimates(df.repartition(11), "k",
+                                        k=30).collect()))
+    assert x == y
