@@ -879,6 +879,30 @@ def q_sketch_cms_topk(spark, sf_dir):
     return cms_estimates(_t(spark, sf_dir, "lineitem"), "l_partkey")
 
 
+def q_sketch_bloom_bits(spark, sf_dir):
+    """Bloom filter word table (r5, sketches.bloom_bits) over customer
+    keys: k=4 map-side bit positions per key, bit_or partials collapse
+    to ≤m/64 BIGINT words per partition — the membership sketch of the
+    family (HLL cardinality / CMS frequency / Bloom membership);
+    filters merge by word-wise OR."""
+    from git_prov_spark.corpus.sketches import bloom_bits
+
+    return bloom_bits(_t(spark, sf_dir, "customer"), "c_custkey")
+
+
+def q_sketch_bloom_fpr(spark, sf_dir):
+    """Self-evaluating Bloom readout (r5, sketches.bloom_fpr): build
+    from customer keys, probe with the disjoint key+10^9 set, report
+    measured false positives in integer basis points — all-integer, so
+    the gate checks the filter bits AND the measured FPR exactly."""
+    from git_prov_spark.corpus.sketches import bloom_fpr
+
+    cust = _t(spark, sf_dir, "customer")
+    probes = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000_000)).alias("c_custkey"))
+    return bloom_fpr(cust, "c_custkey", probes)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3054,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_estimate": q_sketch_hll_estimate,
         "sketch_cms_counters": q_sketch_cms_counters,
         "sketch_cms_topk": q_sketch_cms_topk,
+        "sketch_bloom_bits": q_sketch_bloom_bits,
+        "sketch_bloom_fpr": q_sketch_bloom_fpr,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3328,6 +3354,10 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_partkey"),
         "sketch_cms_topk": oracles.sql_cms_estimates(
             "lineitem", "l_partkey"),
+        "sketch_bloom_bits": oracles.sql_bloom_bits(
+            "customer", "c_custkey"),
+        "sketch_bloom_fpr": oracles.sql_bloom_fpr(
+            "customer", "c_custkey", 1_000_000_000),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

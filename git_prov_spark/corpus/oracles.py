@@ -1088,3 +1088,50 @@ def sql_cms_estimates(src: str, col: str, k: int = 50,
         "SELECT value, exact_cnt, est_cnt, est_cnt - exact_cnt "
         f"AS overcount FROM est ORDER BY est_cnt DESC, value LIMIT {k}"
     )
+
+
+def _duck_bloom_pos(col: str, m: int, k: int) -> list[str]:
+    h = duck_hmod(f"CAST({col} AS VARCHAR)")
+    return [f"(({perm_expr(h, *MINHASH_PERMS[i])}) % {m})" for i in range(k)]
+
+
+def sql_bloom_bits(src: str, col: str, m: int = 16384, k: int = 4) -> str:
+    """DuckDB twin of sketches.bloom_bits."""
+    arms = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM {src} WHERE {col} IS NOT NULL"
+        for p in _duck_bloom_pos(col, m, k)
+    )
+    return (
+        "SELECT CAST(pos // 64 AS INTEGER) AS word_idx, "
+        "bit_or(CASE WHEN CAST(pos % 64 AS INTEGER) = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS bits "
+        f"FROM ({arms}) GROUP BY 1"
+    )
+
+
+def sql_bloom_fpr(src: str, col: str, probe_offset: int,
+                  m: int = 16384, k: int = 4) -> str:
+    """DuckDB twin of sketches.bloom_fpr with the probe set derived as
+    {col} + probe_offset (the same synthetic disjoint probe construction
+    the Spark entry uses)."""
+    pos = _duck_bloom_pos("value", m, k)
+    probes = " UNION ALL ".join(
+        f"SELECT value, {p} AS pos FROM pv" for p in pos)
+    return (
+        f"WITH bloom AS ({sql_bloom_bits(src, col, m, k)}), "
+        f"pv AS (SELECT DISTINCT {col} + {probe_offset} AS value "
+        f"FROM {src} WHERE {col} IS NOT NULL), "
+        f"cells AS (SELECT value, CAST(pos // 64 AS INTEGER) AS word_idx, "
+        "CASE WHEN CAST(pos % 64 AS INTEGER) = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END AS mask "
+        f"FROM ({probes})), "
+        "hits AS (SELECT value, COUNT(*) = SUM(CASE WHEN "
+        "(COALESCE(bits, 0) & mask) = mask THEN 1 ELSE 0 END) AS hit "
+        "FROM cells LEFT JOIN bloom USING (word_idx) GROUP BY value), "
+        f"ins AS (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS "
+        f"n_inserted FROM {src} WHERE {col} IS NOT NULL) "
+        f"SELECT CAST({m} AS BIGINT) AS m, CAST({k} AS BIGINT) AS k, "
+        "n_inserted, CAST(COUNT(*) AS BIGINT) AS n_probes, "
+        "CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_false_pos, "
+        "CAST((SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000) // COUNT(*) "
+        "AS BIGINT) AS fpr_bp FROM hits, ins GROUP BY n_inserted"
+    )

@@ -200,3 +200,102 @@ def cms_estimates(df: DataFrame, col: str, k: int = 50,
         .orderBy(F.col("est_cnt").desc(), "value")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): the membership sketch completing the family
+# (HLL = cardinality, CMS = frequency, Bloom = membership) — the "have we
+# already ingested this key / url / sha" structure a 100 TB pipeline
+# keeps per shard. Bits pack 64-per-row into BIGINT words; filters merge
+# by word-wise bit OR; everything is integer, so cross-engine hash-exact.
+
+BLOOM_M = 1 << 14   # 16,384 bits = 256 BIGINT words
+BLOOM_K = 4
+
+
+def _bloom_pos_exprs(col: str, m: int, k: int) -> list[str]:
+    from .hashing import MINHASH_PERMS, perm_expr, spark_hmod
+
+    h = spark_hmod(f"cast({col} as string)")
+    return [f"(({perm_expr(h, *MINHASH_PERMS[i])}) % {m})" for i in range(k)]
+
+
+def bloom_bits(df: DataFrame, col: str,
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """(word_idx, bits): the filter as ≤m/64 packed BIGINT words. ONE
+    pass — k map-side positions per row, bit_or partials collapse to
+    ≤m/64 words per partition before the shuffle."""
+    arr = ", ".join(_bloom_pos_exprs(col, m, k))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.expr(f"array({arr})")).alias("pos"))
+        .select(
+            F.expr("cast(pos div 64 as int)").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def merge_blooms(*filters: DataFrame) -> DataFrame:
+    """Word-wise OR — Bloom union semantics."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame, col: str,
+                   m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """(value, hit): probe each value against the filter — hit iff all k
+    bits are set. The filter broadcasts (≤m/64 rows); probing is
+    map-side hashing + one broadcast join + a per-value count."""
+    arr = ", ".join(_bloom_pos_exprs("value", m, k))
+    cells = (
+        probes.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+        .select("value", F.explode(F.expr(f"array({arr})")).alias("pos"))
+        .select(
+            "value",
+            F.expr("cast(pos div 64 as int)").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+            .alias("mask"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "value",
+            F.expr("(coalesce(bits, cast(0 as bigint)) & mask) = mask")
+            .alias("set_"),
+        )
+        .groupBy("value")
+        .agg((F.count(F.lit(1)) == F.sum(F.when(F.col("set_"), 1)
+                                         .otherwise(0))).alias("hit"))
+    )
+
+
+def bloom_fpr(df: DataFrame, col: str, probes: DataFrame,
+              m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """One row: (m, k, n_inserted, n_probes, n_false_pos, fpr_bp) — build
+    the filter from `df`, probe with `probes` (caller guarantees
+    disjointness), and report the measured false-positive rate in
+    integer basis points. Self-evaluating and all-integer."""
+    bloom = bloom_bits(df, col, m, k)
+    hits = bloom_contains(bloom, probes, col, m, k)
+    n_ins = df.where(F.col(col).isNotNull()).select(col).distinct().count()
+    return hits.agg(
+        F.lit(m).cast("long").alias("m"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(n_ins).cast("long").alias("n_inserted"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long")
+        .alias("n_false_pos"),
+    ).withColumn(
+        # integer div — Spark casts double→long by truncation but DuckDB
+        # CAST rounds, so a float division here would diverge at .5
+        "fpr_bp",
+        F.expr("(n_false_pos * 10000) div n_probes").cast("long"),
+    )

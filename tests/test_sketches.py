@@ -167,3 +167,74 @@ def test_cms_partitioning_invariant(spark):
     y = sorted(map(tuple, cms_estimates(df.repartition(11), "k",
                                         k=30).collect()))
     assert x == y
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def _py_bloom_pos(v, m=16384, k=4):
+    from git_prov_spark.corpus.hashing import MERSENNE_P, MINHASH_PERMS
+
+    h = py_h64(str(v)) % MERSENNE_P
+    return [((MINHASH_PERMS[i][0] * h + MINHASH_PERMS[i][1]) % MERSENNE_P) % m
+            for i in range(k)]
+
+
+def _py_bloom_words(values, m=16384, k=4):
+    words = {}
+    for v in values:
+        if v is None:
+            continue
+        for pos in _py_bloom_pos(v, m, k):
+            w, b = pos // 64, pos % 64
+            bits = words.get(w, 0) | (1 << b)
+            # Spark bit_or is signed 64-bit — wrap bit 63
+            words[w] = bits - (1 << 64) if bits >= (1 << 63) else bits
+    return words
+
+
+def test_bloom_bits_match_python(spark):
+    from git_prov_spark.corpus.sketches import bloom_bits
+
+    vals = list(range(0, 5000, 5))
+    got = {r.word_idx: r.bits
+           for r in bloom_bits(_ids(spark, 1000, 5), "k").collect()}
+    assert got == _py_bloom_words(vals)
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from git_prov_spark.corpus.sketches import bloom_bits, bloom_contains
+
+    inserted = _ids(spark, 2000)
+    bloom = bloom_bits(inserted, "k")
+    # every inserted key must hit
+    hits = {r.value: r.hit
+            for r in bloom_contains(bloom, inserted, "k").collect()}
+    assert all(hits.values()) and len(hits) == 2000
+    # disjoint probes: measured FPR must be below 4x the analytic bound
+    probes = spark.range(10_000_000, 10_002_000).selectExpr("id AS k")
+    miss = [r.hit for r in bloom_contains(bloom, probes, "k").collect()]
+    fp = sum(miss)
+    # m=16384, k=4, n=2000 -> (1-exp(-kn/m))^k ~ 0.023
+    assert fp / len(miss) < 0.10
+
+
+def test_bloom_merge_is_union(spark):
+    from git_prov_spark.corpus.sketches import bloom_bits, merge_blooms
+
+    a, b = _ids(spark, 800), _ids(spark, 1500, 3)
+    merged = {(r.word_idx, r.bits) for r in merge_blooms(
+        bloom_bits(a, "k"), bloom_bits(b, "k")).collect()}
+    union = {(r.word_idx, r.bits)
+             for r in bloom_bits(a.unionByName(b), "k").collect()}
+    assert merged == union
+
+
+def test_bloom_partitioning_invariant(spark):
+    from git_prov_spark.corpus.sketches import bloom_bits
+
+    df = _ids(spark, 3000, 7)
+    x = sorted(map(tuple, bloom_bits(df, "k").collect()))
+    y = sorted(map(tuple, bloom_bits(df.repartition(13), "k").collect()))
+    assert x == y
