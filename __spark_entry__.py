@@ -903,6 +903,46 @@ def q_sketch_bloom_fpr(spark, sf_dir):
     return bloom_fpr(cust, "c_custkey", probes)
 
 
+def q_sketch_hist_chars(spark, sf_dir):
+    """Log2-bucket histogram (r5, sketches.hist_log2) over document
+    lengths: the distribution sketch completing the family (HLL
+    cardinality / CMS frequency / Bloom membership / histogram
+    quantiles) — ONE hash-aggregate collapsing to ≤64 integer cells per
+    partition, mergeable by cell-wise sum, with inclusive value bounds
+    per bucket."""
+    from git_prov_spark.corpus.sketches import hist_log2
+
+    return hist_log2(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def q_sketch_hist_quantiles(spark, sf_dir):
+    """Quantile readout (r5, sketches.hist_quantiles): p50/p90/p99
+    buckets and upper value bounds from the log2 histogram via a sorted
+    fold over the ≤64-cell sketch — integer end to end, deterministic
+    where approx_percentile is not."""
+    from git_prov_spark.corpus.sketches import hist_quantiles
+
+    return hist_quantiles(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def q_text_pmi(spark, sf_dir):
+    """Collocation extraction (r5, text.pmi_collocations): top-100
+    adjacent token pairs by integer-bit PMI over the bigram model's own
+    margins — one corpus-sized pass, then vocabulary-sized margin
+    aggregates and narrow joins; N broadcasts as the DSIR-style 1-row
+    scalar. min_count prunes the rare-pair tail before the top-k."""
+    return ctext.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_blocklist(spark, sf_dir):
+    """Blocklist curation (r5, text.blocklist_filter): C4/RefinedWeb-
+    style source + bad-word gate — the domain blocklist joins as a
+    BROADCAST marker dim (production lists are 10^6 rows), the word
+    list intersects map-side as a literal array; keep decisions are
+    boolean/integer, bit-exact across engines."""
+    return ctext.blocklist_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3080,6 +3120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_topk": q_sketch_cms_topk,
         "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_bloom_fpr": q_sketch_bloom_fpr,
+        "sketch_hist_chars": q_sketch_hist_chars,
+        "sketch_hist_quantiles": q_sketch_hist_quantiles,
+        "text_pmi": q_text_pmi,
+        "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3358,6 +3402,11 @@ def oracle_sql() -> dict[str, str]:
             "customer", "c_custkey"),
         "sketch_bloom_fpr": oracles.sql_bloom_fpr(
             "customer", "c_custkey", 1_000_000_000),
+        "sketch_hist_chars": oracles.sql_hist_log2("documents", "n_chars"),
+        "sketch_hist_quantiles": oracles.sql_hist_quantiles(
+            "documents", "n_chars"),
+        "text_pmi": oracles.sql_pmi("documents"),
+        "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

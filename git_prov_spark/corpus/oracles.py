@@ -1135,3 +1135,94 @@ def sql_bloom_fpr(src: str, col: str, probe_offset: int,
         "CAST((SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000) // COUNT(*) "
         "AS BIGINT) AS fpr_bp FROM hits, ins GROUP BY n_inserted"
     )
+
+
+def sql_blocklist(src: str = "documents",
+                  blocked_sources: list[str] | None = None,
+                  bad_words: list[str] | None = None,
+                  max_hits: int = 1) -> str:
+    """DuckDB twin of text.blocklist_filter."""
+    from .text import BAD_WORDS, BLOCKED_SOURCES
+
+    srcs = "[" + ", ".join(
+        f"'{s}'" for s in (blocked_sources or BLOCKED_SOURCES)) + "]"
+    words = "[" + ", ".join(
+        f"'{w}'" for w in (bad_words or BAD_WORDS)) + "]"
+    return (
+        "WITH t AS (SELECT doc_id, source, "
+        "CASE WHEN trim(COALESCE(text, '')) = '' "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END AS tokens "
+        f"FROM {src}), "
+        "m AS (SELECT doc_id, source, "
+        f"COALESCE(list_contains({srcs}, source), FALSE) AS src_blocked, "
+        "CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_filter(tokens, t -> list_contains({words}, t))) "
+        "AS BIGINT) AS n_bad_hits FROM t) "
+        "SELECT doc_id, source, src_blocked, n_tokens, n_bad_hits, "
+        f"(NOT src_blocked) AND n_bad_hits <= {max_hits} AS keep FROM m"
+    )
+
+
+def sql_pmi(src: str = "documents", top_k: int = 100,
+            min_count: int = 5) -> str:
+    """DuckDB twin of text.pmi_collocations — same bigram-margin PMI
+    with the identical integer-bit quantization."""
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "big AS (SELECT tokens[i] AS w1, tokens[i + 1] AS w2 FROM toks, "
+        "UNNEST(generate_series(1, len(tokens) - 1)) AS t(i) "
+        "WHERE len(tokens) >= 2), "
+        "pair AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2), "
+        "l AS (SELECT w1, SUM(n_ab) AS n_a FROM pair GROUP BY 1), "
+        "r AS (SELECT w2, SUM(n_ab) AS n_b FROM pair GROUP BY 1), "
+        "tot AS (SELECT SUM(n_ab) AS n FROM pair) "
+        "SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, "
+        "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+        f"CAST({_duck_flog2('n_ab')} + {_duck_flog2('n')} - "
+        f"{_duck_flog2('n_a')} - {_duck_flog2('n_b')} AS BIGINT) "
+        "AS pmi_bits "
+        "FROM pair JOIN l USING (w1) JOIN r USING (w2), tot "
+        f"WHERE n_ab >= {min_count} "
+        f"ORDER BY pmi_bits DESC, n_ab DESC, w1, w2 LIMIT {top_k}"
+    )
+
+
+def _duck_hist_cte(src: str, col: str) -> str:
+    return (
+        f"SELECT (length(bin(CAST({col} + 1 AS BIGINT))) - 1) AS bucket, "
+        f"COUNT(*) AS cnt FROM {src} "
+        f"WHERE {col} IS NOT NULL AND {col} >= 0 GROUP BY 1"
+    )
+
+
+def sql_hist_log2(src: str, col: str) -> str:
+    """DuckDB twin of sketches.hist_log2."""
+    return (
+        f"WITH h AS ({_duck_hist_cte(src, col)}) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(cnt AS BIGINT) AS cnt, "
+        "CAST((CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 "
+        "AS BIGINT) AS lo, "
+        "CAST((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 2 "
+        "AS BIGINT) AS hi FROM h"
+    )
+
+
+def sql_hist_quantiles(src: str, col: str,
+                       ps: tuple[int, ...] = (50, 90, 99)) -> str:
+    """DuckDB twin of sketches.hist_quantiles (window cumsum instead of
+    the Spark-side sorted fold — same integer readout)."""
+    sel = ["CAST(t.n AS BIGINT) AS n_total"]
+    for p in ps:
+        bq = f"(SELECT MIN(bucket) FROM c WHERE cum * 100 >= {p} * t.n)"
+        sel.append(f"CAST({bq} AS BIGINT) AS p{p}_bucket")
+        sel.append(
+            f"CAST((CAST(1 AS BIGINT) << CAST({bq} + 1 AS INTEGER)) - 2 "
+            f"AS BIGINT) AS p{p}_hi")
+    return (
+        f"WITH h AS ({_duck_hist_cte(src, col)}), "
+        "c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum "
+        "FROM h), t AS (SELECT SUM(cnt) AS n FROM h) "
+        f"SELECT {', '.join(sel)} FROM t"
+    )

@@ -299,3 +299,77 @@ def bloom_fpr(df: DataFrame, col: str, probes: DataFrame,
         "fpr_bp",
         F.expr("(n_false_pos * 10000) div n_probes").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucket histogram: the quantile/distribution sketch beside HLL
+# (cardinality), CMS (frequency), and Bloom (membership). Buckets are
+# flog2(x+1) — pure integer, so cells are hash-exact across engines and
+# partitionings; sketches merge by cell-wise SUM; quantile readout folds
+# the ≤64-cell table, giving p50/p90/p99 value bounds within one power
+# of two (the resolution a 100 TB length/size distribution report needs,
+# with none of approx_percentile's nondeterminism).
+
+
+def hist_log2(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, cnt, lo, hi): bucket = flog2(x+1) over the non-negative
+    values of ``col``; [lo, hi] are the bucket's inclusive value bounds.
+    ONE hash-aggregate whose map-side partials collapse to ≤64 (long,
+    long) cells per partition — distribution profiling at any corpus
+    size without shuffling values."""
+    from .curate import flog2
+
+    return (
+        df.where(F.col(col).isNotNull() & (F.col(col) >= 0))
+        .select(flog2(F.col(col) + 1).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket", "cnt",
+            (F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+             - 1).alias("lo"),
+            (F.expr("shiftleft(cast(1 as bigint), cast(bucket as int) + 1)")
+             - 2).alias("hi"),
+        )
+    )
+
+
+def merge_hists(*hists: DataFrame) -> DataFrame:
+    """Cell-wise SUM — per-day/per-source rollup without rescans."""
+    out = hists[0].select("bucket", "cnt")
+    for h in hists[1:]:
+        out = out.unionByName(h.select("bucket", "cnt"))
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(df: DataFrame, col: str,
+                   ps: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """One row: (n_total, p{p}_bucket, p{p}_hi ...) — for each requested
+    percentile, the first bucket whose cumulative count reaches p% and
+    that bucket's inclusive upper value bound. The readout is a sorted
+    fold over the ≤64-cell sketch (the HLL-estimate precedent: a
+    literal-keyed hash-aggregate collects the cells — never an Exchange
+    SinglePartition window), integer end to end."""
+    hist = hist_log2(df, col)
+    row = (
+        hist.groupBy(F.lit(1).alias("_k"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "cnt")))
+            .alias("_cells"),
+            F.sum("cnt").alias("n_total"),
+        )
+        .drop("_k")
+    )
+    cols = [F.col("n_total").cast("long").alias("n_total")]
+    for p in ps:
+        fold = (
+            "aggregate(_cells, "
+            "struct(cast(0 as bigint) AS cum, cast(-1 as bigint) AS b), "
+            "(acc, x) -> struct(acc.cum + x.cnt, "
+            f"IF(acc.b = -1 AND (acc.cum + x.cnt) * 100 >= {p} * n_total, "
+            "x.bucket, acc.b)), acc -> acc.b)"
+        )
+        cols.append(F.expr(fold).cast("long").alias(f"p{p}_bucket"))
+        cols.append(
+            F.expr(f"shiftleft(cast(1 as bigint), cast(({fold}) as int) + 1)"
+                   " - 2").cast("long").alias(f"p{p}_hi"))
+    return row.select(*cols)

@@ -573,3 +573,103 @@ def novelty_scores(df: DataFrame, n: int = 4, id_col: str = "doc_id",
             .cast("long").alias("novel_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist curation (C4/RefinedWeb-style): drop documents from blocked
+# sources (domain blocklists run to millions of entries — a BROADCAST
+# anti-dim, never a literal IN) and documents with too many blocked
+# words (word lists are small — a literal array, map-side intersect).
+
+BLOCKED_SOURCES = ["src3", "src7", "src13"]
+BAD_WORDS = ["slow", "stale", "skew"]
+
+
+def blocklist_filter(df: DataFrame, id_col: str = "doc_id",
+                     source: str = "source", text: str = "text",
+                     blocked_sources: list[str] | None = None,
+                     bad_words: list[str] | None = None,
+                     max_hits: int = 1) -> DataFrame:
+    """(doc_id, source, src_blocked, n_tokens, n_bad_hits, keep) — the
+    crawl-curation blocklist pass: keep iff the source is not on the
+    domain blocklist AND at most ``max_hits`` blocked-word occurrences.
+
+    Scale shape: the source blocklist joins as a BROADCAST left-semi
+    marker (real domain blocklists are 10^6 rows — too big for a
+    literal IN, trivial for a broadcast hash join; the corpus never
+    shuffles); the word list intersects map-side as a literal array
+    (word blocklists are 10^2-10^3 entries). Both signals are integer/
+    boolean — the keep decision is bit-exact across engines.
+    """
+    blocked_sources = (BLOCKED_SOURCES if blocked_sources is None
+                       else blocked_sources)
+    bad_words = BAD_WORDS if bad_words is None else bad_words
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s,) for s in blocked_sources], f"{source} string"
+    ).withColumn("_blk", F.lit(True))
+    words = ", ".join("'%s'" % w.replace("'", "''") for w in bad_words)
+    toks = with_tokens(df, text).join(F.broadcast(dim), source, "left")
+    return toks.select(
+        F.col(id_col),
+        F.col(source),
+        F.coalesce(F.col("_blk"), F.lit(False)).alias("src_blocked"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.expr(
+            f"filter(tokens, t -> array_contains(array({words}), t))"
+        )).cast("long").alias("n_bad_hits"),
+        (F.coalesce(F.col("_blk"), F.lit(False)) == F.lit(False))
+        .__and__(F.size(F.expr(
+            f"filter(tokens, t -> array_contains(array({words}), t))"
+        )) <= F.lit(max_hits)).alias("keep"),
+    )
+
+
+def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", top_k: int = 100,
+                     min_count: int = 5) -> DataFrame:
+    """(w1, w2, n_ab, n_a, n_b, pmi_bits) — top-k collocations by
+    integer-bit pointwise mutual information over adjacent whitespace
+    token pairs: pmi_bits = flog2(n_ab) + flog2(N) - flog2(n_a) -
+    flog2(n_b), within ±2 bits of true log2 PMI (each flog2 floors
+    once; the sum form never overflows — n_ab·N as a product would
+    pass 2^63 at corpus scale). Margins n_a/n_b are the bigram table's
+    own row sums (left-word and right-word occurrence counts), so PMI
+    is exactly the bigram model's; ``min_count`` prunes the rare-pair
+    tail PMI is notorious for before the top-k.
+
+    Scale: ONE corpus-sized pass (map-side pair explode → hash-agg);
+    everything after is vocabulary-sized — two margin hash-aggs of the
+    pair table, narrow joins back on the word keys, N as a literal-
+    keyed 1-row aggregate broadcast (the DSIR scalar precedent). The
+    ordered top-k is TakeOrderedAndProject, never a global sort.
+    """
+    from .curate import flog2
+
+    toks = with_tokens(df, text).where(F.size("tokens") >= 2)
+    big = toks.select(F.explode(F.expr(
+        "transform(sequence(0, size(tokens) - 2), "
+        "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+    )).alias("bg")).select("bg.w1", "bg.w2")
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    left = pair.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    right = pair.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    tot = (pair.groupBy(F.lit(1).alias("_k"))
+           .agg(F.sum("n_ab").alias("_n")).drop("_k"))
+    scored = (
+        pair.where(F.col("n_ab") >= min_count)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (flog2(F.col("n_ab")) + flog2(F.col("_n"))
+             - flog2(F.col("n_a")) - flog2(F.col("n_b")))
+            .cast("long").alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_bits").desc(), F.col("n_ab").desc(), "w1", "w2"
+    ).limit(top_k)

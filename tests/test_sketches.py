@@ -238,3 +238,71 @@ def test_bloom_partitioning_invariant(spark):
     x = sorted(map(tuple, bloom_bits(df, "k").collect()))
     y = sorted(map(tuple, bloom_bits(df.repartition(13), "k").collect()))
     assert x == y
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram
+
+
+def _py_hist(values):
+    cells = {}
+    for v in values:
+        if v is None or v < 0:
+            continue
+        b = (v + 1).bit_length() - 1
+        cells[b] = cells.get(b, 0) + 1
+    return cells
+
+
+def test_hist_matches_python_with_bounds(spark):
+    from git_prov_spark.corpus.sketches import hist_log2
+
+    vals = [0, 1, 2, 3, 7, 8, 100, 1000, 1023, 1024, 65535]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = hist_log2(df, "x").collect()
+    assert {r.bucket: r.cnt for r in rows} == _py_hist(vals)
+    for r in rows:
+        assert r.lo == (1 << r.bucket) - 1
+        assert r.hi == (1 << (r.bucket + 1)) - 2
+        assert all(r.lo <= v <= r.hi
+                   for v in vals if (v + 1).bit_length() - 1 == r.bucket)
+
+
+def test_hist_merge_is_sum_and_negative_null_dropped(spark):
+    from git_prov_spark.corpus.sketches import hist_log2, merge_hists
+
+    a = spark.createDataFrame([(v,) for v in [1, 5, None, -3]], "x long")
+    b = spark.createDataFrame([(v,) for v in [5, 500]], "x long")
+    merged = {(r.bucket, r.cnt) for r in merge_hists(
+        hist_log2(a, "x"), hist_log2(b, "x")).collect()}
+    union = {(r.bucket, r.cnt)
+             for r in hist_log2(a.unionByName(b), "x").collect()}
+    assert merged == union
+    assert sum(c for _, c in union) == 4  # null and negative dropped
+
+
+def test_hist_quantiles_readout(spark):
+    from git_prov_spark.corpus.sketches import hist_quantiles
+
+    # 100 values: 50 small (bucket 1: v=2), 40 mid (bucket 6: v=100),
+    # 10 large (bucket 13: v=10000)
+    vals = [2] * 50 + [100] * 40 + [10000] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = hist_quantiles(df, "x").collect()[0]
+    assert r.n_total == 100
+    assert r.p50_bucket == 1 and r.p50_hi == (1 << 2) - 2
+    assert r.p90_bucket == 6 and r.p90_hi == (1 << 7) - 2
+    assert r.p99_bucket == 13 and r.p99_hi == (1 << 14) - 2
+    # the readout is rank-based (smallest bucket whose cumulative count
+    # reaches p%), so each p-th smallest value is bounded by p{p}_hi
+    s = sorted(vals)
+    assert s[49] <= r.p50_hi and s[89] <= r.p90_hi and s[98] <= r.p99_hi
+
+
+def test_hist_partitioning_invariant(spark):
+    from git_prov_spark.corpus.sketches import hist_log2
+
+    df = _ids(spark, 4000, 3)
+    x = sorted(map(tuple, hist_log2(df, "k").collect()))
+    y = sorted(map(tuple, hist_log2(df.repartition(9), "k").collect()))
+    assert x == y

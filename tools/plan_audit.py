@@ -120,6 +120,9 @@ def main() -> None:
         "corpus_dsir": "1-row scalar broadcast (max log-weight) — Spark's own scalar-subquery shape, cost O(N); every data-bearing join is an equi-join",
         "text_tfidf": "1-row scalar broadcast (corpus doc count) joined onto narrow (doc, token) rows — linear",
         "text_surprisal": "1-row scalar broadcast (total token count) onto the vocabulary — linear; the bucket rank is the range-partitioned global_row_number, never a single-partition window",
+        "sketch_hll_estimate": "1-row sketch readout crossJoined with the 1-row exact count — two single-row sides, cost O(1)",
+        "graph_triangles": "1-row scalar broadcast (global triangle count) onto per-vertex counts — linear; triangle enumeration itself is two equi-joins on the oriented edge list",
+        "text_pmi": "1-row scalar broadcast (total bigram count N) onto the vocabulary-sized pair table — linear; margins join as equi-joins on the word keys",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
