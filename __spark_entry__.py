@@ -943,6 +943,26 @@ def q_corpus_blocklist(spark, sf_dir):
     return ctext.blocklist_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (r5, text.winnow_fingerprints — Schleimer
+    et al. 2003 / MOSS): per-window minima over token k-gram hashes,
+    guaranteeing any shared w+k-1-token run yields a shared
+    fingerprint — the local-overlap index full-document hashing lacks.
+    Entirely map-side (one nested transform expression); the only
+    shuffle is the distinct on narrow (doc_id, pos, fp) rows."""
+    return ctext.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus dashboard (r5, curate.source_report): volume,
+    exact-duplicate rate, language share, mean length — one map-side
+    per-doc projection then ONE hash-aggregate on source; the dup rate
+    rides the same aggregate as a count_distinct expand on the content
+    sha. Dashboard-sized output at any corpus size; integer basis-point
+    rates, never float ratios."""
+    return curate.source_report(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3123,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hist_chars": q_sketch_hist_chars,
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
         "text_pmi": q_text_pmi,
+        "text_winnow": q_text_winnow,
+        "corpus_report": q_corpus_report,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3406,6 +3428,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hist_quantiles": oracles.sql_hist_quantiles(
             "documents", "n_chars"),
         "text_pmi": oracles.sql_pmi("documents"),
+        "text_winnow": oracles.sql_winnow("documents"),
+        "corpus_report": oracles.sql_source_report("documents"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),

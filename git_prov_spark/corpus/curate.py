@@ -555,3 +555,52 @@ def importance_sample(
             .alias("keep"),
         )
     )
+
+
+def source_report(documents: DataFrame, id_col: str = "doc_id",
+                  text: str = "text", source: str = "source") -> DataFrame:
+    """(source, n_docs, n_tokens, n_chars, n_unique, dup_bp, n_en, en_bp,
+    mean_tokens) — the per-source health dashboard a corpus operator
+    reads before mixing: volume, exact-duplicate rate, language share,
+    and mean document length, each integer-exact (rates in basis points
+    via long `div`, no float ratios).
+
+    Scale: one map-side per-doc projection (tokens size, sha, stopword
+    hits — no intermediate materialization), then ONE hash-aggregate on
+    source; the duplicate rate rides the same aggregate as a
+    count_distinct expand on the 32-byte sha — text itself never
+    shuffles. Source cardinality is small (10^2-10^5), so the reduce
+    side is dashboard-sized at any corpus size."""
+    from .text import EN_STOPWORDS, tokens_col
+
+    toks = tokens_col(text)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    per_doc = documents.select(
+        F.col(source).alias("source"),
+        F.size(toks).cast("long").alias("_nt"),
+        F.length(F.coalesce(F.col(text), F.lit(""))).cast("long")
+        .alias("_nc"),
+        F.sha2(F.coalesce(F.col(text), F.lit("")), 256).alias("_sha"),
+        ((F.size(toks) > 0) & (stop_hits * 20 >= F.size(toks)))
+        .cast("long").alias("_en"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.count_distinct("_sha").cast("long").alias("n_unique"),
+            F.sum("_en").cast("long").alias("n_en"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "n_chars", "n_unique",
+            F.expr("((n_docs - n_unique) * 10000) div n_docs")
+            .cast("long").alias("dup_bp"),
+            "n_en",
+            F.expr("(n_en * 10000) div n_docs").cast("long")
+            .alias("en_bp"),
+            F.expr("n_tokens div n_docs").cast("long")
+            .alias("mean_tokens"),
+        )
+    )

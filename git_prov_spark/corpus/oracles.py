@@ -1226,3 +1226,50 @@ def sql_hist_quantiles(src: str, col: str,
         "FROM h), t AS (SELECT SUM(cnt) AS n FROM h) "
         f"SELECT {', '.join(sel)} FROM t"
     )
+
+
+def sql_winnow(src: str = "documents", k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of text.winnow_fingerprints — lateral window unnest
+    instead of the Spark-side nested transform, same leftmost-min rule."""
+    parts = ", ".join(f"tokens[i + {j}]" for j in range(k))
+    gram = duck_h64(f"concat_ws(' ', {parts})")
+    win = f"list_slice(hs, j, j + {w - 1})"
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        f"h AS (SELECT doc_id, CASE WHEN len(tokens) >= {k} "
+        f"THEN list_transform(generate_series(1, len(tokens) - {k - 1}), "
+        f"i -> {gram}) ELSE CAST([] AS BIGINT[]) END AS hs FROM toks) "
+        "SELECT DISTINCT doc_id, "
+        f"CAST(j + list_position({win}, list_min({win})) - 1 AS BIGINT) "
+        "AS pos, "
+        f"list_min({win}) AS fp "
+        f"FROM h, UNNEST(generate_series(1, len(hs) - {w - 1})) AS t(j) "
+        f"WHERE len(hs) >= {w}"
+    )
+
+
+def sql_source_report(src: str = "documents") -> str:
+    """DuckDB twin of curate.source_report — same integer basis-point
+    rates, same stopword-ratio 'en' rule as text.lang_id."""
+    return (
+        "WITH t AS (SELECT source, "
+        "CASE WHEN trim(COALESCE(text, '')) = '' "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END AS tokens, "
+        f"COALESCE(text, '') AS ntext FROM {src}), "
+        "d AS (SELECT source, CAST(len(tokens) AS BIGINT) AS nt, "
+        "CAST(length(ntext) AS BIGINT) AS nc, sha256(ntext) AS sha, "
+        "CASE WHEN len(tokens) > 0 AND "
+        f"len(list_filter(tokens, x -> list_contains({_stop_list()}, x)))"
+        " * 20 >= len(tokens) THEN 1 ELSE 0 END AS en FROM t), "
+        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(nc) AS BIGINT) AS n_chars, "
+        "CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_unique, "
+        "CAST(SUM(en) AS BIGINT) AS n_en FROM d GROUP BY source) "
+        "SELECT source, n_docs, n_tokens, n_chars, n_unique, "
+        "CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) "
+        "AS dup_bp, n_en, "
+        "CAST((n_en * 10000) // n_docs AS BIGINT) AS en_bp, "
+        "CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens FROM g"
+    )

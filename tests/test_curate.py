@@ -264,3 +264,36 @@ def test_stratified_sample_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_source_report_hand_computed(spark):
+    from git_prov_spark.corpus.curate import source_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the a and of to in is on for with", "s1"),  # en, 10 toks
+            (2, "xyz qrs", "s1"),
+            (3, "xyz qrs", "s1"),            # exact dup of 2
+            (4, None, "s2"),                  # null text -> empty
+            (5, "solo", "s2"),
+        ],
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in source_report(df).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_unique) == (3, 14, 2)
+    assert s1.dup_bp == 3333          # 1 of 3 duplicated
+    assert s1.n_en == 1 and s1.en_bp == 3333
+    assert s1.mean_tokens == 4        # 14 div 3
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_tokens, s2.n_unique) == (2, 1, 2)
+    assert s2.dup_bp == 0 and s2.n_en == 0
+
+
+def test_source_report_repartition_invariant(spark):
+    from git_prov_spark.corpus.curate import source_report
+
+    rows = [(i, f"w{i % 7} the a of", f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    x = sorted(map(tuple, source_report(df).collect()))
+    y = sorted(map(tuple, source_report(df.repartition(11)).collect()))
+    assert x == y
