@@ -963,6 +963,15 @@ def q_corpus_report(spark, sf_dir):
     return curate.source_report(_t(spark, sf_dir, "documents"))
 
 
+def q_text_surprisal_lm(spark, sf_dir):
+    """Bigram LM perplexity scoring (r5, text.bigram_surprisal —
+    CCNet-style): train on the stopword-'en' slice, score every doc's
+    transitions in integer bits with unigram backoff and OOV charges.
+    LM tables are vocabulary-sized; scoring joins carry token keys and
+    longs, never text; T broadcasts as the DSIR 1-row scalar."""
+    return ctext.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3145,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": q_text_pmi,
         "text_winnow": q_text_winnow,
         "corpus_report": q_corpus_report,
+        "text_surprisal_lm": q_text_surprisal_lm,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3430,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi": oracles.sql_pmi("documents"),
         "text_winnow": oracles.sql_winnow("documents"),
         "corpus_report": oracles.sql_source_report("documents"),
+        "text_surprisal_lm": oracles.sql_bigram_surprisal("documents"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),

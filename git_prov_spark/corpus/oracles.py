@@ -1273,3 +1273,44 @@ def sql_source_report(src: str = "documents") -> str:
         "CAST((n_en * 10000) // n_docs AS BIGINT) AS en_bp, "
         "CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens FROM g"
     )
+
+
+def sql_bigram_surprisal(src: str = "documents") -> str:
+    """DuckDB twin of text.bigram_surprisal — identical train slice
+    ('en' by stopword ratio), LM counts, backoff rule, and integer-bit
+    arithmetic."""
+    from .text import BACKOFF_PENALTY_BITS, OOV_BITS_EXTRA
+
+    en = (f"len(list_filter(tokens, x -> list_contains({_stop_list()}, x)))"
+          " * 20 >= len(tokens) AND len(tokens) > 0")
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        f"train AS (SELECT tokens FROM toks WHERE {en}), "
+        "uni AS (SELECT w, COUNT(*) AS c_w FROM "
+        "(SELECT unnest(tokens) AS w FROM train) GROUP BY 1), "
+        "big AS (SELECT w1, w2, COUNT(*) AS c_b FROM "
+        "(SELECT tokens[i] AS w1, tokens[i + 1] AS w2 FROM train, "
+        "UNNEST(generate_series(1, len(tokens) - 1)) AS t(i) "
+        "WHERE len(tokens) >= 2) GROUP BY 1, 2), "
+        "tot AS (SELECT SUM(c_w) AS t FROM uni), "
+        "trans AS (SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2 "
+        "FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS g(i) "
+        "WHERE len(tokens) >= 2), "
+        "sc AS (SELECT doc_id, CASE "
+        f"WHEN c_b IS NOT NULL THEN {_duck_flog2('up.c_w')} - "
+        f"{_duck_flog2('c_b')} "
+        f"WHEN uc.c_w IS NOT NULL THEN {BACKOFF_PENALTY_BITS} + "
+        f"{_duck_flog2('t + 1')} - {_duck_flog2('uc.c_w')} "
+        f"ELSE {_duck_flog2('t + 1')} + {OOV_BITS_EXTRA} END AS bits "
+        "FROM trans "
+        "LEFT JOIN big USING (w1, w2) "
+        "LEFT JOIN uni up ON trans.w1 = up.w "
+        "LEFT JOIN uni uc ON trans.w2 = uc.w, tot), "
+        "pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
+        "CAST(SUM(bits) AS BIGINT) AS sum_bits FROM sc GROUP BY 1) "
+        f"SELECT d.doc_id, COALESCE(n_scored, 0) AS n_scored, "
+        "COALESCE(sum_bits, 0) AS sum_bits, "
+        "CASE WHEN COALESCE(n_scored, 0) > 0 THEN "
+        "CAST((sum_bits * 1000000) // n_scored AS BIGINT) END "
+        f"AS mean_microbits FROM {src} d LEFT JOIN pd USING (doc_id)"
+    )

@@ -724,3 +724,93 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                 F.col("sel.fp").alias("fp"))
         .distinct()
     )
+
+
+BACKOFF_PENALTY_BITS = 4   # charged when a bigram is unseen in the LM
+OOV_BITS_EXTRA = 8         # charged on top of flog2(T+1) for OOV tokens
+
+
+def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """(doc_id, n_scored, sum_bits, mean_microbits) — CCNet-style LM
+    perplexity scoring: train a bigram LM on the corpus's 'en' slice
+    (the stopword-ratio predicate — the DSIR target-domain precedent;
+    CCNet trains on Wikipedia and scores the crawl), then score every
+    document's token transitions in integer bits:
+
+      bigram seen:   flog2(c(prev)) - flog2(c(prev,cur))    (≈ -log2 p)
+      unigram only:  BACKOFF_PENALTY + flog2(T+1) - flog2(c(cur))
+      OOV:           flog2(T+1) + OOV_BITS_EXTRA
+
+    All-integer (flog2 = length(bin(x))-1, never float log), so scores
+    are bit-exact across engines; mean_microbits = (sum·10^6) div n is
+    the per-doc quality signal (low = fluent under the LM), NULL for
+    docs with <2 tokens.
+
+    Scale: LM tables are vocabulary-sized hash-aggregates of the train
+    slice; scoring explodes each doc into (prev, cur) transitions —
+    narrow rows — and equi-joins the bigram table on the pair key and
+    the unigram table on each word key (shuffles carry token keys and
+    longs, never text); T broadcasts as the DSIR 1-row scalar; the
+    per-doc rollup regroups by doc_id."""
+    from .curate import flog2
+
+    train = with_tokens(df.where(
+        (F.size(tokens_col(text)) > 0)
+        & (F.size(F.filter(tokens_col(text),
+                           lambda t: t.isin(*EN_STOPWORDS))) * 20
+           >= F.size(tokens_col(text)))), text)
+    uni = (train.select(F.explode("tokens").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    big = (train.where(F.size("tokens") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(tokens) - 2), "
+               "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+           )).alias("bg")).select("bg.w1", "bg.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_b")))
+    tot = (uni.groupBy(F.lit(1).alias("_k"))
+           .agg(F.sum("c_w").alias("_t")).drop("_k"))
+
+    trans = (with_tokens(df, text).where(F.size("tokens") >= 2)
+             .select(F.col(id_col), F.explode(F.expr(
+                 "transform(sequence(0, size(tokens) - 2), "
+                 "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+             )).alias("bg")).select(id_col, "bg.w1", "bg.w2"))
+    scored = (
+        trans
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1")
+              .withColumnRenamed("c_w", "c_prev"), "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c_w", "c_cur"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("c_b").isNotNull(),
+                flog2(F.col("c_prev")) - flog2(F.col("c_b")),
+            ).when(
+                F.col("c_cur").isNotNull(),
+                F.lit(BACKOFF_PENALTY_BITS)
+                + flog2(F.col("_t") + 1) - flog2(F.col("c_cur")),
+            ).otherwise(
+                flog2(F.col("_t") + 1) + F.lit(OOV_BITS_EXTRA)
+            ).cast("long").alias("_bits"),
+        )
+    )
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                    F.sum("_bits").cast("long").alias("sum_bits")))
+    return (
+        df.select(F.col(id_col)).join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("long")
+            .alias("n_scored"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long")
+            .alias("sum_bits"),
+            F.when(F.coalesce(F.col("n_scored"), F.lit(0)) > 0,
+                   F.expr("(sum_bits * 1000000) div n_scored"))
+            .cast("long").alias("mean_microbits"),
+        )
+    )
