@@ -972,6 +972,42 @@ def q_text_surprisal_lm(spark, sf_dir):
     return ctext.bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def q_sketch_stream_hll(spark, sf_dir):
+    """Streaming HLL maintenance (r5, streaming.stream_hll): customer
+    keys stream in two micro-batches; each batch's distributed register
+    build folds into a running sketch by the merge law (bucket-wise
+    max), so the final registers EQUAL the batch build over all rows —
+    the oracle is the plain full-table register twin. The live
+    distinct-count dashboard shape: per-batch work is one hash-agg,
+    the fold is sketch-sized, raw data is touched once."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.streaming import stream_hll
+
+    work = tempfile.mkdtemp(prefix="stream_hll_gate_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        cust = _t(spark, sf_dir, "customer").select("c_custkey")
+        half = 750  # sf0.01 has 1500 customers; any split works (merge law)
+        for i, batch in enumerate((
+            cust.where(F.col("c_custkey") <= half),
+            cust.where(F.col("c_custkey") > half),
+        )):
+            stage = os.path.join(work, f"stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet") and not p.startswith("_"))
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        return stream_hll(spark, src, "c_custkey long", "c_custkey",
+                          os.path.join(work, "ckpt"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3155,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "corpus_report": q_corpus_report,
         "text_surprisal_lm": q_text_surprisal_lm,
+        "sketch_stream_hll": q_sketch_stream_hll,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3441,6 +3478,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": oracles.sql_winnow("documents"),
         "corpus_report": oracles.sql_source_report("documents"),
         "text_surprisal_lm": oracles.sql_bigram_surprisal("documents"),
+        "sketch_stream_hll": oracles.sql_hll_registers("customer", "c_custkey"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),

@@ -777,3 +777,50 @@ def stream_dedup(
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], out_schema)
     return spark.read.schema(out_schema).parquet(out_dir)
+
+
+def stream_hll(
+    spark: SparkSession,
+    src_dir: str,
+    src_schema: str,
+    col: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming sketch maintenance: fold each micro-batch's HyperLogLog
+    register table into a running sketch via the merge law (bucket-wise
+    max — sketches.merge_registers), and return the final registers.
+
+    The law makes the streamed result EQUAL to the batch build over all
+    data regardless of how rows split across triggers — which is exactly
+    what lets a 100 TB ingest keep a live distinct-count dashboard
+    without rescans: per-batch registers are ≤2^p narrow rows, the fold
+    is sketch-sized, and raw data is touched once.
+
+    foreachBatch holds the running sketch as a ≤2^p-entry dict on the
+    driver — deliberately driver-sided: the accumulator is SKETCH-sized
+    (256 (int,int) pairs at p=8), not data-sized; each batch's register
+    build is the distributed one-pass hash-aggregate."""
+    from .corpus.sketches import hll_registers
+
+    running: dict[int, int] = {}
+
+    def fold(batch_df, batch_id):
+        for r in hll_registers(batch_df, col).collect():
+            if r.rho > running.get(r.bucket, 0):
+                running[r.bucket] = r.rho
+
+    query = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not running:
+        return spark.createDataFrame([], "bucket int, rho int")
+    return spark.createDataFrame(
+        sorted(running.items()), "bucket int, rho int")

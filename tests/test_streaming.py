@@ -273,3 +273,41 @@ def test_empty_first_batch(spark, spark_tables, tmp_path):
     ikg.process_batch(empty, 0)
     ikg.process_batch(files, 1)
     assert _tset(ikg.finalize()) == expected
+
+
+def test_stream_hll_equals_batch_build(spark, tmp_path):
+    from git_prov_spark.corpus.sketches import hll_registers
+    from git_prov_spark.streaming import stream_hll
+
+    src = tmp_path / "in"
+    src.mkdir()
+    full = spark.range(0, 3000, 3).selectExpr("id AS k")
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        batch = full.where((F.col("k") >= lo) & (F.col("k") < hi))
+        stage = tmp_path / f"stage{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir()
+                    if p.name.endswith(".parquet")
+                    and not p.name.startswith("_"))
+        dst = src / f"c{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    streamed = stream_hll(spark, str(src), "k long", "k",
+                          str(tmp_path / "ckpt"))
+    batch_regs = hll_registers(full, "k")
+    assert (sorted(map(tuple, streamed.collect()))
+            == sorted(map(tuple, batch_regs.collect())))
+
+
+def test_stream_hll_empty_source(spark, tmp_path):
+    from git_prov_spark.streaming import stream_hll
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(0).selectExpr("id AS k").coalesce(1).write.parquet(
+        str(src / "empty"))
+    # a source dir whose only file holds zero rows -> empty sketch frame
+    out = stream_hll(spark, str(src / "empty"), "k long", "k",
+                     str(tmp_path / "ckpt"))
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["bucket", "rho"]
