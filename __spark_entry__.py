@@ -1237,6 +1237,18 @@ def q_graph_triangles(spark, sf_dir):
     return graph.triangle_counts(_supplier_graph_edges(spark, sf_dir))
 
 
+def q_graph_coreness(spark, sf_dir):
+    """k-core decomposition (r5, graph.coreness) over the supplier
+    co-supply graph via the h-index iteration — 8 uniform rounds of
+    (edge ⋈ value) + a partitioned window + a hash-aggregate (the
+    PageRank shuffle shape; never the sequential textbook peel), whose
+    fixed point is exactly the coreness. The DuckDB twin unrolls the
+    identical rounds as chained CTEs."""
+    from git_prov_spark import graph
+
+    return graph.coreness(_supplier_graph_edges(spark, sf_dir))
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.as_media(_t(spark, sf_dir, "documents"))
     return multimodal.media_features(media)
@@ -3192,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "text_surprisal_lm": q_text_surprisal_lm,
         "sketch_stream_hll": q_sketch_stream_hll,
+        "graph_coreness": q_graph_coreness,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3485,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),
         "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
         "graph_triangles": _graph.sql_triangles(SUPPLIER_GRAPH_EDGES_SQL),
+        "graph_coreness": _graph.sql_coreness(SUPPLIER_GRAPH_EDGES_SQL),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

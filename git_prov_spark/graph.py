@@ -279,3 +279,85 @@ def sql_triangles(edges_sql: str) -> str:
         "ELSE NULL END AS lcc "
         "FROM deg LEFT JOIN pn USING (node)"
     )
+
+
+CORENESS_ITERS = 8
+
+
+def coreness(edges: DataFrame, n_iter: int = CORENESS_ITERS) -> DataFrame:
+    """(node, coreness) — k-core decomposition by the h-index iteration
+    (Lü, Chen, Ren, Zhang, Zhou & Stanley 2016): initialize every node's
+    value to its degree, then repeatedly replace it with the H-index of
+    its neighbors' values (the largest h such that ≥h neighbors have
+    value ≥h). The sequence is monotonically non-increasing and its
+    fixed point is EXACTLY the node's coreness. A fixed ``n_iter`` keeps
+    the operator deterministic and lets the DuckDB twin unroll the same
+    rounds; real graphs converge in a few iterations (tests assert the
+    fixed point against an exact peel), and callers can raise it.
+
+    Why this formulation and not the textbook min-degree peel: peeling
+    is inherently sequential (each round depends on a global "remove
+    all minimum-degree nodes" step whose phase lengths vary), while the
+    h-index update is a uniform per-node recomputation — n_iter rounds
+    of (edge ⋈ value) + one partitioned window + one hash-aggregate,
+    the same shuffle shape as PageRank, with `localCheckpoint` per
+    round to keep lineage flat. All-integer, hash-exact.
+
+    The simple undirected graph is induced exactly as triangle_counts
+    does it: self-loops dropped, direction and multiplicity ignored.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vals = (sym.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True))
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cn").desc(), F.col("_nbr"))
+    for _ in range(n_iter):
+        nbr = (
+            sym.join(vals.select(F.col("node").alias("b"),
+                                 F.col("c").alias("_cn")), "b")
+            .select(F.col("a").alias("node"), F.col("b").alias("_nbr"),
+                    "_cn")
+        )
+        vals = (
+            nbr.withColumn("_r", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("_r").cast("long"), F.col("_cn")))
+                 .cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return vals.select("node", F.col("c").alias("coreness"))
+
+
+def sql_coreness(edges_sql: str, n_iter: int = CORENESS_ITERS) -> str:
+    """DuckDB twin of :func:`coreness` — the identical h-index rounds
+    unrolled as chained CTEs (the BPE-oracle precedent)."""
+    ctes = [
+        f"e0 AS ({edges_sql})",
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0 WHERE src <> dst)",
+        "sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)",
+        "c0 AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM sym GROUP BY 1)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT node, CAST(MAX(LEAST(r, cn)) AS BIGINT) "
+            "AS c FROM (SELECT s.a AS node, p.c AS cn, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY s.a "
+            "ORDER BY p.c DESC, s.b) AS BIGINT) AS r "
+            f"FROM sym s JOIN c{i - 1} p ON s.b = p.node) GROUP BY node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, c AS coreness FROM c{n_iter}"
+    )

@@ -169,3 +169,72 @@ def test_triangle_counts_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# coreness
+
+
+def _py_coreness(edge_list):
+    """Exact coreness by the textbook min-degree peel: repeatedly pop a
+    minimum-degree node; its coreness is the running maximum of the
+    degrees seen at pop time (k never decreases along the peel)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    core, k = {}, 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.remove(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_known_graph(spark):
+    from git_prov_spark.graph import coreness
+
+    # K4 (coreness 3 each) + a path attached (coreness 1) + pendant
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"),            # K4
+             ("d", "e"), ("e", "f"),            # path
+             ("g", "a")]                        # pendant on the core
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.coreness for r in coreness(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3,
+                   "e": 1, "f": 1, "g": 1}
+
+
+def test_coreness_matches_exact_peel_random(spark):
+    import random
+
+    from git_prov_spark.graph import coreness
+
+    rng = random.Random(23)
+    edges = list({tuple(sorted((rng.randrange(40), rng.randrange(40))))
+                  for _ in range(160)})
+    edges = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.coreness for r in coreness(df).collect()}
+    assert got == _py_coreness(edges)
+
+
+def test_coreness_direction_multiplicity_selfloop_invariant(spark):
+    from git_prov_spark.graph import coreness
+
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [("b", "a"), ("a", "b"), ("a", "a")]
+    x = sorted(map(tuple, coreness(
+        spark.createDataFrame(base, "src string, dst string")).collect()))
+    y = sorted(map(tuple, coreness(
+        spark.createDataFrame(noisy, "src string, dst string")).collect()))
+    assert x == y == [("a", 2), ("b", 2), ("c", 2)]
