@@ -1249,6 +1249,18 @@ def q_graph_coreness(spark, sf_dir):
     return graph.coreness(_supplier_graph_edges(spark, sf_dir))
 
 
+def q_graph_components(spark, sf_dir):
+    """Connected components (r5, graph.components_sync) over the
+    supplier co-supply graph: synchronous min-label propagation at a
+    FIXED 8 rounds — the gate-twin form both engines compute round for
+    round (the scale path for unknown diameters is
+    operators.connected_components' pointer jumping, already gated via
+    dedup_near_groups). One equi-join + one hash-aggregate per round."""
+    from git_prov_spark import graph
+
+    return graph.components_sync(_supplier_graph_edges(spark, sf_dir))
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.as_media(_t(spark, sf_dir, "documents"))
     return multimodal.media_features(media)
@@ -3205,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal_lm": q_text_surprisal_lm,
         "sketch_stream_hll": q_sketch_stream_hll,
         "graph_coreness": q_graph_coreness,
+        "graph_components": q_graph_components,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3499,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph.sql_pagerank(EVENT_GRAPH_EDGES_SQL),
         "graph_triangles": _graph.sql_triangles(SUPPLIER_GRAPH_EDGES_SQL),
         "graph_coreness": _graph.sql_coreness(SUPPLIER_GRAPH_EDGES_SQL),
+        "graph_components": _graph.sql_components_sync(SUPPLIER_GRAPH_EDGES_SQL),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

@@ -342,16 +342,18 @@ def sql_coreness(edges_sql: str, n_iter: int = CORENESS_ITERS) -> str:
     """DuckDB twin of :func:`coreness` — the identical h-index rounds
     unrolled as chained CTEs (the BPE-oracle precedent)."""
     ctes = [
-        f"e0 AS ({edges_sql})",
-        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
         "GREATEST(src, dst) AS b FROM e0 WHERE src <> dst)",
-        "sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)",
-        "c0 AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM sym GROUP BY 1)",
+        "sym AS MATERIALIZED (SELECT a, b FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "c0 AS MATERIALIZED (SELECT a AS node, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1)",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"c{i} AS (SELECT node, CAST(MAX(LEAST(r, cn)) AS BIGINT) "
+            f"c{i} AS MATERIALIZED (SELECT node, "
+            "CAST(MAX(LEAST(r, cn)) AS BIGINT) "
             "AS c FROM (SELECT s.a AS node, p.c AS cn, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY s.a "
             "ORDER BY p.c DESC, s.b) AS BIGINT) AS r "
@@ -360,4 +362,79 @@ def sql_coreness(edges_sql: str, n_iter: int = CORENESS_ITERS) -> str:
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT node, c AS coreness FROM c{n_iter}"
+    )
+
+
+COMPONENTS_ITERS = 8
+
+
+def components_sync(edges: DataFrame,
+                    n_iter: int = COMPONENTS_ITERS) -> DataFrame:
+    """(node, label) — synchronous min-label propagation, FIXED rounds:
+    after round i every node holds the minimum node id within graph
+    distance i. At convergence label = connected-component id.
+
+    This is the gate-twin form: a fixed iteration count makes the result
+    a pure function both engines compute identically round for round —
+    converged or not — so the DuckDB twin can unroll the same rounds as
+    chained CTEs. The SCALE path for huge diameters is
+    operators.connected_components (pointer jumping, O(log d) rounds,
+    data-dependent early exit — correct but not SQL-twinnable); this
+    synchronous form costs one (edge ⋈ label) equi-join + one
+    hash-aggregate per round and is what you run when the diameter is
+    known small (e.g. near-dup clusters after LSH banding).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"),
+                                   F.col("label").alias("_nl")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("_nl").alias("_nm"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("label", "_nm").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def sql_components_sync(edges_sql: str,
+                        n_iter: int = COMPONENTS_ITERS) -> str:
+    """DuckDB twin of :func:`components_sync` — identical unrolled
+    rounds. Each round references the previous one TWICE (node side and
+    neighbor side), so every CTE is MATERIALIZED — without it DuckDB
+    inlines the references and the plan tree doubles per round (2^n
+    copies of round 0; measured 200+ s at n=8 vs ~1 s materialized)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0 WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT a, b FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label "
+        "FROM sym)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node, "
+            "LEAST(l.label, MIN(p.label)) AS label "
+            f"FROM l{i - 1} l JOIN sym s ON s.a = l.node "
+            f"JOIN l{i - 1} p ON s.b = p.node "
+            "GROUP BY l.node, l.label)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, label FROM l{n_iter}"
     )

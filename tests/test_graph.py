@@ -238,3 +238,34 @@ def test_coreness_direction_multiplicity_selfloop_invariant(spark):
     y = sorted(map(tuple, coreness(
         spark.createDataFrame(noisy, "src string, dst string")).collect()))
     assert x == y == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_components_sync_exact_on_small_graph(spark):
+    from git_prov_spark.graph import components_sync
+
+    edges = [("a", "b"), ("b", "c"),            # comp min a
+             ("x", "y"),                         # comp min x
+             ("p", "q"), ("q", "r"), ("r", "p"),  # comp min p
+             ("z", "z")]                         # self-loop only: dropped
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in components_sync(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x",
+                   "p": "p", "q": "p", "r": "p"}
+
+
+def test_components_sync_matches_pointer_jumping(spark):
+    import random
+
+    from git_prov_spark.graph import components_sync
+    from git_prov_spark.operators import connected_components
+
+    rng = random.Random(31)
+    edges = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+             for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sync = {r.node: r.label for r in components_sync(df, 16).collect()}
+    jump = {r.node: r.component for r in connected_components(
+        df, a="src", b="dst").collect()}
+    assert sync == jump
