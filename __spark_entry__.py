@@ -1261,6 +1261,41 @@ def q_graph_components(spark, sf_dir):
     return graph.components_sync(_supplier_graph_edges(spark, sf_dir))
 
 
+EVENTS_INTERVAL_ORACLE = (
+    "SELECT p.user_id, p.event_id AS purchase_id, "
+    "c.event_id AS click_id, c.ts AS click_ts "
+    "FROM events p JOIN events c ON p.user_id = c.user_id "
+    "AND c.ts >= p.ts - INTERVAL 10 MINUTE "
+    "AND c.ts <= p.ts + INTERVAL 10 MINUTE "
+    "WHERE p.event_type = 'purchase' AND c.event_type = 'click'"
+)
+
+
+def q_events_interval(spark, sf_dir):
+    """Interval join (r5, timeseries.interval_join): clicks within ±10
+    minutes of a same-user purchase — the attribution join Spark would
+    otherwise plan as an O(|I|·|P|) BroadcastNestedLoopJoin range join.
+    Bucketized form: intervals explode to their covered fixed-width time
+    buckets, points map to exactly one bucket, and the match is an
+    EQUI-join on (user, bucket) + a residual range filter; a matching
+    pair meets in exactly the point's bucket, so no dedup. The DuckDB
+    twin is the plain range join (the semantics, not the plan)."""
+    from git_prov_spark.timeseries import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts - INTERVAL 10 MINUTE").alias("start"),
+        F.expr("ts + INTERVAL 10 MINUTE").alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    return interval_join(purch, clicks).select(
+        "user_id", "purchase_id", "click_id",
+        F.col("ts").alias("click_ts"))
+
+
 def q_mm_features(spark, sf_dir):
     media = multimodal.as_media(_t(spark, sf_dir, "documents"))
     return multimodal.media_features(media)
@@ -3218,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stream_hll": q_sketch_stream_hll,
         "graph_coreness": q_graph_coreness,
         "graph_components": q_graph_components,
+        "events_interval": q_events_interval,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3516,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,
+        "events_interval": EVENTS_INTERVAL_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

@@ -159,3 +159,47 @@ def windowed_counts(events: DataFrame, key: str = "event_type",
             key, "n_events", "n_users", "max_value",
         )
     )
+
+
+def interval_join(intervals: DataFrame, points: DataFrame,
+                  key: str | None = "user_id",
+                  start: str = "start", end: str = "end",
+                  ts: str = "ts",
+                  bucket_sec: int = 600) -> DataFrame:
+    """Match every point event to every interval containing it
+    (start <= ts <= end, inclusive both ends), optionally within a key —
+    the attribution/maintenance-window/incident-overlap join Spark has
+    no native operator for.
+
+    Scale shape: the naive formulation is a range join — Spark plans
+    `l.start <= r.ts AND r.ts <= l.end` as a BroadcastNestedLoopJoin,
+    O(|I|·|P|) per key. This operator bucketizes time instead: each
+    interval explodes to the fixed-width buckets it covers (bounded by
+    interval length / bucket_sec — callers size bucket_sec to the
+    typical interval), each point maps to exactly ONE bucket, and the
+    match becomes an EQUI-join on (key, bucket) + a residual range
+    filter. A matching pair co-occurs in exactly the point's bucket, so
+    no dedup step is needed. Cost: |I|·(avg buckets per interval) +
+    |P| narrow rows through one hash join.
+
+    Output: the interval's columns + the point's columns (caller
+    pre-selects/aliases to avoid collisions; `key` appears once)."""
+    b_start = f"cast(floor({_epoch_sql(start)} / {bucket_sec}) as long)"
+    b_end = f"cast(floor({_epoch_sql(end)} / {bucket_sec}) as long)"
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.expr(f"sequence({b_start}, {b_end})")))
+    pt = points.withColumn(
+        "_bucket",
+        F.expr(f"cast(floor({_epoch_sql(ts)} / {bucket_sec}) as long)"))
+    on = ["_bucket"] if key is None else [key, "_bucket"]
+    return (
+        iv.join(pt, on)
+        .where((F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end)))
+        .drop("_bucket")
+    )
+
+
+def _epoch_sql(col: str) -> str:
+    """SQL-text twin of :func:`_epoch` for expression contexts."""
+    return f"cast(cast({col} as timestamp) as long)"

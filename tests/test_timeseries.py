@@ -113,3 +113,77 @@ def test_windowed_counts_golden(spark):
         (h0, "view"): (1, 1, 1.0),
         (h1, "click"): (1, 1, 3.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# interval join
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, iid long, start timestamp, end timestamp")
+
+
+def _pt(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, pid long, ts timestamp")
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import interval_join
+
+    t0 = datetime(2024, 1, 1)
+    ivs, pts = [], []
+    for u in range(4):
+        for i in range(6):
+            s = t0 + timedelta(minutes=17 * i + u)
+            ivs.append((u, u * 100 + i, s, s + timedelta(minutes=25)))
+        for p in range(30):
+            pts.append((u, u * 1000 + p, t0 + timedelta(minutes=4 * p)))
+    ivdf, ptdf = _iv(spark, ivs), _pt(spark, pts)
+    got = sorted((r.user_id, r.iid, r.pid)
+                 for r in interval_join(ivdf, ptdf).collect())
+    want = sorted(
+        (u, i, p)
+        for (u, i, s, e) in ivs
+        for (u2, p, t) in pts
+        if u == u2 and s <= t <= e)
+    assert got == want and got  # non-vacuous
+
+
+def test_interval_join_boundaries_inclusive_and_cross_bucket(spark):
+    from datetime import datetime
+
+    from git_prov_spark.timeseries import interval_join
+
+    # interval spans many 600s buckets; points at exact start/end match
+    s, e = datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 2, 0, 0)
+    ivdf = _iv(spark, [(1, 1, s, e)])
+    ptdf = _pt(spark, [
+        (1, 1, s), (1, 2, e),
+        (1, 3, datetime(2024, 1, 1, 1, 0, 0)),
+        (1, 4, datetime(2024, 1, 1, 2, 0, 1)),   # just outside
+        (2, 5, datetime(2024, 1, 1, 1, 0, 0)),   # other key
+    ])
+    got = sorted(r.pid for r in interval_join(ivdf, ptdf).collect())
+    assert got == [1, 2, 3]
+
+
+def test_interval_join_keyless_and_plan_is_equijoin(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import interval_join
+
+    t0 = datetime(2024, 1, 1)
+    ivdf = _iv(spark, [(9, 1, t0, t0 + timedelta(minutes=30))])
+    ptdf = _pt(spark, [(7, 1, t0 + timedelta(minutes=10)),
+                       (8, 2, t0 + timedelta(hours=2))])
+    out = interval_join(ivdf.drop("user_id"),
+                        ptdf.withColumnRenamed("user_id", "puser"),
+                        key=None)
+    assert [r.pid for r in out.collect()] == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
