@@ -148,6 +148,20 @@ EXTRA_QUERIES = [
     "corpus_bpe_merges",
     "sketch_hll_estimate",
     "sketch_cms_topk",
+    # round-5 additions, fifth batch: the membership/distribution sketches,
+    # collocations, blocklist curation, winnowing, the bigram LM scorer,
+    # streaming sketch maintenance, k-core/components, interval join
+    "sketch_bloom_fpr",
+    "sketch_hist_quantiles",
+    "text_pmi",
+    "corpus_blocklist",
+    "text_winnow",
+    "corpus_report",
+    "text_surprisal_lm",
+    "sketch_stream_hll",
+    "graph_coreness",
+    "graph_components",
+    "events_interval",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
