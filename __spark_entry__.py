@@ -1008,6 +1008,18 @@ def q_sketch_stream_hll(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_sketch_hll_groups(spark, sf_dir):
+    """Grouped HLL registers (r5, sketches.hll_by_group): one sketch
+    per event_type over user ids in a SINGLE (group, bucket)
+    hash-aggregate — the distinct-users-per-event-class dashboard; any
+    group slice merges into a coarser sketch via merge_registers (the
+    rollup lattice costs sketch-sized aggregates, never rescans)."""
+    from git_prov_spark.corpus.sketches import hll_by_group
+
+    return hll_by_group(_t(spark, sf_dir, "events"),
+                        "event_type", "user_id")
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3251,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "text_surprisal_lm": q_text_surprisal_lm,
         "sketch_stream_hll": q_sketch_stream_hll,
+        "sketch_hll_groups": q_sketch_hll_groups,
         "graph_coreness": q_graph_coreness,
         "graph_components": q_graph_components,
         "events_interval": q_events_interval,
@@ -3541,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": oracles.sql_source_report("documents"),
         "text_surprisal_lm": oracles.sql_bigram_surprisal("documents"),
         "sketch_stream_hll": oracles.sql_hll_registers("customer", "c_custkey"),
+        "sketch_hll_groups": oracles.sql_hll_by_group("events", "event_type", "user_id"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),

@@ -1314,3 +1314,20 @@ def sql_bigram_surprisal(src: str = "documents") -> str:
         "CAST((sum_bits * 1000000) // n_scored AS BIGINT) END "
         f"AS mean_microbits FROM {src} d LEFT JOIN pd USING (doc_id)"
     )
+
+
+def sql_hll_by_group(src: str, group: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of sketches.hll_by_group — the grouped register
+    build, one row per (group, bucket)."""
+    vbits = 60 - p
+    mask = (1 << vbits) - 1
+    h = duck_h64(f"CAST({col} AS VARCHAR)")
+    return (
+        f"WITH hx AS (SELECT {group} AS grp, "
+        f"CAST(({h} >> {vbits}) AS INTEGER) AS bucket, "
+        f"({h} & {mask}) AS w FROM {src} WHERE {col} IS NOT NULL) "
+        f"SELECT grp AS {group}, bucket, "
+        f"CAST(MAX(CASE WHEN w = 0 THEN {vbits + 1} "
+        f"ELSE {vbits} - (length(bin(CAST(w AS BIGINT))) - 1) END) "
+        "AS INTEGER) AS rho FROM hx GROUP BY grp, bucket"
+    )

@@ -373,3 +373,29 @@ def hist_quantiles(df: DataFrame, col: str,
             F.expr(f"shiftleft(cast(1 as bigint), cast(({fold}) as int) + 1)"
                    " - 2").cast("long").alias(f"p{p}_hi"))
     return row.select(*cols)
+
+
+def hll_by_group(df: DataFrame, group: str, col: str,
+                 p: int = HLL_P) -> DataFrame:
+    """(group, bucket, rho) — one HLL register table PER GROUP in a
+    single hash-aggregate on (group, bucket): the per-source/per-day
+    cardinality dashboard shape. Partials collapse to ≤groups·2^p rows
+    per partition; any slice of groups merges into a coarser sketch
+    with merge_registers (drop the group column first) — the rollup
+    lattice (per-day → per-week → global) costs one sketch-sized
+    aggregate per level, never a rescan."""
+    vbits = HLL_HASH_BITS - p
+    h = spark_h64(f"cast({col} as string)")
+    w = f"({h} & {(1 << vbits) - 1})"
+    rho = (f"CASE WHEN {w} = 0 THEN {vbits + 1} "
+           f"ELSE {vbits} - (length(bin({w})) - 1) END")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(group).alias("grp"),
+            F.expr(f"cast(shiftright({h}, {vbits}) as int)").alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("grp", "bucket").agg(F.max("rho").cast("int").alias("rho"))
+        .select(F.col("grp").alias(group), "bucket", "rho")
+    )

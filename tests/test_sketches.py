@@ -4,6 +4,8 @@ the merge = bucket-wise-max union law, accuracy sanity, and bit
 invariance under repartitioning."""
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from git_prov_spark.corpus.hashing import py_h64
 from git_prov_spark.corpus.sketches import (
     HLL_HASH_BITS,
@@ -306,3 +308,38 @@ def test_hist_partitioning_invariant(spark):
     x = sorted(map(tuple, hist_log2(df, "k").collect()))
     y = sorted(map(tuple, hist_log2(df.repartition(9), "k").collect()))
     assert x == y
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+
+
+def test_hll_by_group_slices_match_per_group_build(spark):
+    from git_prov_spark.corpus.sketches import hll_by_group, hll_registers
+
+    df = spark.createDataFrame(
+        [(i % 3, i * 7) for i in range(900)], "g int, k long")
+    grouped = hll_by_group(df, "g", "k")
+    for g in range(3):
+        slice_regs = sorted(
+            (r.bucket, r.rho)
+            for r in grouped.where(F.col("g") == g).select(
+                "bucket", "rho").collect())
+        solo = sorted(map(tuple, hll_registers(
+            df.where(F.col("g") == g), "k").collect()))
+        assert slice_regs == solo
+
+
+def test_hll_by_group_merges_to_global(spark):
+    from git_prov_spark.corpus.sketches import (
+        hll_by_group,
+        hll_registers,
+        merge_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, i * 3) for i in range(1200)], "g int, k long")
+    merged = sorted(map(tuple, merge_registers(
+        hll_by_group(df, "g", "k").drop("g")).collect()))
+    direct = sorted(map(tuple, hll_registers(df, "k").collect()))
+    assert merged == direct
