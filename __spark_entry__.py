@@ -1020,6 +1020,32 @@ def q_sketch_hll_groups(spark, sf_dir):
                         "event_type", "user_id")
 
 
+def _nfc_augmented(spark, sf_dir):
+    """Deterministic Unicode-form injection (fixture text is ASCII): even
+    ids get a DECOMPOSED suffix (e + U+0301), odd ids the precomposed
+    form — NFC composes the former, fixes nothing on the latter. The
+    DuckDB oracle builds the identical strings."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 2 == 0, F.lit(" cafe\u0301"))
+            .otherwise(F.lit(" caf\u00e9")),
+        ).alias("text"),
+    )
+
+
+def q_text_nfc(spark, sf_dir):
+    """Unicode NFC normalization (r5, text.nfc_normalize): the
+    canonical-composition pass dedup needs (equal text arrives in
+    different byte forms) — an HONEST Arrow pandas_udf over
+    unicodedata (Spark has no normalize builtin), gated byte-for-byte
+    against DuckDB's native nfc_normalize; narrow output (lengths,
+    changed flag, normalized sha), text stays out of the shuffle."""
+    return ctext.nfc_normalize(_nfc_augmented(spark, sf_dir))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3260,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
         "text_pmi": q_text_pmi,
         "text_winnow": q_text_winnow,
+        "text_nfc": q_text_nfc,
         "corpus_report": q_corpus_report,
         "text_surprisal_lm": q_text_surprisal_lm,
         "sketch_stream_hll": q_sketch_stream_hll,
@@ -3551,6 +3578,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", "n_chars"),
         "text_pmi": oracles.sql_pmi("documents"),
         "text_winnow": oracles.sql_winnow("documents"),
+        "text_nfc": oracles.sql_nfc(
+            "(SELECT doc_id, COALESCE(text, '') || "
+            "CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) "
+            "ELSE ' caf' || chr(233) END AS text FROM documents)"),
         "corpus_report": oracles.sql_source_report("documents"),
         "text_surprisal_lm": oracles.sql_bigram_surprisal("documents"),
         "sketch_stream_hll": oracles.sql_hll_registers("customer", "c_custkey"),

@@ -1331,3 +1331,15 @@ def sql_hll_by_group(src: str, group: str, col: str, p: int = 8) -> str:
         f"ELSE {vbits} - (length(bin(CAST(w AS BIGINT))) - 1) END) "
         "AS INTEGER) AS rho FROM hx GROUP BY grp, bucket"
     )
+
+
+def sql_nfc(src: str = "documents") -> str:
+    """DuckDB twin of text.nfc_normalize — DuckDB's nfc_normalize and
+    CPython's unicodedata.normalize both implement UAX #15."""
+    return (
+        f"WITH t AS (SELECT doc_id, COALESCE(text, '') AS raw FROM {src}),"
+        " n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM t) "
+        "SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw, "
+        "CAST(length(nfc) AS BIGINT) AS n_chars_nfc, "
+        "raw <> nfc AS changed, sha256(nfc) AS sha_nfc FROM n"
+    )

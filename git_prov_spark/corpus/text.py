@@ -814,3 +814,46 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
             .cast("long").alias("mean_microbits"),
         )
     )
+
+
+def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """(doc_id, n_chars_raw, n_chars_nfc, changed, sha_nfc) — Unicode
+    NFC normalization (UAX #15): the canonical-composition pass a crawl
+    corpus takes before any hashing/dedup (the same text arrives both
+    precomposed and decomposed from different origins; without NFC,
+    exact dedup misses byte-different equal strings).
+
+    Spark has no normalization built-in, so this is one of the repo's
+    few HONEST Python paths: an Arrow-batched pandas_udf over
+    unicodedata.normalize — vectorized batch transfer, no per-row
+    Python UDF. Determinism is cross-engine because CPython's
+    unicodedata and DuckDB's nfc_normalize both implement UAX #15
+    canonical composition (verified byte-for-byte in the gate). The
+    projection emits lengths, a changed flag, and the sha of the
+    normalized text — narrow rows; the normalized text itself stays
+    out of the shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series annotations: this module runs under
+    # `from __future__ import annotations`, which stringifies them and
+    # breaks pandas_udf's signature inference — the returnType plus
+    # bare signature is the supported spelling
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.fillna("").map(lambda x: unicodedata.normalize("NFC", x))
+
+    raw = norm_text(text)
+    return (
+        df.select(F.col(id_col), raw.alias("_raw"))
+        .withColumn("_nfc", _nfc(F.col("_raw")))
+        .select(
+            F.col(id_col),
+            F.length("_raw").cast("long").alias("n_chars_raw"),
+            F.length("_nfc").cast("long").alias("n_chars_nfc"),
+            (F.col("_raw") != F.col("_nfc")).alias("changed"),
+            F.sha2(F.col("_nfc"), 256).alias("sha_nfc"),
+        )
+    )

@@ -43,3 +43,40 @@ def test_null_text_matches_oracle(null_docs, spark_fn, sql_fn):
     for c in got.columns:
         if got[c].dtype.kind in "if":
             assert (got[c] >= 0).all(), c
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization
+
+
+def test_nfc_composes_decomposed_forms(spark):
+    import unicodedata
+
+    from git_prov_spark.corpus.text import nfc_normalize
+
+    rows = [
+        (1, "café"),          # decomposed -> composed, 5 -> 4 chars
+        (2, "café"),           # already NFC
+        (3, None),                   # null -> ''
+        (4, "Å ascii ẍ"),  # Å and ẍ decomposed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in nfc_normalize(df).collect()}
+    assert out[1].changed and (out[1].n_chars_raw, out[1].n_chars_nfc) == (5, 4)
+    assert not out[2].changed and out[2].n_chars_nfc == 4
+    # docs 1 and 2 normalize to the SAME text -> same sha (the dedup win)
+    assert out[1].sha_nfc == out[2].sha_nfc
+    assert not out[3].changed and out[3].n_chars_nfc == 0
+    assert out[4].changed
+    assert out[4].n_chars_nfc == len(
+        unicodedata.normalize("NFC", rows[3][1]))
+
+
+def test_nfc_repartition_invariant(spark):
+    from git_prov_spark.corpus.text import nfc_normalize
+
+    rows = [(i, f"w{i} é" * (i % 4)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    x = sorted(map(tuple, nfc_normalize(df).collect()))
+    y = sorted(map(tuple, nfc_normalize(df.repartition(7)).collect()))
+    assert x == y
