@@ -388,6 +388,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_aug_near_df(spark, sf_dir), n=4, min_pct=60)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Containment dedup (r5, dedup.containment_pairs): doc-in-doc
+    detection by |A∩B| / min(|A|,|B|) over distinct shingles — the
+    subset case Jaccard misses (a doc quoted whole inside a 10x host
+    has resemblance ~10% but containment 100%). Same capped shingle
+    equi-join shape as ngram_jaccard; LSH proposes upstream at scale."""
+    return dedup.containment_pairs(_aug_near_df(spark, sf_dir),
+                                   n=4, min_pct=80)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_aug_near_df(spark, sf_dir), n=4)
 
@@ -3243,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_ingest": q_dedup_lsh_ingest,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_spans": q_dedup_spans,
         "dedup_substr": q_dedup_substr,
         "dedup_url": q_dedup_url,
@@ -3478,6 +3489,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.sql_exact_dupes(aug_exact),
         "dedup_ngram_jaccard": oracles.sql_ngram_jaccard(
             aug_near, n=4, min_pct=60, max_df=dedup.DEFAULT_NGRAM_MAX_DF
+        ),
+        "dedup_containment": oracles.sql_containment(
+            aug_near, n=4, min_pct=80, max_df=dedup.DEFAULT_NGRAM_MAX_DF
         ),
         "dedup_minhash_lsh": oracles.sql_minhash_lsh(aug_near, n=4),
         "dedup_minhash_lsh_wide": oracles.sql_minhash_lsh(

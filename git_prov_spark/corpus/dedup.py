@@ -595,3 +595,55 @@ def url_dupes(df: DataFrame, id_col: str = "doc_id",
         .where(F.col(id_col) > F.col("canonical_id"))
         .select(id_col, "canon_url", "canonical_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 4,
+    min_pct: int = 80,
+    id_col: str = "doc_id",
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
+) -> DataFrame:
+    """(d1, d2, n_inter, n_small, containment_bp) — doc-in-doc detection:
+    containment = |A∩B| / min(|A|, |B|) over distinct n-gram shingles,
+    kept when ≥ min_pct%. The subset case resemblance misses: a doc
+    quoted whole inside a 10× larger one has Jaccard ≤ ~10% but
+    containment 100% — the signal Dolma/RefinedWeb-style pipelines gate
+    on alongside MinHash. Integer-exact compare (100·inter ≥ pct·min)
+    and basis-point readout (exact long div).
+
+    Scale shape is ngram_jaccard_pairs' exactly: candidate pairs from
+    the shingle equi-join with the max_df hot-shingle cap bounding the
+    per-shingle fan-out; sizes join back narrow. The LSH scale twin
+    stands upstream (band join proposes, containment disposes)."""
+    sh = shingles(df, n=n, id_col=id_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_df).select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("d1"),
+                       F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col(id_col).alias("d2"),
+                       F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sz1, "d1").join(sz2, "d2")
+        .withColumn("n_small", F.least("n1", "n2"))
+        .where(F.col("n_inter") * 100 >= F.lit(min_pct) * F.col("n_small"))
+        .select(
+            "d1", "d2", "n_inter",
+            F.col("n_small").cast("long").alias("n_small"),
+            F.expr("(n_inter * 10000) div n_small").cast("long")
+            .alias("containment_bp"),
+        )
+    )

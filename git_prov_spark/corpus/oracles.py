@@ -1343,3 +1343,29 @@ def sql_nfc(src: str = "documents") -> str:
         "CAST(length(nfc) AS BIGINT) AS n_chars_nfc, "
         "raw <> nfc AS changed, sha256(nfc) AS sha_nfc FROM n"
     )
+
+
+def sql_containment(src: str = "documents", n: int = 4, min_pct: int = 80,
+                    max_df: int | None = None) -> str:
+    """DuckDB twin of dedup.containment_pairs."""
+    df_filter = (
+        f", rare AS (SELECT shingle FROM sh GROUP BY 1 "
+        f"HAVING count(*) <= {max_df}), "
+        "shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle))"
+        if max_df is not None else ", shf AS (SELECT * FROM sh)"
+    )
+    return (
+        f"WITH toks AS ({toks_cte(src)}), sh AS ({shingles_cte(n)})"
+        f"{df_filter}, "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "count(*) AS n_inter FROM shf a JOIN shf b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1, d2, n_inter, "
+        "CAST(LEAST(s1.n_sh, s2.n_sh) AS BIGINT) AS n_small, "
+        "CAST((n_inter * 10000) // LEAST(s1.n_sh, s2.n_sh) AS BIGINT) "
+        "AS containment_bp "
+        "FROM inter JOIN sizes s1 ON s1.doc_id = d1 "
+        "JOIN sizes s2 ON s2.doc_id = d2 "
+        f"WHERE n_inter * 100 >= {min_pct} * LEAST(s1.n_sh, s2.n_sh)"
+    )

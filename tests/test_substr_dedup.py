@@ -75,3 +75,38 @@ def test_validation(corpus):
         substring_dupes(corpus, window=0)
     with pytest.raises(ValueError):
         substring_dupes(corpus, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# containment
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from git_prov_spark.corpus.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    inner = " ".join(f"q{i}" for i in range(8))            # 8 tokens
+    host = " ".join(f"h{i}" for i in range(40)) + " " + inner
+    rows = [(1, inner), (2, host), (3, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = containment_pairs(df, n=4, min_pct=80).collect()
+    assert [(r.d1, r.d2) for r in cont] == [(1, 2)]
+    assert cont[0].containment_bp == 10000          # fully contained
+    # resemblance at 60% finds nothing — the signal only containment has
+    assert ngram_jaccard_pairs(df, n=4, min_pct=60).collect() == []
+
+
+def test_containment_threshold_and_direction_symmetry(spark):
+    from git_prov_spark.corpus.dedup import containment_pairs
+
+    # half of doc 1's shingles appear in doc 2 -> containment 50%
+    a = " ".join(f"s{i}" for i in range(8))          # shingles s0..s4 (5)
+    b = " ".join(f"s{i}" for i in range(4)) + " " + \
+        " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string")
+    assert containment_pairs(df, n=4, min_pct=80).collect() == []
+    low = containment_pairs(df, n=4, min_pct=20).collect()
+    assert len(low) == 1 and low[0].n_small == 5
