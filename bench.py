@@ -162,6 +162,9 @@ EXTRA_QUERIES = [
     "graph_coreness",
     "graph_components",
     "events_interval",
+    "sketch_hll_groups",
+    "text_nfc",
+    "dedup_containment",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
