@@ -1056,6 +1056,64 @@ def q_text_nfc(spark, sf_dir):
     return ctext.nfc_normalize(_nfc_augmented(spark, sf_dir))
 
 
+EVENTS_STREAM_WINDOWED_ORACLE = (
+    "SELECT CAST(floor(epoch(time_bucket(INTERVAL 60 MINUTE, ts))) AS BIGINT)"
+    " AS window_start_epoch, event_type, COUNT(*) AS n_events, "
+    "MAX(value) AS max_value FROM events GROUP BY 1, 2"
+)
+
+
+def q_events_stream_windowed(spark, sf_dir):
+    """Watermarked streaming window aggregation (r5,
+    streaming.stream_windowed_counts): events stream in three
+    time-ordered micro-batches under a 10-minute watermark in APPEND
+    mode — each window row emits exactly once when the watermark passes
+    its end. A flush sentinel (one event 4 h past the real maximum)
+    closes the tail windows, so the emitted set equals the batch twin
+    over the real events — which is exactly what the oracle is."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.streaming import stream_windowed_counts
+
+    work = tempfile.mkdtemp(prefix="stream_win_gate_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        ev = _t(spark, sf_dir, "events").select(
+            "ts", "event_type", "user_id", "value")
+        n = ev.count()
+        flush = ev.orderBy(F.col("ts").desc()).limit(1).select(
+            F.expr("ts + INTERVAL 4 HOUR").alias("ts"),
+            F.lit("flush").alias("event_type"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+        )
+        batches = [
+            ev.orderBy("ts").limit(n // 3),
+            ev.orderBy("ts").limit(2 * n // 3).orderBy(F.col("ts").desc())
+            .limit(2 * n // 3 - n // 3),
+            ev.orderBy(F.col("ts").desc()).limit(n - 2 * n // 3),
+            flush,
+        ]
+        for i, batch in enumerate(batches):
+            stage = os.path.join(work, f"stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet") and not p.startswith("_"))
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        out = stream_windowed_counts(
+            spark, src, "ts timestamp, event_type string, "
+            "user_id long, value double",
+            os.path.join(work, "ckpt"), os.path.join(work, "out"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3305,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_graph_coreness,
         "graph_components": q_graph_components,
         "events_interval": q_events_interval,
+        "events_stream_windowed": q_events_stream_windowed,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3612,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,
         "events_interval": EVENTS_INTERVAL_ORACLE,
+        "events_stream_windowed": EVENTS_STREAM_WINDOWED_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

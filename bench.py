@@ -165,6 +165,7 @@ EXTRA_QUERIES = [
     "sketch_hll_groups",
     "text_nfc",
     "dedup_containment",
+    "events_stream_windowed",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

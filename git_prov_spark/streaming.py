@@ -824,3 +824,73 @@ def stream_hll(
         return spark.createDataFrame([], "bucket int, rho int")
     return spark.createDataFrame(
         sorted(running.items()), "bucket int, rho int")
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    src_dir: str,
+    src_schema: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    width_min: int = 60,
+    watermark_min: int = 10,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Watermarked streaming tumbling-window aggregation — the streaming
+    twin of timeseries.windowed_counts (same F.window construct, same
+    order-independent aggregates), in APPEND mode: a window row is
+    emitted exactly once, when the watermark (max event time seen minus
+    ``watermark_min``) passes its end — the late-data contract a real
+    event pipeline runs with.
+
+    Append-mode subtlety the gate exercises: windows still within the
+    watermark when the source drains NEVER emit — they wait in state for
+    data that will not come. The caller therefore appends a FLUSH
+    sentinel event later than every real window's end + watermark (the
+    standard end-of-stream flush pattern); the sentinel's own window is
+    the one left behind, so the emitted set is exactly the batch twin's
+    result over the real events.
+
+    State is O(open windows × keys) — bounded by the watermark horizon,
+    never by history; the shuffle is the same (window, key) hash
+    partitioning as the batch plan. The batch twin's n_users column is
+    absent here: Structured Streaming rejects DISTINCT aggregates
+    (count_distinct) in a streaming query — the streaming spelling of a
+    windowed distinct count is a per-(window,user) pre-dedup or an HLL
+    register fold (stream_hll), both already shipped."""
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "user_id", "value")
+    )
+    agg = (
+        stream.withWatermark("ts", f"{watermark_min} minutes")
+        .groupBy(F.window("ts", f"{width_min} minutes").alias("win"),
+                 "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start_epoch"),
+            "event_type", "n_events", "max_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out_schema = ("window_start_epoch long, event_type string, "
+                  "n_events long, max_value double")
+    import os
+
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir)

@@ -311,3 +311,69 @@ def test_stream_hll_empty_source(spark, tmp_path):
                      str(tmp_path / "ckpt"))
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["bucket", "rho"]
+
+
+def _write_event_chunks(spark, tmp_path, batches):
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir()
+                    if p.name.endswith(".parquet")
+                    and not p.name.startswith("_"))
+        dst = src / f"c{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    return str(src)
+
+
+def test_stream_windowed_equals_batch_after_flush(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.streaming import stream_windowed_counts
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(minutes=13 * i), f"t{i % 2}", i % 5, float(i))
+            for i in range(40)]
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    df = spark.createDataFrame(rows, schema)
+    flush = spark.createDataFrame(
+        [(t0 + timedelta(days=2), "flush", -1, 0.0)], schema)
+    src = _write_event_chunks(
+        spark, tmp_path,
+        [df.where(F.col("value") < 20), df.where(F.col("value") >= 20),
+         flush])
+    out = stream_windowed_counts(
+        spark, src, schema, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    got = sorted(map(tuple, out.collect()))
+    # independent expectation: group in python
+    from collections import defaultdict
+    import calendar
+    acc = defaultdict(lambda: [0, 0.0])
+    for ts, et, _, v in rows:
+        ws = ts.replace(minute=0, second=0, microsecond=0)
+        key = (calendar.timegm(ws.timetuple()), et)
+        acc[key][0] += 1
+        acc[key][1] = max(acc[key][1], v)
+    want = sorted((k[0], k[1], c, m) for k, (c, m) in acc.items())
+    assert got == want
+
+
+def test_stream_windowed_unflushed_tail_stays_in_state(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.streaming import stream_windowed_counts
+
+    t0 = datetime(2024, 1, 1)
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    df = spark.createDataFrame(
+        [(t0, "a", 1, 1.0), (t0 + timedelta(minutes=5), "a", 2, 2.0)],
+        schema)
+    # NO flush sentinel: the single open window is inside the watermark
+    # when the source drains -> append mode emits nothing (the documented
+    # reason the flush pattern exists)
+    src = _write_event_chunks(spark, tmp_path, [df])
+    out = stream_windowed_counts(
+        spark, src, schema, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    assert out.collect() == []
