@@ -1114,6 +1114,62 @@ def q_events_stream_windowed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+EVENTS_FUNNEL_ORACLE = (
+    # stepwise conditional mins == the Spark fold's earliest-completion
+    # chain: t1 = global min of stage 1; tk = min stage-k event with
+    # e > t(k-1) (strict — the fold's acc.t(k-1) < x.e on truncated
+    # epoch seconds compares identically)
+    "WITH st AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, "
+    "CASE WHEN event_type = 'view' THEN 1 WHEN event_type = 'click' "
+    "THEN 2 WHEN event_type = 'purchase' THEN 3 END AS s FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "u AS (SELECT DISTINCT user_id FROM st), "
+    "s1 AS (SELECT user_id, MIN(e) AS t1 FROM st WHERE s = 1 GROUP BY 1), "
+    "s2 AS (SELECT st.user_id, MIN(e) AS t2 FROM st JOIN s1 USING (user_id) "
+    "WHERE s = 2 AND e > t1 GROUP BY 1), "
+    "s3 AS (SELECT st.user_id, MIN(e) AS t3 FROM st JOIN s2 USING (user_id) "
+    "WHERE s = 3 AND e > t2 GROUP BY 1) "
+    "SELECT u.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+    "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END "
+    "AS BIGINT) AS reached, t1, t2, t3 "
+    "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+    "LEFT JOIN s3 USING (user_id)"
+)
+
+EVENTS_RETENTION_ORACLE = (
+    "WITH wk AS (SELECT user_id, "
+    "CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events), "
+    "first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk "
+    "GROUP BY 1), active AS (SELECT DISTINCT user_id, week FROM wk) "
+    "SELECT cohort_week, week - cohort_week AS week_offset, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM active JOIN first USING (user_id) GROUP BY 1, 2"
+)
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (r5, timeseries.funnel_stages):
+    view→click→purchase with earliest-completion chaining — ONE
+    hash-aggregate per user folding the sorted (ts, stage) list (the
+    pagerank/BPE sorted-fold precedent), never the naive N-1 range
+    self-joins; integer epoch seconds keep the chain exact. The DuckDB
+    twin is the provably-equivalent stepwise conditional-min CTE
+    chain."""
+    from git_prov_spark.timeseries import funnel_stages
+
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+def q_events_retention(spark, sf_dir):
+    """Retention cohorts (r5, timeseries.retention_cohorts): first-week
+    cohort × active-week offset × distinct users — two hash-aggregates
+    and one narrow join on user; integer epoch-week buckets so both
+    engines bucket identically (no week-start/timezone semantics)."""
+    from git_prov_spark.timeseries import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3364,6 +3420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "corpus_blocklist": q_corpus_blocklist,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
@@ -3672,6 +3730,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_ORACLE,
         "events_interval": EVENTS_INTERVAL_ORACLE,
         "events_stream_windowed": EVENTS_STREAM_WINDOWED_ORACLE,
+        "events_funnel": EVENTS_FUNNEL_ORACLE,
+        "events_retention": EVENTS_RETENTION_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

@@ -166,6 +166,8 @@ EXTRA_QUERIES = [
     "text_nfc",
     "dedup_containment",
     "events_stream_windowed",
+    "events_funnel",
+    "events_retention",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -203,3 +203,82 @@ def interval_join(intervals: DataFrame, points: DataFrame,
 def _epoch_sql(col: str) -> str:
     """SQL-text twin of :func:`_epoch` for expression contexts."""
     return f"cast(cast({col} as timestamp) as long)"
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_stages(events: DataFrame, stages: list[str] | None = None,
+                  key: str = "user_id", ts: str = "ts",
+                  etype: str = "event_type") -> DataFrame:
+    """(user, reached, t1..tN) — ordered funnel analysis: how far each
+    user progressed through the stage sequence, where stage k counts
+    only if it happens strictly AFTER the chosen stage-(k-1) event
+    (earliest-completion semantics: t1 = first stage-1 event, t2 =
+    first stage-2 event after t1, ...). The product-analytics query
+    warehouses answer daily.
+
+    Scale shape: one filter to the stage types, one hash-aggregate per
+    user collecting the (ts, stage) pairs SORTED (bounded by a user's
+    stage-event count — the pagerank/BPE sorted-fold precedent), then
+    the chain is a single fold expression: no self-join per stage (the
+    naive form is N-1 range joins), no window. Epoch seconds keep the
+    fold integer-exact."""
+    stages = FUNNEL_STAGES if stages is None else stages
+    n = len(stages)
+    stage_case = "CASE " + " ".join(
+        f"WHEN {etype} = '{s}' THEN {i + 1}" for i, s in enumerate(stages)
+    ) + " END"
+    init = ", ".join(
+        f"cast(null as bigint) AS t{k}" for k in range(1, n + 1))
+    # fold state: struct(t1..tN); an event advances stage k iff its
+    # stage number is k, tk is unset, and t(k-1) is set and < ts
+    upd = []
+    for k in range(1, n + 1):
+        prev_ok = ("true" if k == 1
+                   else f"(acc.t{k - 1} IS NOT NULL AND acc.t{k - 1} < x.e)")
+        upd.append(
+            f"IF(x.s = {k} AND acc.t{k} IS NULL AND {prev_ok}, "
+            f"x.e, acc.t{k}) AS t{k}")
+    fold = (
+        "aggregate(sort_array(collect_list(struct("
+        f"{_epoch_sql(ts)} AS e, {stage_case} AS s))), "
+        f"struct({init}), "
+        f"(acc, x) -> struct({', '.join(upd)}))"
+    )
+    reached = "CASE " + " ".join(
+        f"WHEN _f.t{k} IS NOT NULL THEN {k}"
+        for k in range(n, 0, -1)
+    ) + " ELSE 0 END"
+    return (
+        events.where(F.expr(f"{stage_case} IS NOT NULL"))
+        .groupBy(F.col(key))
+        .agg(F.expr(fold).alias("_f"))
+        .select(
+            key,
+            F.expr(reached).cast("long").alias("reached"),
+            *[F.col(f"_f.t{k}").cast("long").alias(f"t{k}")
+              for k in range(1, n + 1)],
+        )
+    )
+
+
+def retention_cohorts(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts", week_sec: int = 7 * 86400) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — classic retention: a user's
+    cohort is their FIRST event week (epoch div week_sec); each later
+    active week counts them once at its offset. Two hash-aggregates
+    (first week per user; distinct (user, week)) and one narrow join —
+    no window, no self-join; weeks are integer epoch buckets so both
+    engines bucket identically (no timezone/week-start semantics)."""
+    wk = f"cast({_epoch_sql(ts)} div {week_sec} as long)"
+    first = (events.groupBy(F.col(key))
+             .agg(F.min(F.expr(wk)).alias("cohort_week")))
+    active = (events.select(F.col(key), F.expr(wk).alias("week"))
+              .distinct())
+    return (
+        active.join(first, key)
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct(F.col(key)).cast("long").alias("n_users"))
+    )

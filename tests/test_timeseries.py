@@ -187,3 +187,82 @@ def test_interval_join_keyless_and_plan_is_equijoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# funnel + retention
+
+
+def test_funnel_earliest_completion_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import funnel_stages
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(u, mins, et):
+        return (u, t0 + timedelta(minutes=mins), et)
+
+    rows = [
+        # full funnel in order
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        # click BEFORE first view: does not count -> stage 1 only
+        ev(2, 0, "click"), ev(2, 1, "view"),
+        # purchase without click: stage 1 (view) only
+        ev(3, 0, "view"), ev(3, 1, "purchase"),
+        # later click rescues: view@0, click@5, purchase@6 -> 3
+        ev(4, 0, "view"), ev(4, 1, "purchase"), ev(4, 5, "click"),
+        ev(4, 6, "purchase"),
+        # no funnel-stage events at all -> absent from output
+        (5, t0, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel_stages(df).collect()}
+    assert out[1].reached == 3
+    assert out[2].reached == 1 and out[2].t2 is None
+    assert out[3].reached == 1
+    assert out[4].reached == 3
+    # t2 is the FIRST click after t1, t3 the first purchase after t2
+    assert out[4].t2 - out[4].t1 == 300 and out[4].t3 - out[4].t2 == 60
+    assert 5 not in out
+
+
+def test_funnel_repartition_invariant(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import funnel_stages
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i % 9, t0 + timedelta(minutes=i),
+             ["view", "click", "purchase"][(i * 7) % 3])
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    x = sorted(map(tuple, funnel_stages(df).collect()))
+    y = sorted(map(tuple, funnel_stages(df.repartition(7)).collect()))
+    assert x == y
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import retention_cohorts
+
+    t0 = datetime(2024, 1, 4)  # within epoch week w0
+    w = timedelta(days=7)
+    rows = [
+        (1, t0), (1, t0 + w), (1, t0 + 3 * w),   # cohort w, offsets 0,1,3
+        (2, t0), (2, t0 + w),                    # offsets 0,1
+        (3, t0 + w),                             # cohort w+1, offset 0
+        (1, t0 + timedelta(minutes=5)),          # same week dup -> once
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    base = min(k[0] for k in out)
+    assert out[(base, 0)] == 2
+    assert out[(base, 1)] == 2
+    assert out[(base, 3)] == 1
+    assert out[(base + 1, 0)] == 1
+    assert len(out) == 4
