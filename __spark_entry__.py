@@ -1170,6 +1170,34 @@ def q_events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_sketch_hist_groups(spark, sf_dir):
+    """Grouped log2 histograms (r5, sketches.hist_by_group): per-source
+    document-length distributions in ONE (group, bucket) hash-aggregate
+    — the same rollup-lattice contract as the grouped HLL (slices merge
+    via merge_hists, never rescans)."""
+    from git_prov_spark.corpus.sketches import hist_by_group
+
+    return hist_by_group(_t(spark, sf_dir, "documents"),
+                         "source", "n_chars")
+
+
+PPR_SEEDS = ["type-click", "type-error"]
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (r5, graph.pagerank_personalized) over the
+    user↔event-type affinity graph, seeded on two event-type nodes: the
+    restart mass teleports to the seeds, so rank = proximity to them
+    through the structure — the "entities related to X" ranking a KG
+    serves. Same sorted-fold determinism as graph_pagerank; the DuckDB
+    twin unrolls the identical rounds with the seed-restricted restart
+    vector."""
+    from git_prov_spark import graph
+
+    return graph.pagerank_personalized(
+        _event_graph_edges(spark, sf_dir), PPR_SEEDS)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3416,8 +3444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal_lm": q_text_surprisal_lm,
         "sketch_stream_hll": q_sketch_stream_hll,
         "sketch_hll_groups": q_sketch_hll_groups,
+        "sketch_hist_groups": q_sketch_hist_groups,
         "graph_coreness": q_graph_coreness,
         "graph_components": q_graph_components,
+        "graph_ppr": q_graph_ppr,
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
         "events_funnel": q_events_funnel,
@@ -3717,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_surprisal_lm": oracles.sql_bigram_surprisal("documents"),
         "sketch_stream_hll": oracles.sql_hll_registers("customer", "c_custkey"),
         "sketch_hll_groups": oracles.sql_hll_by_group("events", "event_type", "user_id"),
+        "sketch_hist_groups": oracles.sql_hist_by_group("documents", "source", "n_chars"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
@@ -3725,6 +3756,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _graph.sql_triangles(SUPPLIER_GRAPH_EDGES_SQL),
         "graph_coreness": _graph.sql_coreness(SUPPLIER_GRAPH_EDGES_SQL),
         "graph_components": _graph.sql_components_sync(SUPPLIER_GRAPH_EDGES_SQL),
+        "graph_ppr": _graph.sql_pagerank_personalized(EVENT_GRAPH_EDGES_SQL, PPR_SEEDS),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

@@ -168,6 +168,8 @@ EXTRA_QUERIES = [
     "events_stream_windowed",
     "events_funnel",
     "events_retention",
+    "sketch_hist_groups",
+    "graph_ppr",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

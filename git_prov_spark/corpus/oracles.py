@@ -1369,3 +1369,14 @@ def sql_containment(src: str = "documents", n: int = 4, min_pct: int = 80,
         "JOIN sizes s2 ON s2.doc_id = d2 "
         f"WHERE n_inter * 100 >= {min_pct} * LEAST(s1.n_sh, s2.n_sh)"
     )
+
+
+def sql_hist_by_group(src: str, group: str, col: str) -> str:
+    """DuckDB twin of sketches.hist_by_group."""
+    return (
+        f"SELECT {group}, "
+        f"CAST(length(bin(CAST({col} + 1 AS BIGINT))) - 1 AS BIGINT) "
+        "AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM {src} WHERE {col} IS NOT NULL AND {col} >= 0 "
+        "GROUP BY 1, 2"
+    )

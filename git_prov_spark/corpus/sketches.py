@@ -399,3 +399,20 @@ def hll_by_group(df: DataFrame, group: str, col: str,
         .groupBy("grp", "bucket").agg(F.max("rho").cast("int").alias("rho"))
         .select(F.col("grp").alias(group), "bucket", "rho")
     )
+
+
+def hist_by_group(df: DataFrame, group: str, col: str) -> DataFrame:
+    """(group, bucket, cnt) — one log2 histogram PER GROUP in a single
+    (group, bucket) hash-aggregate: the per-source length-distribution
+    dashboard. Slices merge into coarser sketches via merge_hists
+    (drop the group column) — the same rollup lattice as
+    hll_by_group."""
+    from .curate import flog2
+
+    return (
+        df.where(F.col(col).isNotNull() & (F.col(col) >= 0))
+        .select(F.col(group).alias("grp"),
+                flog2(F.col(col) + 1).alias("bucket"))
+        .groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("grp").alias(group), "bucket", "cnt")
+    )

@@ -453,3 +453,97 @@ def sql_components_sync(edges_sql: str,
         "WITH " + ", ".join(ctes)
         + f" SELECT node, label FROM l{n_iter}"
     )
+
+
+def pagerank_personalized(edges: DataFrame, seeds: list[str],
+                          n_iter: int = PAGERANK_ITERS,
+                          damping: float = PAGERANK_DAMPING) -> DataFrame:
+    """(node, rank) — personalized PageRank from a seed set: the restart
+    mass (1-d) teleports to the seeds (uniformly) instead of to every
+    node, so rank measures proximity to the seeds through the edge
+    structure — the "entities related to X" ranking a KG serves.
+    Identical iteration scheme, determinism discipline (src-sorted
+    contribution folds, bit-identical doubles at any partitioning and
+    in the DuckDB twin), and out-edge requirement as :func:`pagerank`;
+    the uniform start over seeds keeps round-k values a pure function
+    of the graph and seed list."""
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = len(seeds)
+    seed_col = F.col("node").isin(*seeds)
+    base = (1.0 - damping) / s
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    fat_edges = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select(
+        "node",
+        F.when(seed_col, F.lit(1.0 / s)).otherwise(F.lit(0.0))
+        .alias("rank"))
+    for _ in range(n_iter):
+        contribs = fat_edges.join(
+            ranks, fat_edges["src"] == ranks["node"]
+        ).select(
+            "src", "dst",
+            (F.col("rank") / F.col("out_deg").cast("double"))
+            .alias("contrib"),
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("src", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+        ranks = nodes.join(
+            summed, nodes["node"] == summed["dst"], "left"
+        ).select(
+            "node",
+            (F.when(seed_col, F.lit(base)).otherwise(F.lit(0.0))
+             + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+    return ranks
+
+
+def sql_pagerank_personalized(edges_sql: str, seeds: list[str],
+                              n_iter: int = PAGERANK_ITERS,
+                              damping: float = PAGERANK_DAMPING) -> str:
+    """DuckDB twin of :func:`pagerank_personalized` — same unrolled
+    sorted-fold rounds with the seed-restricted restart vector."""
+    s = len(seeds)
+    seed_list = "[" + ", ".join(f"'{x}'" for x in seeds) + "]"
+
+    def in_seeds(ref: str) -> str:
+        return f"list_contains({seed_list}, CAST({ref} AS VARCHAR))"
+
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        ("fe AS (SELECT e.src, e.dst, o.out_deg FROM e JOIN "
+         "(SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1) o "
+         "ON o.src = e.src)"),
+        (f"r0 AS (SELECT node, CASE WHEN {in_seeds('node')} THEN "
+         f"CAST(1.0 AS DOUBLE) / {s} ELSE CAST(0.0 AS DOUBLE) END "
+         "AS rank FROM nodes)"),
+    ]
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list(r.rank / CAST(fe.out_deg AS DOUBLE) ORDER BY fe.src)), "
+            "(acc, x) -> acc + x)")
+    base = (f"(CAST(1.0 AS DOUBLE) - CAST({damping!r} AS DOUBLE)) "
+            f"/ {s}")
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"c{k} AS (SELECT fe.dst AS node, {fold} AS s "
+            f"FROM fe JOIN r{k-1} r ON r.node = fe.src GROUP BY fe.dst)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.node, "
+            f"CASE WHEN {in_seeds('nodes.node')} "
+            f"THEN {base} ELSE CAST(0.0 AS DOUBLE) END "
+            f"+ CAST({damping!r} AS DOUBLE) * COALESCE(c{k}.s, "
+            "CAST(0.0 AS DOUBLE)) AS rank FROM nodes "
+            f"LEFT JOIN c{k} ON c{k}.node = nodes.node)"
+        )
+    return ", ".join(parts) + f" SELECT node, rank FROM r{n_iter}"

@@ -269,3 +269,38 @@ def test_components_sync_matches_pointer_jumping(spark):
     jump = {r.node: r.component for r in connected_components(
         df, a="src", b="dst").collect()}
     assert sync == jump
+
+
+def test_ppr_concentrates_mass_near_seeds(spark):
+    from git_prov_spark.graph import pagerank_personalized
+
+    # two 3-cliques joined by one bridge edge; seed in clique 1
+    edges = []
+    for grp, names in ((1, ["a", "b", "c"]), (2, ["x", "y", "z"])):
+        for i in names:
+            for j in names:
+                if i != j:
+                    edges.append((i, j))
+    edges += [("c", "x"), ("x", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r["rank"] for r in pagerank_personalized(
+        df, ["a"], n_iter=8).collect()}
+    # every clique-1 node outranks every clique-2 node
+    assert min(got["a"], got["b"], got["c"]) > max(
+        got["x"], got["y"], got["z"])
+    # seed holds the maximum
+    assert got["a"] == max(got.values())
+
+
+def test_ppr_mass_conserved_and_partition_invariant(spark):
+    from git_prov_spark.graph import pagerank_personalized
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = pagerank_personalized(df, ["a", "d"], n_iter=6)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9  # every node has an out-edge
+    x = sorted(map(tuple, ranks.collect()))
+    y = sorted(map(tuple, pagerank_personalized(
+        df.repartition(5), ["a", "d"], n_iter=6).collect()))
+    assert x == y

@@ -343,3 +343,25 @@ def test_hll_by_group_merges_to_global(spark):
         hll_by_group(df, "g", "k").drop("g")).collect()))
     direct = sorted(map(tuple, hll_registers(df, "k").collect()))
     assert merged == direct
+
+
+def test_hist_by_group_slices_and_rollup(spark):
+    from git_prov_spark.corpus.sketches import (
+        hist_by_group,
+        hist_log2,
+        merge_hists,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 13) % 2000) for i in range(600)], "g int, x long")
+    grouped = hist_by_group(df, "g", "x")
+    for g in range(3):
+        got = sorted((r.bucket, r.cnt)
+                     for r in grouped.where(F.col("g") == g).collect())
+        solo = sorted((r.bucket, r.cnt) for r in hist_log2(
+            df.where(F.col("g") == g), "x").collect())
+        assert got == solo
+    rolled = sorted(map(tuple, merge_hists(grouped.drop("g")).collect()))
+    direct = sorted((r.bucket, r.cnt)
+                    for r in hist_log2(df, "x").collect())
+    assert rolled == direct
