@@ -1198,6 +1198,29 @@ def q_graph_ppr(spark, sf_dir):
         _event_graph_edges(spark, sf_dir), PPR_SEEDS)
 
 
+def q_embed_centroids(spark, sf_dir):
+    """Fixed-point label centroids (r5, similarity.label_centroids):
+    the deterministic distributed MEAN — components quantized to
+    integer micro-units so sums are EXACT (longs commute; a float
+    avg() depends on add order and diverges across engines and
+    partitionings), centroid = exact integer division. One map-side
+    explode + one fully-partial hash-aggregate; no per-group lists."""
+    from git_prov_spark.corpus.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embed_centroid_sim(spark, sf_dir):
+    """Centroid similarity matrix (r5, similarity.label_centroid_sim):
+    cosine between every label-centroid pair — integer dot/norm sums
+    (order-free), one IEEE sqrt+division (correctly rounded, so the
+    doubles hash-match). The pair relation is labels² — dashboard-sized
+    by definition (declared in plan_audit)."""
+    from git_prov_spark.corpus.similarity import label_centroid_sim
+
+    return label_centroid_sim(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3396,6 +3419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
+        "embed_centroids": q_embed_centroids,
+        "embed_centroid_sim": q_embed_centroid_sim,
         "dedup_spans": q_dedup_spans,
         "dedup_substr": q_dedup_substr,
         "dedup_url": q_dedup_url,
@@ -3637,6 +3662,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles.sql_ngram_jaccard(
             aug_near, n=4, min_pct=60, max_df=dedup.DEFAULT_NGRAM_MAX_DF
         ),
+        "embed_centroids": oracles.sql_label_centroids("embeddings"),
+        "embed_centroid_sim": oracles.sql_label_centroid_sim("embeddings"),
         "dedup_containment": oracles.sql_containment(
             aug_near, n=4, min_pct=80, max_df=dedup.DEFAULT_NGRAM_MAX_DF
         ),

@@ -170,6 +170,8 @@ EXTRA_QUERIES = [
     "events_retention",
     "sketch_hist_groups",
     "graph_ppr",
+    "embed_centroids",
+    "embed_centroid_sim",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

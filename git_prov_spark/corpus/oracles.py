@@ -1380,3 +1380,42 @@ def sql_hist_by_group(src: str, group: str, col: str) -> str:
         f"FROM {src} WHERE {col} IS NOT NULL AND {col} >= 0 "
         "GROUP BY 1, 2"
     )
+
+
+def _centroid_cte(src: str, group: str = "label",
+                  vec: str = "embedding", dim: int = 64,
+                  q: int = 1_000_000) -> str:
+    return (
+        f"SELECT {group}, CAST(i AS BIGINT) AS dim, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(floor(CAST({vec}[i] AS DOUBLE) * {q}) AS BIGINT))"
+        f" // COUNT(*) AS BIGINT) AS c_micro "
+        f"FROM {src}, UNNEST(generate_series(1, {dim})) AS t(i) "
+        f"GROUP BY 1, 2"
+    )
+
+
+def sql_label_centroids(src: str = "embeddings", group: str = "label",
+                        vec: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of similarity.label_centroids — same micro-unit
+    quantization, exact integer sums and division."""
+    return _centroid_cte(src, group, vec, dim)
+
+
+def sql_label_centroid_sim(src: str = "embeddings", group: str = "label",
+                           vec: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of similarity.label_centroid_sim — integer dot/norm
+    sums (order-free because exact), one IEEE sqrt+division."""
+    return (
+        f"WITH cent AS ({_centroid_cte(src, group, vec, dim)}), "
+        "dots AS (SELECT a.%(g)s AS l1, b.%(g)s AS l2, "
+        "SUM(a.c_micro * b.c_micro) AS dot FROM cent a JOIN cent b "
+        "ON a.dim = b.dim AND a.%(g)s < b.%(g)s GROUP BY 1, 2), "
+        "norms AS (SELECT %(g)s, SUM(c_micro * c_micro) AS nrm "
+        "FROM cent GROUP BY 1) "
+        "SELECT l1, l2, CAST(dot AS DOUBLE) / "
+        "(sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))) "
+        "AS cos FROM dots JOIN norms n1 ON n1.%(g)s = l1 "
+        "JOIN norms n2 ON n2.%(g)s = l2"
+        % {"g": group}
+    )

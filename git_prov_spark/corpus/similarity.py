@@ -749,3 +749,72 @@ def semantic_dupes(
         .select(F.col(id_col), F.col("cluster"),
                 F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point centroid aggregation: the deterministic distributed MEAN.
+# A float sum's value depends on add order, so a naive avg(embedding[i])
+# differs run to run and engine to engine; quantizing components to
+# integer micro-units first makes the sum EXACT (longs commute), the
+# centroid an exact integer division, and the whole aggregation
+# partitioning- and engine-invariant — the map-side-combining shape a
+# 100 TB per-cluster centroid job needs (the sorted-fold alternative
+# buffers per-group lists; integer sums need no buffering at all).
+
+EMBED_Q = 1_000_000  # micro-units: float32 inputs are exact in 6 digits
+
+
+def label_centroids(df: DataFrame, group: str = "label",
+                    vec: str = "embedding") -> DataFrame:
+    """(label, dim, n, c_micro): per-group centroid components in exact
+    integer micro-units — c_micro = (Σ floor(v·10^6)) div n. ONE
+    map-side explode (dim index rides along) + ONE hash-aggregate with
+    full partial aggregation; no per-group list, no float sum."""
+    from .hashing import EMBED_DIM
+
+    cells = df.select(
+        F.col(group),
+        F.explode(F.expr(
+            f"transform(sequence(1, {EMBED_DIM}), i -> struct(i AS dim, "
+            f"cast(floor(cast(element_at({vec}, i) as double) "
+            f"* {EMBED_Q}) as bigint) AS q))"
+        )).alias("c"),
+    ).select(group, "c.dim", "c.q")
+    return (
+        cells.groupBy(group, "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("q").alias("_s"))
+        .select(group, F.col("dim").cast("long").alias("dim"), "n",
+                F.expr("_s div n").cast("long").alias("c_micro"))
+    )
+
+
+def label_centroid_sim(df: DataFrame, group: str = "label",
+                       vec: str = "embedding") -> DataFrame:
+    """(l1, l2, cos): cosine between every pair of group centroids —
+    integer dot/norm sums folded in dim order, one IEEE sqrt+division
+    at the end (both correctly rounded, so the double is bit-identical
+    across engines). The pair join is groups², a dashboard-sized
+    relation for any real label/source cardinality."""
+    cent = (label_centroids(df, group, vec)
+            .groupBy(group)
+            .agg(F.expr(
+                "aggregate(sort_array(collect_list(struct(dim, c_micro))),"
+                " cast(array() as array<bigint>), "
+                "(acc, x) -> array_append(acc, x.c_micro))").alias("v")))
+    a = cent.select(F.col(group).alias("l1"), F.col("v").alias("va"))
+    b = cent.select(F.col(group).alias("l2"), F.col("v").alias("vb"))
+    dot = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+           "cast(0 as bigint), (acc, x) -> acc + x)")
+    nrm = ("aggregate(transform({0}, x -> x * x), cast(0 as bigint), "
+           "(acc, x) -> acc + x)")
+    return (
+        a.join(b, F.col("l1") < F.col("l2"))
+        .select(
+            "l1", "l2",
+            (F.expr(dot).cast("double")
+             / (F.sqrt(F.expr(nrm.format("va")).cast("double"))
+                * F.sqrt(F.expr(nrm.format("vb")).cast("double"))))
+            .alias("cos"),
+        )
+    )

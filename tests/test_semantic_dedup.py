@@ -85,3 +85,48 @@ def test_precomputed_centroids_run_no_training(emb_df, monkeypatch):
 def test_corpus_size_required_with_centroids(emb_df):
     with pytest.raises(ValueError):
         similarity.semantic_dupes(emb_df, centroids=[[1.0] * 8])
+
+
+# ---------------------------------------------------------------------------
+# fixed-point centroids
+
+
+def test_label_centroids_exact_and_partition_invariant(spark):
+    from git_prov_spark.corpus.similarity import label_centroids
+
+    rows = [
+        (1, [0.5] * 64, 0),
+        (2, [1.0] * 64, 0),
+        (3, [-0.25] * 64, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.dim): (r.n, r.c_micro)
+           for r in label_centroids(df).collect()}
+    # label 0: (500000 + 1000000) div 2 = 750000 on every dim
+    assert all(out[(0, d)] == (2, 750000) for d in range(1, 65))
+    # label 1: floor(-0.25e6) = -250000, div 1
+    assert all(out[(1, d)] == (1, -250000) for d in range(1, 65))
+    x = sorted(out.items())
+    y = sorted(((r.label, r.dim), (r.n, r.c_micro))
+               for r in label_centroids(df.repartition(5)).collect())
+    assert x == y
+
+
+def test_label_centroid_sim_geometry(spark):
+    from git_prov_spark.corpus.similarity import label_centroid_sim
+
+    # label 0 along +e1, label 1 along -e1 (cos -1), label 2 along e2
+    def vec(i, s):
+        v = [0.0] * 64
+        v[i] = s
+        return v
+
+    rows = [(1, vec(0, 1.0), 0), (2, vec(0, 0.5), 0),
+            (3, vec(0, -1.0), 1), (4, vec(1, 1.0), 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.l1, r.l2): r.cos for r in label_centroid_sim(df).collect()}
+    assert out[(0, 1)] == -1.0
+    assert out[(0, 2)] == 0.0
+    assert out[(1, 2)] == 0.0

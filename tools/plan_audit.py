@@ -124,6 +124,7 @@ def main() -> None:
         "graph_triangles": "1-row scalar broadcast (global triangle count) onto per-vertex counts — linear; triangle enumeration itself is two equi-joins on the oriented edge list",
         "text_pmi": "1-row scalar broadcast (total bigram count N) onto the vocabulary-sized pair table — linear; margins join as equi-joins on the word keys",
         "text_surprisal_lm": "1-row scalar broadcast (train token total T) onto per-transition rows — linear; the LM lookups are equi-joins on pair/word keys",
+        "embed_centroid_sim": "label-centroid pair matrix (l1 < l2) — labels^2 rows, dashboard-sized by definition; the data-bearing centroid aggregation is a plain hash-aggregate",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
