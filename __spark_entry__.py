@@ -1221,6 +1221,64 @@ def q_embed_centroid_sim(spark, sf_dir):
     return label_centroid_sim(_t(spark, sf_dir, "embeddings"))
 
 
+CORPUS_DQ_ORACLE = (
+    "SELECT 'not_null(l_orderkey)' AS rule, "
+    "CAST(COUNT(*) AS BIGINT) AS n_checked, "
+    "CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_violations, "
+    "SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed "
+    "FROM lineitem "
+    "UNION ALL "
+    "SELECT 'range(l_quantity, 1, 50)', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR "
+    "l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT), "
+    "SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR "
+    "l_quantity > 50) THEN 1 ELSE 0 END) = 0 FROM lineitem "
+    "UNION ALL "
+    "SELECT 'unique(o_orderkey)', CAST(SUM(c) AS BIGINT), "
+    "CAST(SUM(c - 1) AS BIGINT), SUM(c - 1) = 0 FROM "
+    "(SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) "
+    "UNION ALL "
+    "SELECT 'fk(l_orderkey -> o_orderkey)', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT), "
+    "SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 "
+    "FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) "
+    "l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o "
+    "ON l.l_orderkey = o.o_orderkey "
+    "UNION ALL "
+    "SELECT 'fk(c_nationkey -> n_nationkey)', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT), "
+    "SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0 "
+    "FROM (SELECT c_nationkey FROM customer WHERE c_nationkey IS NOT "
+    "NULL) c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n "
+    "ON c.c_nationkey = n.n_nationkey"
+)
+
+
+def q_corpus_dq(spark, sf_dir):
+    """Data-quality contract checks (r5, git_prov_spark.dq — the
+    dbt-test/Deequ shape): null / range / uniqueness / referential
+    integrity, each ONE aggregate (FKs: broadcast-marker join +
+    aggregate), unioned into the report a scheduler alerts on. Exact
+    longs — the report itself gates like any oracle entry."""
+    from git_prov_spark import dq
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return dq.dq_report([
+        dq.rule_not_null(li, "l_orderkey"),
+        dq.rule_range(li, "l_quantity", 1, 50),
+        dq.rule_unique(orders, ["o_orderkey"]),
+        dq.rule_foreign_key(li, "l_orderkey", orders, "o_orderkey"),
+        dq.rule_foreign_key(cust, "c_nationkey", nation, "n_nationkey",
+                            rule="fk(c_nationkey -> n_nationkey)"),
+    ])
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3478,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "corpus_blocklist": q_corpus_blocklist,
+        "corpus_dq": q_corpus_dq,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3776,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_groups": oracles.sql_hll_by_group("events", "event_type", "user_id"),
         "sketch_hist_groups": oracles.sql_hist_by_group("documents", "source", "n_chars"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
+        "corpus_dq": CORPUS_DQ_ORACLE,
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),

@@ -172,6 +172,7 @@ EXTRA_QUERIES = [
     "graph_ppr",
     "embed_centroids",
     "embed_centroid_sim",
+    "corpus_dq",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
