@@ -1279,6 +1279,51 @@ def q_corpus_dq(spark, sf_dir):
     ])
 
 
+EVENTS_FUNNEL_RATES_ORACLE = (
+    f"WITH f AS ({EVENTS_FUNNEL_ORACLE}) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+    "CAST(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_s1, "
+    "CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_s2, "
+    "CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_s3, "
+    "CAST((SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) * 10000) // "
+    "NULLIF(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    " AS conv2_bp, "
+    "CAST((SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) * 10000) // "
+    "NULLIF(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    " AS conv3_bp FROM f"
+)
+
+
+def q_events_funnel_rates(spark, sf_dir):
+    """Funnel conversion report (r5, timeseries.funnel_rates): users
+    reaching each stage + stage-to-stage conversion in integer basis
+    points — one sketch-sized aggregate over the per-user funnel."""
+    from git_prov_spark.timeseries import funnel_rates
+
+    return funnel_rates(_t(spark, sf_dir, "events"))
+
+
+def q_corpus_zorder(spark, sf_dir):
+    """Z-order clustering keys (r5, operators.z_value_expr): Morton
+    interleave of (portable source hash, capped length) — sort the sink
+    by z and parquet min/max pruning works for predicates on EITHER
+    dimension (the OPTIMIZE ZORDER technique as a plain codegen'd
+    column; writer demo in tests). Map-side, zero shuffle."""
+    from git_prov_spark.corpus.hashing import spark_hmod
+    from git_prov_spark.operators import z_value_expr
+
+    h = f"({spark_hmod('source')} % 65536)"
+    z = z_value_expr(h, "least(n_chars, 65535)")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(h).cast("long").alias("src_bucket"),
+        F.expr(z).cast("long").alias("z"),
+    )
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3534,9 +3579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
         "events_funnel": q_events_funnel,
+        "events_funnel_rates": q_events_funnel_rates,
         "events_retention": q_events_retention,
         "corpus_blocklist": q_corpus_blocklist,
         "corpus_dq": q_corpus_dq,
+        "corpus_zorder": q_corpus_zorder,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
@@ -3630,6 +3677,18 @@ def _cluster_sample_oracle_sql() -> str:
     cents, _ = _oracle_centroids()
     return oracles.sql_cluster_sample("embeddings", cents,
                                       CLUSTER_SAMPLE_CAP)
+
+
+def _zorder_oracle() -> str:
+    from git_prov_spark.corpus.hashing import duck_hmod
+    from git_prov_spark.operators import z_value_sql
+
+    h = f"({duck_hmod('source')} % 65536)"
+    z = z_value_sql(h, "LEAST(n_chars, 65535)")
+    return (
+        f"SELECT doc_id, CAST({h} AS BIGINT) AS src_bucket, "
+        f"CAST({z} AS BIGINT) AS z FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3836,6 +3895,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hist_groups": oracles.sql_hist_by_group("documents", "source", "n_chars"),
         "corpus_blocklist": oracles.sql_blocklist("documents"),
         "corpus_dq": CORPUS_DQ_ORACLE,
+        "corpus_zorder": _zorder_oracle(),
+
         "text_fingerprint": oracles.sql_fingerprints("documents"),
         "mm_features": oracles.sql_media_features("documents"),
         "graph_degree": _graph.sql_degree_stats(EVENT_GRAPH_EDGES_SQL),
@@ -3850,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval": EVENTS_INTERVAL_ORACLE,
         "events_stream_windowed": EVENTS_STREAM_WINDOWED_ORACLE,
         "events_funnel": EVENTS_FUNNEL_ORACLE,
+        "events_funnel_rates": EVENTS_FUNNEL_RATES_ORACLE,
         "events_retention": EVENTS_RETENTION_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,

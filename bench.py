@@ -173,6 +173,8 @@ EXTRA_QUERIES = [
     "embed_centroids",
     "embed_centroid_sim",
     "corpus_dq",
+    "events_funnel_rates",
+    "corpus_zorder",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -320,3 +320,32 @@ def global_cumsum(
         )
         .drop(_PID, "_gcs_offset")
     )
+
+
+def z_value_expr(c1: str, c2: str, bits: int = 16) -> str:
+    """Spark SQL expression interleaving the low ``bits`` bits of two
+    non-negative int expressions into a Z-order (Morton) value — the
+    multi-dimensional clustering key: sorting the sink by z keeps rows
+    close in BOTH dimensions close in file order, so parquet row-group
+    min/max pruning works for range predicates on EITHER column (the
+    Delta/Iceberg OPTIMIZE ZORDER technique, as a plain column). Built
+    as a fixed sum of shift/mask terms — whole-stage codegen, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright(cast({c1} as bigint), {i}) & 1, {2 * i})")
+        terms.append(
+            f"shiftleft(shiftright(cast({c2} as bigint), {i}) & 1, "
+            f"{2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def z_value_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`z_value_expr` (operator spellings differ:
+    `x >> n` / `x << n` instead of shiftright/shiftleft)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({c1} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(
+            f"(((CAST({c2} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

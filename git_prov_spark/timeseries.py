@@ -282,3 +282,27 @@ def retention_cohorts(events: DataFrame, key: str = "user_id",
                  (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct(F.col(key)).cast("long").alias("n_users"))
     )
+
+
+def funnel_rates(events: DataFrame, stages: list[str] | None = None,
+                 key: str = "user_id", ts: str = "ts",
+                 etype: str = "event_type") -> DataFrame:
+    """One row: (n_users, n_s1..n_sN, conv{k}_bp...) — the conversion
+    report over funnel_stages: how many users reached each stage and
+    the stage-to-stage conversion in integer basis points (exact long
+    div). One extra sketch-sized aggregate over the per-user funnel."""
+    stages = stages or FUNNEL_STAGES
+    n = len(stages)
+    f = funnel_stages(events, stages, key, ts, etype)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")]
+    for k in range(1, n + 1):
+        aggs.append(F.sum(F.when(F.col("reached") >= k, 1).otherwise(0))
+                    .cast("long").alias(f"n_s{k}"))
+    row = f.agg(*aggs)
+    for k in range(2, n + 1):
+        row = row.withColumn(
+            f"conv{k}_bp",
+            F.when(F.col(f"n_s{k - 1}") > 0,
+                   F.expr(f"(n_s{k} * 10000) div n_s{k - 1}"))
+            .cast("long"))
+    return row

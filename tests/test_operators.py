@@ -91,3 +91,48 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, (trial, edges)
+
+
+# ---------------------------------------------------------------------------
+# z-order
+
+
+def _py_z(a, b, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_python(spark):
+    from git_prov_spark.operators import z_value_expr
+
+    rows = [(a, b) for a in (0, 1, 7, 255, 65535)
+            for b in (0, 2, 64, 40000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.selectExpr(
+        "a", "b", f"cast({z_value_expr('a', 'b')} as bigint) AS z"
+    ).collect()}
+    assert got == {(a, b): _py_z(a, b) for a, b in rows}
+
+
+def test_z_value_locality(spark):
+    """The property the key exists for: sorting by z clusters BOTH
+    dimensions — within any run of consecutive z values, the value
+    ranges of a and b are both bounded (unlike a sort on a alone,
+    which leaves b unordered)."""
+    from git_prov_spark.operators import z_value_expr
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    ordered = df.selectExpr(
+        "a", "b", f"cast({z_value_expr('a', 'b')} as bigint) AS z"
+    ).orderBy("z").collect()
+    # split the z-sorted sequence into 16 equal chunks (the row-group
+    # analogy): every chunk must span at most half of each dimension
+    chunk = len(ordered) // 16
+    for c in range(16):
+        part = ordered[c * chunk:(c + 1) * chunk]
+        assert max(r.a for r in part) - min(r.a for r in part) <= 16
+        assert max(r.b for r in part) - min(r.b for r in part) <= 16

@@ -266,3 +266,23 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[(base, 3)] == 1
     assert out[(base + 1, 0)] == 1
     assert len(out) == 4
+
+
+def test_funnel_rates_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import funnel_rates
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 4 users reach stage 1; 2 reach stage 2; 1 reaches stage 3
+    for u in range(4):
+        rows.append((u, t0, "view"))
+    for u in range(2):
+        rows.append((u, t0 + timedelta(minutes=1), "click"))
+    rows.append((0, t0 + timedelta(minutes=2), "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    r = funnel_rates(df).collect()[0]
+    assert (r.n_users, r.n_s1, r.n_s2, r.n_s3) == (4, 4, 2, 1)
+    assert r.conv2_bp == 5000 and r.conv3_bp == 5000
