@@ -1324,6 +1324,86 @@ def q_corpus_zorder(spark, sf_dir):
     )
 
 
+EVENTS_SCD2_ORACLE = (
+    "WITH f AS (SELECT user_id, event_type AS v, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS e, ts, "
+    "CASE WHEN lag(event_type) OVER w IS NULL OR "
+    "lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "r AS (SELECT user_id, v, e, SUM(chg) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run FROM f), "
+    "p AS (SELECT user_id, run, MIN(e) AS valid_from, MIN(v) AS "
+    "event_type FROM r GROUP BY 1, 2) "
+    "SELECT user_id, event_type, valid_from, "
+    "lead(valid_from) OVER w2 AS valid_to, "
+    "lead(valid_from) OVER w2 IS NULL AS is_current FROM p "
+    "WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)"
+)
+
+EVENTS_ANOMALY_ORACLE = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(floor(epoch(time_bucket(INTERVAL 60 MINUTE, ts))) AS BIGINT) "
+    "AS window_start_epoch, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, list_sort(list(n_events))"
+    "[(len(list(n_events)) + 1) // 2] AS median_cnt FROM c GROUP BY 1), "
+    "d AS (SELECT c.*, m.median_cnt, abs(n_events - median_cnt) AS ad "
+    "FROM c JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, list_sort(list(ad))"
+    "[(len(list(ad)) + 1) // 2] AS mad FROM d GROUP BY 1) "
+    "SELECT d.event_type, window_start_epoch, n_events, "
+    "CAST(d.median_cnt AS BIGINT) AS median_cnt, "
+    "CAST(md.mad AS BIGINT) AS mad, "
+    "d.ad * 10000 > 20000 * md.mad AS is_anomaly "
+    "FROM d JOIN md USING (event_type)"
+)
+
+CORPUS_TOPK_ORACLE = (
+    "SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars "
+    "FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank "
+    "FROM documents) WHERE rank <= 2"
+)
+
+
+def q_events_scd2(spark, sf_dir):
+    """SCD type-2 build (r5, timeseries.scd2_intervals): change-event
+    runs per user collapse into half-open validity intervals with an
+    open-ended current row — the dimension-history shape every
+    warehouse maintains. One Exchange+Sort carries the lag flag AND
+    the run id; one hash-aggregate per run; one lead for the close."""
+    from git_prov_spark.timeseries import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Robust rate anomalies (r5, timeseries.window_anomalies): flag
+    60-min windows deviating from the key's MEDIAN count by more than
+    2x the MAD — rank-exact medians over dashboard-sized per-key window
+    lists (sorted fold), never approx_percentile; integer verdicts."""
+    from git_prov_spark.timeseries import window_anomalies
+
+    return window_anomalies(_t(spark, sf_dir, "events"))
+
+
+def q_dedup_editdist(spark, sf_dir):
+    """Edit-distance verification of LSH candidates (r5,
+    dedup.editdist_verify): propose-then-verify fuzzy matching —
+    banding proposes O(collisions) pairs, levenshtein over length-
+    capped prefixes disposes (O(cap²) per pair, bounded); texts ride
+    two narrow id joins. Spark and DuckDB levenshtein agree exactly."""
+    return dedup.editdist_verify(_aug_near_df(spark, sf_dir))
+
+
+def q_corpus_topk_source(spark, sf_dir):
+    """Top-k per group (r5, curate.topk_per_group): the 2 longest docs
+    per source — ONE partitioned window (hash-balanced, never global)
+    + rank filter, deterministic id tie-break."""
+    return curate.topk_per_group(_t(spark, sf_dir, "documents"),
+                                 "source", "n_chars")
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3581,6 +3661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_funnel_rates": q_events_funnel_rates,
         "events_retention": q_events_retention,
+        "events_scd2": q_events_scd2,
+        "events_anomaly": q_events_anomaly,
+        "dedup_editdist": q_dedup_editdist,
+        "corpus_topk_source": q_corpus_topk_source,
         "corpus_blocklist": q_corpus_blocklist,
         "corpus_dq": q_corpus_dq,
         "corpus_zorder": q_corpus_zorder,
@@ -3913,6 +3997,10 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": EVENTS_FUNNEL_ORACLE,
         "events_funnel_rates": EVENTS_FUNNEL_RATES_ORACLE,
         "events_retention": EVENTS_RETENTION_ORACLE,
+        "events_scd2": EVENTS_SCD2_ORACLE,
+        "events_anomaly": EVENTS_ANOMALY_ORACLE,
+        "dedup_editdist": oracles.sql_editdist_verify(aug_near),
+        "corpus_topk_source": CORPUS_TOPK_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),
         "sparql_select": SPARQL_SELECT_ORACLE,
         "sparql_agg": SPARQL_AGG_ORACLE,

@@ -175,6 +175,10 @@ EXTRA_QUERIES = [
     "corpus_dq",
     "events_funnel_rates",
     "corpus_zorder",
+    "events_scd2",
+    "events_anomaly",
+    "dedup_editdist",
+    "corpus_topk_source",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

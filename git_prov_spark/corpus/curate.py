@@ -27,7 +27,7 @@ exactly as in a standalone near-dedup run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import lsh_index_matches, near_dup_groups
@@ -603,4 +603,23 @@ def source_report(documents: DataFrame, id_col: str = "doc_id",
             F.expr("n_tokens div n_docs").cast("long")
             .alias("mean_tokens"),
         )
+    )
+
+
+def topk_per_group(df: DataFrame, group: str, order_col: str,
+                   k: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """(group, rank, id, order_col) — top-k rows per group by
+    (order_col DESC, id) — the per-partition representative-picking
+    shape (longest docs per source, best-scoring per cluster). ONE
+    partitioned window (hash-balanced across groups — never the
+    single-partition global variety plan_audit bans) + the rank
+    filter; deterministic tie-break on id."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(order_col).desc(), F.col(id_col))
+    return (
+        df.select(group, id_col, order_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group, F.col("rank").cast("long").alias("rank"),
+                id_col, order_col)
     )

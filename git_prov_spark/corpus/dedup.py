@@ -647,3 +647,36 @@ def containment_pairs(
             .alias("containment_bp"),
         )
     )
+
+
+def editdist_verify(
+    df: DataFrame,
+    max_dist: int = 20,
+    cap: int = 200,
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(d1, d2, dist, is_dup) — character-level verification of LSH
+    candidate pairs: levenshtein over length-capped text prefixes
+    (edit distance is O(len²) per pair — the cap bounds it; real fuzzy
+    matchers verify on a prefix or a sketch for the same reason).
+    Propose-then-verify: the LSH banding proposes O(collisions) pairs,
+    the edit distance disposes — never an all-pairs product; the texts
+    join back onto the narrow pair relation by id, so full documents
+    ride exactly two narrow joins. Spark's levenshtein and DuckDB's
+    agree (unit-cost Wagner-Fischer), keeping the distance hash-exact."""
+    cands = lsh_candidate_pairs(df, n=n, id_col=id_col)
+    txt = df.select(F.col(id_col),
+                    F.expr(f"left(coalesce(text, ''), {cap})").alias("_t"))
+    return (
+        cands
+        .join(txt.select(F.col(id_col).alias("d1"),
+                         F.col("_t").alias("_t1")), "d1")
+        .join(txt.select(F.col(id_col).alias("d2"),
+                         F.col("_t").alias("_t2")), "d2")
+        .select(
+            "d1", "d2",
+            F.levenshtein("_t1", "_t2").cast("long").alias("dist"),
+        )
+        .withColumn("is_dup", F.col("dist") <= max_dist)
+    )

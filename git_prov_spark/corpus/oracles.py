@@ -1419,3 +1419,34 @@ def sql_label_centroid_sim(src: str = "embeddings", group: str = "label",
         "JOIN norms n2 ON n2.%(g)s = l2"
         % {"g": group}
     )
+
+
+def sql_editdist_verify(src: str, max_dist: int = 20, cap: int = 200,
+                        n: int = 4) -> str:
+    """DuckDB twin of dedup.editdist_verify — candidates from the same
+    16-perm LSH banding the minhash oracle builds, then levenshtein
+    over the identical length-capped prefixes."""
+    band_rows = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{band * LSH_ROWS + r} AS VARCHAR)"
+            for r in range(LSH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"md5(concat_ws('_', {cols})) AS sig_h FROM sig"
+        )
+    stacked = " UNION ALL ".join(band_rows)
+    return (
+        f"WITH toks AS ({toks_cte(src)}), {_minhash_sig_cte(n)}, "
+        f"stacked AS ({stacked}), "
+        "cands AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM stacked a "
+        "JOIN stacked b ON a.band = b.band AND a.sig_h = b.sig_h "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        f"txt AS (SELECT doc_id, left(COALESCE(text, ''), {cap}) AS t "
+        f"FROM {src}) "
+        "SELECT d1, d2, CAST(levenshtein(t1.t, t2.t) AS BIGINT) AS dist, "
+        f"levenshtein(t1.t, t2.t) <= {max_dist} AS is_dup "
+        "FROM cands JOIN txt t1 ON t1.doc_id = d1 "
+        "JOIN txt t2 ON t2.doc_id = d2"
+    )

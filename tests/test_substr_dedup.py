@@ -110,3 +110,20 @@ def test_containment_threshold_and_direction_symmetry(spark):
     assert containment_pairs(df, n=4, min_pct=80).collect() == []
     low = containment_pairs(df, n=4, min_pct=20).collect()
     assert len(low) == 1 and low[0].n_small == 5
+
+
+def test_editdist_verify_propose_then_verify(spark):
+    from git_prov_spark.corpus.dedup import editdist_verify
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tok7x")          # 1 char apart
+    far = " ".join(f"zz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    out = {(r.d1, r.d2): r for r in editdist_verify(df, max_dist=5).collect()}
+    assert (1, 2) in out
+    # 1 edit for the inserted char + 1 at the 200-char cap boundary
+    # (the insertion shifts the truncation window by one character)
+    assert out[(1, 2)].dist == 2 and out[(1, 2)].is_dup
+    # doc 3 shares no shingles -> never proposed by LSH at all
+    assert not any(3 in k for k in out)

@@ -286,3 +286,52 @@ def test_funnel_rates_hand_computed(spark):
     r = funnel_rates(df).collect()[0]
     assert (r.n_users, r.n_s1, r.n_s2, r.n_s3) == (4, 4, 2, 1)
     assert r.conv2_bp == 5000 and r.conv3_bp == 5000
+
+
+def test_scd2_intervals_runs_and_boundaries(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import scd2_intervals
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, "a"), (1, t0 + timedelta(days=1), "a"),
+            (1, t0 + timedelta(days=2), "b"),
+            (1, t0 + timedelta(days=3), "a"),
+            (2, t0, "x")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = sorted(
+        ((r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+         for r in scd2_intervals(df).collect()))
+    e0 = 1704067200  # 2024-01-01T00:00:00Z (session timezone is UTC)
+    day = 86400
+    assert out == [
+        (1, "a", e0, e0 + 2 * day, False),       # run collapses 2 events
+        (1, "a", e0 + 3 * day, None, True),      # value returns -> new run
+        (1, "b", e0 + 2 * day, e0 + 3 * day, False),
+        (2, "x", e0, None, True),
+    ]
+
+
+def test_window_anomalies_flags_spike_only(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import window_anomalies
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 9 calm hours of 4 events, one hour with 40 (the spike)
+    eid = 0
+    for h in range(10):
+        burst = 40 if h == 5 else 4
+        for i in range(burst):
+            rows.append((eid, t0 + timedelta(hours=h, seconds=i), 1, "a",
+                         1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    out = window_anomalies(df).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1 and flagged[0].n_events == 40
+    assert all(r.median_cnt == 4 and r.mad == 0 for r in out)
