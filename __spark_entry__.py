@@ -1404,6 +1404,70 @@ def q_corpus_topk_source(spark, sf_dir):
                                  "source", "n_chars")
 
 
+EVENTS_HOPPING_ORACLE = (
+    # each event lands in width/slide = 4 hopping windows; the window
+    # starts are the slide-aligned marks in (ts - width, ts]
+    "WITH marks AS (SELECT event_type, value, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events), "
+    "w AS (SELECT event_type, value, "
+    "(e // 900) * 900 - 900 * i AS window_start_epoch "
+    "FROM marks, UNNEST(generate_series(0, 3)) AS t(i) "
+    "WHERE (e // 900) * 900 - 900 * i > e - 3600) "
+    "SELECT window_start_epoch, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value "
+    "FROM w GROUP BY 1, 2"
+)
+
+CORPUS_NTILE_ORACLE = (
+    "SELECT source, doc_id, n_chars, CAST(NTILE(4) OVER "
+    "(PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) "
+    "AS bucket FROM documents"
+)
+
+EVENTS_SALTED_ORACLE = (
+    # semantically a plain equi-join: the salt is plan-side only
+    "SELECT e.event_id, e.event_type, d.weight FROM events e "
+    "JOIN (SELECT DISTINCT event_type, "
+    "CAST(length(event_type) AS BIGINT) AS weight FROM events) d "
+    "ON e.event_type = d.event_type"
+)
+
+
+def q_events_hopping(spark, sf_dir):
+    """Hopping-window rates (r5, timeseries.hopping_counts): 60-min
+    windows sliding by 15 — each event amplifies into 4 windows
+    map-side (F.window slideDuration), one hash-aggregate; the
+    smoothed dashboard curve, tumbling's superset."""
+    from git_prov_spark.timeseries import hopping_counts
+
+    return hopping_counts(_t(spark, sf_dir, "events"))
+
+
+def q_corpus_ntile(spark, sf_dir):
+    """Within-group quantile buckets (r5, curate.ntile_per_group):
+    length quartile of each doc within its source — ONE partitioned
+    window with an id tie-break (deterministic where raw NTILE over
+    ties is not); the relative-rank feature quality filters use."""
+    return curate.ntile_per_group(_t(spark, sf_dir, "documents"),
+                                  "source", "n_chars")
+
+
+def q_events_salted(spark, sf_dir):
+    """Skew-proof salted join (r5, operators.salted_join): events
+    (5 hot event_type keys) join a per-type dim over (key, salt) with
+    the fact side split 8 ways by a row-id hash and the dim replicated
+    8x — no reducer sees more than ~1/8 of a hot key; the oracle is
+    the PLAIN join (the salt must be semantics-free, which is exactly
+    what the gate proves)."""
+    from git_prov_spark.operators import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (ev.select("event_type").distinct()
+           .withColumn("weight",
+                       F.length("event_type").cast("long")))
+    return salted_join(ev, dim, "event_type", "event_id")
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE merge learning (r5, bpe.learn_bpe): 8 iterative rounds of
     pair-count → argmax → greedy leftmost merge over the distinct-word
@@ -3663,6 +3727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
         "events_anomaly": q_events_anomaly,
+        "events_hopping": q_events_hopping,
+        "events_salted": q_events_salted,
+        "corpus_ntile": q_corpus_ntile,
         "dedup_editdist": q_dedup_editdist,
         "corpus_topk_source": q_corpus_topk_source,
         "corpus_blocklist": q_corpus_blocklist,
@@ -3999,6 +4066,9 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": EVENTS_RETENTION_ORACLE,
         "events_scd2": EVENTS_SCD2_ORACLE,
         "events_anomaly": EVENTS_ANOMALY_ORACLE,
+        "events_hopping": EVENTS_HOPPING_ORACLE,
+        "events_salted": EVENTS_SALTED_ORACLE,
+        "corpus_ntile": CORPUS_NTILE_ORACLE,
         "dedup_editdist": oracles.sql_editdist_verify(aug_near),
         "corpus_topk_source": CORPUS_TOPK_ORACLE,
         "mm_frames": oracles.sql_frame_samples("documents"),

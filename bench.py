@@ -179,6 +179,9 @@ EXTRA_QUERIES = [
     "events_anomaly",
     "dedup_editdist",
     "corpus_topk_source",
+    "events_hopping",
+    "events_salted",
+    "corpus_ntile",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -623,3 +623,19 @@ def topk_per_group(df: DataFrame, group: str, order_col: str,
         .select(group, F.col("rank").cast("long").alias("rank"),
                 id_col, order_col)
     )
+
+
+def ntile_per_group(df: DataFrame, group: str, order_col: str,
+                    n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(group, id, order_col, bucket) — exact n-tile of each row within
+    its group by (order_col, id): the relative-rank feature (length
+    quartile within source, score decile within cluster) quality
+    filters threshold on. ONE partitioned window; the id tie-break
+    makes the bucket assignment deterministic where raw NTILE over
+    ties is not. Both engines' NTILE split remainders identically
+    (first buckets get the extra rows — SQL standard)."""
+    w = Window.partitionBy(group).orderBy(F.col(order_col), F.col(id_col))
+    return (
+        df.select(group, id_col, order_col)
+        .withColumn("bucket", F.ntile(n).over(w).cast("long"))
+    )

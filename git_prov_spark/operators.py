@@ -349,3 +349,30 @@ def z_value_sql(c1: str, c2: str, bits: int = 16) -> str:
         terms.append(
             f"(((CAST({c2} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_col: str, n_salt: int = 8) -> DataFrame:
+    """Skew-proof equi-join: a plain shuffle join funnels every row of
+    a hot LEFT (fact) key through one reducer task; salting splits each
+    key's rows across ``n_salt`` sub-partitions — the salt hashes a
+    ROW-DISTINGUISHING column (``salt_col``, e.g. the fact row id;
+    hashing the join key itself would give a hot key one salt and
+    split nothing) — while the RIGHT (dim) side replicates each row
+    n_salt ways, so the join key becomes (key, salt) and no task sees
+    more than ~1/n_salt of any hot key. Deterministic (portable hash —
+    re-runs place rows identically) and semantically IDENTICAL to
+    left.join(right, key): the gate asserts equality. Use when AQE's
+    skew-join split can't see the skew (same-stage skew, non-AQE
+    sinks); cost = dim side × n_salt, the classic trade."""
+    from .corpus.hashing import spark_h64
+
+    salt = F.expr(
+        f"cast({spark_h64(f'cast({salt_col} as string)')} "
+        f"% {n_salt} as int)")
+    lf = left.withColumn("_salt", salt)
+    rt = right.withColumn(
+        "_salt",
+        F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return lf.join(rt, [key, "_salt"]).drop("_salt")

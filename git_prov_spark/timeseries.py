@@ -386,3 +386,25 @@ def window_anomalies(events: DataFrame, key: str = "event_type",
             .alias("is_anomaly"),
         )
     )
+
+
+def hopping_counts(events: DataFrame, key: str = "event_type",
+                   ts: str = "ts", width_min: int = 60,
+                   slide_min: int = 15) -> DataFrame:
+    """(window_start_epoch, key, n_events, max_value) per HOPPING
+    (sliding) event-time window — width/slide overlapping windows, so
+    each event contributes to width/slide of them (the smoothed rate
+    curve dashboards draw; tumbling is the slide == width special
+    case). F.window(slideDuration=...) plans the explode map-side —
+    same one hash-aggregate as the tumbling op, input amplified by the
+    overlap factor and nothing else."""
+    win = F.window(F.col(ts).cast("timestamp"),
+                   f"{width_min} minutes", f"{slide_min} minutes")
+    return (
+        events.groupBy(win.alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("max_value"))
+        .select(F.col("win.start").cast("long")
+                .alias("window_start_epoch"),
+                key, "n_events", "max_value")
+    )

@@ -136,3 +136,41 @@ def test_z_value_locality(spark):
         part = ordered[c * chunk:(c + 1) * chunk]
         assert max(r.a for r in part) - min(r.a for r in part) <= 16
         assert max(r.b for r in part) - min(r.b for r in part) <= 16
+
+
+def test_salted_join_equals_plain_join_and_splits_salts(spark):
+    from git_prov_spark.operators import salted_join
+
+    # one hot key (90% of rows) + tail keys
+    rows = [(i, "hot" if i % 10 else f"k{i}") for i in range(500)]
+    left = spark.createDataFrame(rows, "rid long, k string")
+    right = (left.select("k").distinct()
+             .withColumn("v", F.length("k")))
+    got = sorted(map(tuple, salted_join(
+        left, right, "k", "rid", n_salt=8).collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want
+    # the hot key's rows really do spread across many salts
+    from git_prov_spark.corpus.hashing import spark_h64
+    salts = (left.where(F.col("k") == "hot")
+             .selectExpr(f"cast({spark_h64('cast(rid as string)')} % 8 "
+                         "as int) AS s")
+             .distinct().count())
+    assert salts >= 6
+
+
+def test_ntile_deterministic_under_ties(spark):
+    from git_prov_spark.corpus.curate import ntile_per_group
+
+    # all order values equal -> buckets decided purely by id tie-break
+    rows = [(f"s{i % 2}", i, 7) for i in range(16)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    a = sorted(map(tuple, ntile_per_group(
+        df, "source", "n_chars").collect()))
+    b = sorted(map(tuple, ntile_per_group(
+        df.repartition(5), "source", "n_chars").collect()))
+    assert a == b
+    # each group of 8 splits 2/2/2/2
+    from collections import Counter
+    c = Counter((r[0], r[3]) for r in a)
+    assert all(v == 2 for v in c.values())

@@ -335,3 +335,29 @@ def test_window_anomalies_flags_spike_only(spark):
     flagged = [r for r in out if r.is_anomaly]
     assert len(flagged) == 1 and flagged[0].n_events == 40
     assert all(r.median_cnt == 4 and r.mad == 0 for r in out)
+
+
+def test_hopping_counts_amplification_and_tumbling_special_case(spark):
+    from datetime import datetime, timedelta
+
+    from git_prov_spark.timeseries import hopping_counts, windowed_counts
+
+    t0 = datetime(2024, 1, 1, 0, 37)  # mid-window
+    df = spark.createDataFrame(
+        [(1, t0, 1, "a", 5.0),
+         (2, t0 + timedelta(minutes=1), 2, "a", 9.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    hop = hopping_counts(df).collect()
+    # each event lands in exactly width/slide = 4 windows; both events
+    # share all 4 (1 minute apart, same 15-min mark)
+    assert len(hop) == 4
+    assert all(r.n_events == 2 and r.max_value == 9.0 for r in hop)
+    starts = sorted(r.window_start_epoch for r in hop)
+    assert [s - starts[0] for s in starts] == [0, 900, 1800, 2700]
+    # slide == width degenerates to the tumbling op's counts
+    tumb = {(r.window_start_epoch, r.event_type): r.n_events
+            for r in windowed_counts(df).collect()}
+    hop60 = {(r.window_start_epoch, r.event_type): r.n_events
+             for r in hopping_counts(df, slide_min=60).collect()}
+    assert hop60 == tumb
