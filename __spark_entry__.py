@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from git_prov_spark import graph as _graph
+from git_prov_spark import inference as _inference
 from git_prov_spark.corpus import curate, dedup, hashing, multimodal, oracles, similarity
 from git_prov_spark.corpus import text as ctext
 from git_prov_spark.operators import global_row_number
@@ -1719,6 +1720,196 @@ def q_graph_components(spark, sf_dir):
     from git_prov_spark import graph
 
     return graph.components_sync(_supplier_graph_edges(spark, sf_dir))
+
+
+# ---- KG inference fixtures: a geography ontology over the TPC-H-ish
+# tables. Instance data: supplier rdf:type nation-class (supplier table)
+# + supplier ex:supplies part (distinct lineitem pairs — the 100 TB side
+# of the join). Schema: nation ⊑ region ⊑ geo:place (two-hop subclass
+# chain exercises transitivity), ex:supplies ⊑ ex:provides ⊑ ex:related,
+# and domain/range typing on ex:supplies.
+RDFS_INSTANCE_SQL = (
+    "SELECT 'demo' AS repo, "
+    "'supplier-' || CAST(s_suppkey AS VARCHAR) AS subj, "
+    "'rdf:type' AS pred, "
+    "'nation-' || CAST(s_nationkey AS VARCHAR) AS obj, "
+    "'iri' AS obj_type FROM supplier "
+    "UNION ALL SELECT 'demo', 'supplier-' || CAST(l_suppkey AS VARCHAR), "
+    "'ex:supplies', 'part-' || CAST(l_partkey AS VARCHAR), 'iri' "
+    "FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) dp"
+)
+RDFS_SCHEMA_SQL = (
+    "SELECT 'schema' AS repo, "
+    "'nation-' || CAST(n_nationkey AS VARCHAR) AS subj, "
+    "'rdfs:subClassOf' AS pred, "
+    "'region-' || CAST(n_regionkey AS VARCHAR) AS obj, "
+    "'iri' AS obj_type FROM nation "
+    "UNION ALL SELECT 'schema', "
+    "'region-' || CAST(r_regionkey AS VARCHAR), 'rdfs:subClassOf', "
+    "'geo:place', 'iri' FROM region "
+    "UNION ALL SELECT 'schema', 'ex:supplies', 'rdfs:subPropertyOf', "
+    "'ex:provides', 'iri' "
+    "UNION ALL SELECT 'schema', 'ex:provides', 'rdfs:subPropertyOf', "
+    "'ex:related', 'iri' "
+    "UNION ALL SELECT 'schema', 'ex:supplies', 'rdfs:domain', "
+    "'ex:Supplier', 'iri' "
+    "UNION ALL SELECT 'schema', 'ex:supplies', 'rdfs:range', "
+    "'ex:Part', 'iri' "
+    "UNION ALL SELECT 'schema', 'ex:Supplier', 'rdfs:subClassOf', "
+    "'ex:Org', 'iri'"
+)
+
+
+def _rdfs_fixture(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    inst = sup.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("supplier-"),
+                 F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.concat(F.lit("nation-"),
+                 F.col("s_nationkey").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    ).unionByName(
+        li.select("l_suppkey", "l_partkey").distinct().select(
+            F.lit("demo").alias("repo"),
+            F.concat(F.lit("supplier-"),
+                     F.col("l_suppkey").cast("string")).alias("subj"),
+            F.lit("ex:supplies").alias("pred"),
+            F.concat(F.lit("part-"),
+                     F.col("l_partkey").cast("string")).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+        )
+    )
+    fixed = spark.createDataFrame(
+        [("schema", "ex:supplies", "rdfs:subPropertyOf", "ex:provides", "iri"),
+         ("schema", "ex:provides", "rdfs:subPropertyOf", "ex:related", "iri"),
+         ("schema", "ex:supplies", "rdfs:domain", "ex:Supplier", "iri"),
+         ("schema", "ex:supplies", "rdfs:range", "ex:Part", "iri"),
+         ("schema", "ex:Supplier", "rdfs:subClassOf", "ex:Org", "iri")],
+        "repo string, subj string, pred string, obj string, obj_type string",
+    )
+    sch = nat.select(
+        F.lit("schema").alias("repo"),
+        F.concat(F.lit("nation-"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("rdfs:subClassOf").alias("pred"),
+        F.concat(F.lit("region-"),
+                 F.col("n_regionkey").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    ).unionByName(
+        reg.select(
+            F.lit("schema").alias("repo"),
+            F.concat(F.lit("region-"),
+                     F.col("r_regionkey").cast("string")).alias("subj"),
+            F.lit("rdfs:subClassOf").alias("pred"),
+            F.lit("geo:place").alias("obj"),
+            F.lit("iri").alias("obj_type"),
+        )
+    ).unionByName(fixed)
+    return inst, sch
+
+
+def q_kg_rdfs_closure(spark, sf_dir):
+    """Materialized RDFS entailment (ρdf fragment — inference.rdfs_closure):
+    subClassOf/subPropertyOf transitive closure runs distributed (path
+    doubling) on the TINY schema side, then every instance-level rule
+    (rdfs7 property subsumption, rdfs2/3 domain+range typing, rdfs9 class
+    subsumption) is a BROADCAST equi-join against the closed schema — the
+    instance relation (the 100 TB side) is never shuffled until the final
+    distinct. The reference reaches entailed triples through Jena's
+    reasoner at query time (services/SparqlService.java:16-31); a batch KG
+    build materializes them once."""
+    from git_prov_spark import inference
+
+    inst, sch = _rdfs_fixture(spark, sf_dir)
+    return inference.rdfs_closure(inst, sch)
+
+
+# owl:sameAs alias graph over the event actors: user-i ≡ user-(i+1) for
+# i % 10 < 2 — chains of ≤ 3 nodes, the shallow-alias shape entity
+# linking actually produces.
+SAMEAS_TRIPLES_SQL = (
+    "SELECT 'demo' AS repo, "
+    "'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj, "
+    "'iri' AS obj_type FROM events"
+)
+SAMEAS_PAIRS_SQL = (
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS src, "
+    "'user-' || CAST(user_id + 1 AS VARCHAR) AS dst "
+    "FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 10 < 2"
+)
+
+
+def q_kg_sameas_rewrite(spark, sf_dir):
+    """owl:sameAs canonicalization (inference.sameas_canonicalize): fixed-
+    round min-label components over the alias PAIR graph (tiny vs the
+    triple bag), then the triple relation is rewritten — subjects and
+    object IRIs only, literals never — via two broadcast left joins and
+    deduplicated. The triple-level twin of the pipeline's agent alias
+    merge (pipeline/agents.py canonicalize_logins)."""
+    from git_prov_spark import inference
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+    users = ev.select("user_id").distinct()
+    pairs = users.where(F.col("user_id") % 10 < 2).select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("user-"),
+                 (F.col("user_id") + 1).cast("string")).alias("dst"),
+    )
+    return inference.sameas_canonicalize(triples, pairs)
+
+
+BFS_SEEDS_SQL = (
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS node "
+    "FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 100 = 0"
+)
+BFS_EDGES_SQL = (
+    "SELECT 'user-' || CAST(a.user_id AS VARCHAR) AS src, "
+    "'user-' || CAST(b.user_id AS VARCHAR) AS dst "
+    "FROM (SELECT DISTINCT user_id FROM events) a "
+    "JOIN (SELECT DISTINCT user_id FROM events) b "
+    "ON b.user_id = a.user_id + 1 WHERE a.user_id % 100 <> 99"
+)
+
+
+def q_graph_bfs_levels(spark, sf_dir):
+    """Seeded multi-source BFS hop levels (graph.bfs_levels), bounded at
+    8 hops, over the ev:next chain graph from chain heads: the lineage-
+    depth query (derivation distance from root versions). Frontier-only
+    expansion — round i joins just the distance-(i-1) nodes against the
+    edges, one equi-join + one min-aggregate per round, one row per NODE
+    (never the pair closure)."""
+    from git_prov_spark import graph
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    edges = (
+        users.alias("u")
+        .join(users.alias("v"), F.col("v.user_id") == F.col("u.user_id") + 1)
+        .where(F.col("u.user_id") % 100 != 99)
+        .select(
+            F.concat(F.lit("user-"),
+                     F.col("u.user_id").cast("string")).alias("src"),
+            F.concat(F.lit("user-"),
+                     F.col("v.user_id").cast("string")).alias("dst"),
+        )
+    )
+    seeds = users.where(F.col("user_id") % 100 == 0).select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("node"))
+    return graph.bfs_levels(edges, seeds)
 
 
 EVENTS_INTERVAL_ORACLE = (
@@ -3720,6 +3911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_graph_coreness,
         "graph_components": q_graph_components,
         "graph_ppr": q_graph_ppr,
+        "graph_bfs_levels": q_graph_bfs_levels,
+        "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
         "events_funnel": q_events_funnel,
@@ -4056,6 +4250,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_coreness": _graph.sql_coreness(SUPPLIER_GRAPH_EDGES_SQL),
         "graph_components": _graph.sql_components_sync(SUPPLIER_GRAPH_EDGES_SQL),
         "graph_ppr": _graph.sql_pagerank_personalized(EVENT_GRAPH_EDGES_SQL, PPR_SEEDS),
+        "graph_bfs_levels": _graph.sql_bfs_levels(BFS_EDGES_SQL, BFS_SEEDS_SQL),
+        "kg_rdfs_closure": _inference.sql_rdfs_closure(
+            RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL),
+        "kg_sameas_rewrite": _inference.sql_sameas_canonicalize(
+            SAMEAS_TRIPLES_SQL, SAMEAS_PAIRS_SQL),
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

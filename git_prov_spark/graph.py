@@ -547,3 +547,75 @@ def sql_pagerank_personalized(edges_sql: str, seeds: list[str],
             f"LEFT JOIN c{k} ON c{k}.node = nodes.node)"
         )
     return ", ".join(parts) + f" SELECT node, rank FROM r{n_iter}"
+
+
+BFS_ROUNDS = 8
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame,
+               n_iter: int = BFS_ROUNDS) -> DataFrame:
+    """(node, level) — directed BFS hop distance from a seed set,
+    bounded at `n_iter` hops; nodes farther than the bound (or
+    unreachable) are absent.
+
+    The multi-source shortest-hop query a KG build answers constantly:
+    derivation depth of a file version from its root
+    (prov:wasDerivedFrom chains), blast radius of an entity, lineage
+    horizon checks. Synchronous frontier expansion — round i joins the
+    distance-(i-1) FRONTIER (not the whole visited set) against the
+    edge list, then a min-aggregate folds re-discoveries; per-round cost
+    is one equi-join + one hash-aggregate, intermediates bounded by the
+    frontier fan-out, never the closure (contrast
+    operators.transitive_closure, which materializes all PAIRS — this
+    keeps one row per NODE). The hop bound is the point at 100 TB: an
+    unbounded BFS on a social-scale graph floods everything by round ~6;
+    a lineage query wants "within k hops" anyway, and k rounds is k
+    shuffles of (node, level) rows.
+
+    `seeds` is a single-column (node) DataFrame; seed nodes report
+    level 0 even when re-reachable by a longer path (min-fold)."""
+    lv = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+          .withColumn("level", F.lit(0))
+          .localCheckpoint(eager=True))
+    e = (edges.select("src", "dst").where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+    frontier = lv
+    for i in range(1, n_iter + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.lit(i).alias("level"))
+        )
+        merged = (
+            lv.unionByName(nxt)
+            .groupBy("node").agg(F.min("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        # the true frontier: nodes whose final level IS i (first seen now)
+        frontier = merged.where(F.col("level") == i)
+        if frontier.isEmpty():
+            lv = merged
+            break
+        lv = merged
+    return lv
+
+
+def sql_bfs_levels(edges_sql: str, seeds_sql: str,
+                   n_iter: int = BFS_ROUNDS) -> str:
+    """DuckDB twin of :func:`bfs_levels` — a depth-bounded recursive CTE
+    (UNION dedups (node, lvl) pairs per step; cycles terminate via the
+    lvl < bound guard) folded by MIN(lvl). The early frontier exit in
+    the Spark loop is a pure optimization — both compute min hop
+    distance ≤ bound, so the relations agree regardless."""
+    return f"""
+WITH RECURSIVE
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) be
+                   WHERE src IS NOT NULL AND dst IS NOT NULL),
+s AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql}) bs),
+r(node, lvl) AS (
+  SELECT node, 0 FROM s
+  UNION
+  SELECT e.dst, r.lvl + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.lvl < {n_iter})
+SELECT node, MIN(lvl) AS level FROM r GROUP BY node
+"""

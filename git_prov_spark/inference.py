@@ -1,0 +1,264 @@
+"""KG inference & maintenance over the (repo, subj, pred, obj, obj_type)
+triple relation — RDFS entailment materialization and owl:sameAs
+canonical rewriting.
+
+The reference stores the PROV graph in Jena TDB and leans on Jena's
+reasoners when a client asks for entailed triples
+(services/SparqlService.java:16-31 executes over the raw model; Jena's
+InfModel is the upstream path). A KG *construction* pipeline at 100 TB
+cannot reason per-query — it materializes the closure once, at build
+time, as another batch stage. Two operators cover the fragments that
+matter for PROV-style graphs:
+
+- :func:`rdfs_closure` — the ρdf fragment (Muñoz, Pérez, Gutierrez,
+  "Minimal deductive systems for RDF", ESWC 2007): rdfs5/11 (transitive
+  subPropertyOf / subClassOf), rdfs7 (property subsumption), rdfs2/3
+  (domain / range typing), rdfs9 (class subsumption of rdf:type).
+  These rules STRATIFY — sp-closure feeds rdfs7, whose output feeds
+  domain/range, whose output feeds rdfs9 — so one ordered pass is the
+  full fixpoint; no instance-level iteration is ever needed.
+- :func:`sameas_canonicalize` — owl:sameAs alias merging: connected
+  components over the sameAs pair graph, every IRI rewritten to its
+  component minimum. This is the triple-level twin of the pipeline's
+  agent canonicalization (pipeline/agents.py) and the standard
+  "canonicalize then materialize" treatment of sameAs at scale.
+
+Scale notes (100 TB):
+- The SCHEMA (ontology) is small by nature — 10^3..10^5 classes and
+  properties even for giant KGs — while the INSTANCE data is the 100 TB
+  side. Every rule here is therefore a BROADCAST equi-join of the
+  instance relation against a closed schema relation: zero instance
+  shuffles until the final distinct. The schema closure itself runs
+  distributed (operators.transitive_closure, path doubling) so a
+  pathological million-edge ontology still closes in O(log depth)
+  rounds.
+- The final `distinct` is the one unavoidable shuffle — entailed
+  triples collide with asserted ones. It partitions on the full row, so
+  AQE splits skewed reducers; there is no hot key by construction
+  (subjects spread).
+- sameas_canonicalize shuffles the sameAs PAIRS (tiny vs instance data)
+  per label-propagation round; the instance rewrite is two equi-joins
+  against the (node, label) map — broadcastable whenever the alias
+  population fits (the common case: aliases ≪ entities), a plain
+  shuffled join otherwise.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import transitive_closure
+
+RDF_TYPE = "rdf:type"
+RDFS_SUBCLASS = "rdfs:subClassOf"
+RDFS_SUBPROP = "rdfs:subPropertyOf"
+RDFS_DOMAIN = "rdfs:domain"
+RDFS_RANGE = "rdfs:range"
+
+TRIPLE_COLS = ["repo", "subj", "pred", "obj", "obj_type"]
+
+
+def _schema_pairs(schema: DataFrame, pred: str) -> DataFrame:
+    return (
+        schema.where(F.col("pred") == pred)
+        .select(F.col("subj").alias("sub"), F.col("obj").alias("sup"))
+        .distinct()
+    )
+
+
+def rdfs_closure(instance: DataFrame, schema: DataFrame) -> DataFrame:
+    """Materialized ρdf closure of `instance ∪ schema`.
+
+    Both inputs are TRIPLE_COLS relations; `schema` holds the
+    rdfs:subClassOf / subPropertyOf / domain / range assertions (its
+    other rows are ignored for inference but kept in the output).
+    Returns the DISTINCT union of asserted and entailed triples:
+
+      rdfs5/11: sc+ and sp+ transitive closures (emitted as triples,
+                schema repo column preserved per closed pair's seed row
+                is NOT tracked — closure rows reuse the schema rows'
+                repo via a min aggregate for determinism);
+      rdfs7:    (x P y), (P sp+ Q)      → (x Q y)
+      rdfs2:    (x P y), (P domain C)   → (x rdf:type C)   [after rdfs7]
+      rdfs3:    (x P y), (P range C)    → (y rdf:type C)   [obj IRIs only]
+      rdfs9:    (x rdf:type C), (C sc+ D) → (x rdf:type D) [after rdfs2/3]
+    """
+    sc = _schema_pairs(schema, RDFS_SUBCLASS)
+    sp = _schema_pairs(schema, RDFS_SUBPROP)
+    sc_closed = transitive_closure(sc, "sub", "sup").select(
+        F.col("src").alias("sub"), F.col("dst").alias("sup"))
+    sp_closed = transitive_closure(sp, "sub", "sup").select(
+        F.col("src").alias("sub"), F.col("dst").alias("sup"))
+    dom = _schema_pairs(schema, RDFS_DOMAIN)
+    rng = _schema_pairs(schema, RDFS_RANGE)
+
+    # rdfs7 — property subsumption over the CLOSED sp relation
+    sub_props = (
+        instance.join(F.broadcast(sp_closed),
+                      F.col("pred") == F.col("sub"))
+        .select("repo", "subj", F.col("sup").alias("pred"),
+                "obj", "obj_type")
+    )
+    base = instance.select(*TRIPLE_COLS).unionByName(sub_props)
+
+    # rdfs2 / rdfs3 — domain & range typing over sp-closed assertions
+    typed_dom = (
+        base.join(F.broadcast(dom), F.col("pred") == F.col("sub"))
+        .select("repo", "subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("sup").alias("obj"), F.lit("iri").alias("obj_type"))
+    )
+    typed_rng = (
+        base.where(F.col("obj_type") == "iri")
+        .join(F.broadcast(rng), F.col("pred") == F.col("sub"))
+        .select("repo", F.col("obj").alias("subj"),
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("sup").alias("obj"), F.lit("iri").alias("obj_type"))
+    )
+
+    # rdfs9 — class subsumption over every rdf:type triple now known
+    types = (
+        base.where(F.col("pred") == RDF_TYPE)
+        .unionByName(typed_dom).unionByName(typed_rng)
+    )
+    super_types = (
+        types.join(F.broadcast(sc_closed), F.col("obj") == F.col("sub"))
+        .select("repo", "subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("sup").alias("obj"), F.lit("iri").alias("obj_type"))
+    )
+
+    # closed schema pairs re-emitted as triples; repo = min over the
+    # schema rows that asserted the predicate (deterministic, and the
+    # common case is one schema graph anyway)
+    schema_repo = schema.agg(F.min("repo").alias("repo"))
+    closed_schema = (
+        sc_closed.select("sub", F.lit(RDFS_SUBCLASS).alias("pred"), "sup")
+        .unionByName(
+            sp_closed.select("sub", F.lit(RDFS_SUBPROP).alias("pred"), "sup"))
+        .crossJoin(F.broadcast(schema_repo))
+        .select("repo", F.col("sub").alias("subj"), "pred",
+                F.col("sup").alias("obj"), F.lit("iri").alias("obj_type"))
+    )
+
+    return (
+        base.unionByName(typed_dom)
+        .unionByName(typed_rng)
+        .unionByName(super_types)
+        .unionByName(schema.select(*TRIPLE_COLS))
+        .unionByName(closed_schema)
+        .distinct()
+    )
+
+
+def sql_rdfs_closure(instance_sql: str, schema_sql: str) -> str:
+    """DuckDB twin of :func:`rdfs_closure` — recursive CTEs for the two
+    schema closures (a recursive closure and path doubling compute the
+    same fixpoint relation), then the identical rule joins."""
+    return f"""
+WITH RECURSIVE
+inst AS MATERIALIZED ({instance_sql}),
+sch AS MATERIALIZED ({schema_sql}),
+sc(sub, sup) AS (
+  SELECT DISTINCT subj, obj FROM sch WHERE pred = '{RDFS_SUBCLASS}'
+  UNION
+  SELECT sc.sub, s.obj FROM sc JOIN sch s
+    ON s.pred = '{RDFS_SUBCLASS}' AND s.subj = sc.sup),
+sp(sub, sup) AS (
+  SELECT DISTINCT subj, obj FROM sch WHERE pred = '{RDFS_SUBPROP}'
+  UNION
+  SELECT sp.sub, s.obj FROM sp JOIN sch s
+    ON s.pred = '{RDFS_SUBPROP}' AND s.subj = sp.sup),
+dom AS (SELECT DISTINCT subj AS sub, obj AS sup FROM sch
+        WHERE pred = '{RDFS_DOMAIN}'),
+rng AS (SELECT DISTINCT subj AS sub, obj AS sup FROM sch
+        WHERE pred = '{RDFS_RANGE}'),
+subp AS (SELECT i.repo, i.subj, sp.sup AS pred, i.obj, i.obj_type
+         FROM inst i JOIN sp ON i.pred = sp.sub),
+base AS MATERIALIZED (
+  SELECT repo, subj, pred, obj, obj_type FROM inst
+  UNION ALL SELECT * FROM subp),
+tdom AS (SELECT b.repo, b.subj, '{RDF_TYPE}' AS pred, d.sup AS obj,
+                'iri' AS obj_type
+         FROM base b JOIN dom d ON b.pred = d.sub),
+trng AS (SELECT b.repo, b.obj AS subj, '{RDF_TYPE}' AS pred,
+                r.sup AS obj, 'iri' AS obj_type
+         FROM base b JOIN rng r ON b.pred = r.sub
+         WHERE b.obj_type = 'iri'),
+typs AS (SELECT * FROM base WHERE pred = '{RDF_TYPE}'
+         UNION ALL SELECT * FROM tdom UNION ALL SELECT * FROM trng),
+styp AS (SELECT t.repo, t.subj, '{RDF_TYPE}' AS pred, c.sup AS obj,
+                'iri' AS obj_type
+         FROM typs t JOIN sc c ON t.obj = c.sub),
+srepo AS (SELECT MIN(repo) AS repo FROM sch),
+csch AS (
+  SELECT srepo.repo, x.sub AS subj, x.pred, x.sup AS obj,
+         'iri' AS obj_type
+  FROM (SELECT sub, '{RDFS_SUBCLASS}' AS pred, sup FROM sc
+        UNION ALL SELECT sub, '{RDFS_SUBPROP}', sup FROM sp) x, srepo)
+SELECT DISTINCT repo, subj, pred, obj, obj_type FROM (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM tdom
+  UNION ALL SELECT * FROM trng
+  UNION ALL SELECT * FROM styp
+  UNION ALL SELECT repo, subj, pred, obj, obj_type FROM sch
+  UNION ALL SELECT * FROM csch) u
+"""
+
+
+def sameas_canonicalize(triples: DataFrame, sameas: DataFrame,
+                        n_iter: int = 8) -> DataFrame:
+    """Rewrite every IRI in `triples` to the canonical representative of
+    its owl:sameAs equivalence class (component minimum), then dedup.
+
+    `sameas` is an (src, dst) pair relation (direction irrelevant —
+    sameAs is symmetric; the component step symmetrizes). Fixed-round
+    min-label propagation (graph.components_sync semantics, inlined to
+    keep this module free of a circular import) so a DuckDB twin can
+    unroll identical rounds; each round propagates one hop, so 8 rounds
+    cover alias chains of diameter ≤ 8 — past any real alias chain
+    (deeper graphs: operators.connected_components, pointer jumping).
+
+    Literals (obj_type != 'iri') are never rewritten. Subjects and
+    object IRIs not in any sameAs pair pass through unchanged (the left
+    joins miss)."""
+    from .graph import components_sync
+
+    comp = components_sync(sameas, n_iter=n_iter)
+    cs = comp.select(F.col("node").alias("_s"), F.col("label").alias("_sl"))
+    co = comp.select(F.col("node").alias("_o"), F.col("label").alias("_ol"))
+    return (
+        triples.join(F.broadcast(cs), triples["subj"] == cs["_s"], "left")
+        .join(F.broadcast(co),
+              (triples["obj"] == co["_o"]) & (triples["obj_type"] == "iri"),
+              "left")
+        .select(
+            "repo",
+            F.coalesce("_sl", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_ol", "obj").alias("obj"),
+            "obj_type",
+        )
+        .distinct()
+    )
+
+
+def sql_sameas_canonicalize(triples_sql: str, pairs_sql: str,
+                            n_iter: int = 8) -> str:
+    """DuckDB twin of :func:`sameas_canonicalize` — embeds the unrolled
+    components twin (graph.sql_components_sync) as a subquery, then the
+    same two left joins + CASE rewrite + DISTINCT."""
+    from .graph import sql_components_sync
+
+    comp_sql = sql_components_sync(pairs_sql, n_iter=n_iter)
+    return f"""
+WITH t AS MATERIALIZED ({triples_sql}),
+cmp AS MATERIALIZED ({comp_sql})
+SELECT DISTINCT t.repo,
+  COALESCE(cs.label, t.subj) AS subj,
+  t.pred,
+  CASE WHEN t.obj_type = 'iri' THEN COALESCE(co.label, t.obj)
+       ELSE t.obj END AS obj,
+  t.obj_type
+FROM t
+LEFT JOIN cmp cs ON cs.node = t.subj
+LEFT JOIN cmp co ON co.node = t.obj AND t.obj_type = 'iri'
+"""

@@ -1,0 +1,163 @@
+"""RDFS closure (ρdf fragment) and owl:sameAs canonicalization —
+semantic unit tests on hand-built graphs where the expected entailments
+are enumerable, plus a DuckDB twin parity check on the same input.
+
+Reference parity note: the reference serves entailed triples through
+Jena's reasoner at query time (services/SparqlService.java:16-31); this
+engine materializes the closure as a batch stage (inference.py header).
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from git_prov_spark import inference
+from git_prov_spark.graph import bfs_levels, sql_bfs_levels
+
+T_SCHEMA = "repo string, subj string, pred string, obj string, obj_type string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, T_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def closed(spark):
+    inst = _df(spark, [
+        ("g", "alice", "ex:authored", "doc1", "iri"),
+        ("g", "doc1", "rdf:type", "ex:Draft", "iri"),
+        ("g", "doc1", "ex:title", "Intro", "string"),   # literal object
+        ("g", "bob", "ex:reviewed", "doc1", "iri"),
+    ])
+    sch = _df(spark, [
+        ("s", "ex:Draft", "rdfs:subClassOf", "ex:Document", "iri"),
+        ("s", "ex:Document", "rdfs:subClassOf", "ex:Work", "iri"),
+        ("s", "ex:Work", "rdfs:subClassOf", "ex:Thing", "iri"),
+        ("s", "ex:authored", "rdfs:subPropertyOf", "ex:contributedTo", "iri"),
+        ("s", "ex:contributedTo", "rdfs:subPropertyOf", "ex:relatedTo", "iri"),
+        ("s", "ex:authored", "rdfs:domain", "ex:Person", "iri"),
+        ("s", "ex:authored", "rdfs:range", "ex:Draft", "iri"),
+    ])
+    out = inference.rdfs_closure(inst, sch)
+    return {(r.subj, r.pred, r.obj) for r in out.collect()}, out
+
+
+def test_subclass_transitive_types(closed):
+    got, _ = closed
+    # doc1: Draft (asserted) → Document → Work → Thing (rdfs9 over sc+)
+    for cls in ("ex:Draft", "ex:Document", "ex:Work", "ex:Thing"):
+        assert ("doc1", "rdf:type", cls) in got
+
+
+def test_subproperty_chain(closed):
+    got, _ = closed
+    assert ("alice", "ex:contributedTo", "doc1") in got
+    assert ("alice", "ex:relatedTo", "doc1") in got
+    # sp applies only to ex:authored — bob's ex:reviewed gains nothing
+    assert ("bob", "ex:contributedTo", "doc1") not in got
+
+
+def test_domain_range_typing(closed):
+    got, _ = closed
+    assert ("alice", "rdf:type", "ex:Person") in got
+    # range typing lands on the OBJECT, and then sc+ lifts it
+    assert ("doc1", "rdf:type", "ex:Draft") in got
+    assert ("doc1", "rdf:type", "ex:Thing") in got
+    # domain/range attach to ex:authored only, not to its superproperties
+    assert ("bob", "rdf:type", "ex:Person") not in got
+
+
+def test_closed_schema_emitted(closed):
+    got, _ = closed
+    assert ("ex:Draft", "rdfs:subClassOf", "ex:Thing") in got      # sc+
+    assert ("ex:authored", "rdfs:subPropertyOf", "ex:relatedTo") in got
+
+
+def test_literals_untouched_and_distinct(closed):
+    got, out = closed
+    assert ("doc1", "ex:title", "Intro") in got
+    rows = out.collect()
+    assert len(rows) == len({tuple(r) for r in rows})  # distinct output
+
+
+INST_SQL = (
+    "SELECT 'g' AS repo, s AS subj, p AS pred, o AS obj, t AS obj_type "
+    "FROM (VALUES ('alice','ex:authored','doc1','iri'),"
+    "('doc1','rdf:type','ex:Draft','iri'),"
+    "('doc1','ex:title','Intro','string'),"
+    "('bob','ex:reviewed','doc1','iri')) v(s,p,o,t)"
+)
+SCH_SQL = (
+    "SELECT 's' AS repo, s AS subj, p AS pred, o AS obj, 'iri' AS obj_type "
+    "FROM (VALUES ('ex:Draft','rdfs:subClassOf','ex:Document'),"
+    "('ex:Document','rdfs:subClassOf','ex:Work'),"
+    "('ex:Work','rdfs:subClassOf','ex:Thing'),"
+    "('ex:authored','rdfs:subPropertyOf','ex:contributedTo'),"
+    "('ex:contributedTo','rdfs:subPropertyOf','ex:relatedTo'),"
+    "('ex:authored','rdfs:domain','ex:Person'),"
+    "('ex:authored','rdfs:range','ex:Draft')) v(s,p,o)"
+)
+
+
+def test_duckdb_twin_parity(closed):
+    _, out = closed
+    ora = duckdb.connect().execute(
+        inference.sql_rdfs_closure(INST_SQL, SCH_SQL)).fetchall()
+    spark_rows = {tuple(r) for r in out.collect()}
+    assert spark_rows == set(map(tuple, ora))
+
+
+def test_sameas_rewrite(spark):
+    triples = _df(spark, [
+        ("g", "u1", "ex:knows", "u2", "iri"),
+        ("g", "u2", "ex:knows", "u3", "iri"),
+        ("g", "u3", "ex:name", "Ada", "string"),
+        ("g", "u9", "ex:knows", "u1", "iri"),
+    ])
+    # chain u1≡u2≡u3: canonical = min = u1; u9 unaliased
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u3", "u2")], "src string, dst string")
+    got = {(r.subj, r.pred, r.obj, r.obj_type)
+           for r in inference.sameas_canonicalize(triples, pairs).collect()}
+    assert got == {
+        ("u1", "ex:knows", "u1", "iri"),   # both rows collapse; dedup
+        ("u1", "ex:name", "Ada", "string"),  # literal obj NOT rewritten
+        ("u9", "ex:knows", "u1", "iri"),
+    }
+
+
+def test_sameas_literal_matching_alias_name(spark):
+    # a literal whose VALUE equals an alias node id must not be rewritten
+    triples = _df(spark, [("g", "u2", "ex:tag", "u2", "string")])
+    pairs = spark.createDataFrame([("u1", "u2")], "src string, dst string")
+    got = inference.sameas_canonicalize(triples, pairs).collect()
+    assert [(r.subj, r.obj) for r in got] == [("u1", "u2")]
+
+
+def test_bfs_levels_chain_and_cycle(spark):
+    # chain a→b→c→d plus a 2-cycle x↔y reachable from d; seed {a, x}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "x"),
+         ("x", "y"), ("y", "x")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {(r.node, r.level) for r in bfs_levels(edges, seeds).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 2), ("d", 3),
+                   ("x", 4), ("y", 5)}
+    # hop bound: nothing past n_iter
+    got2 = {(r.node, r.level)
+            for r in bfs_levels(edges, seeds, n_iter=2).collect()}
+    assert got2 == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_bfs_levels_duckdb_twin(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {(r.node, r.level) for r in bfs_levels(edges, seeds).collect()}
+    e_sql = ("SELECT s AS src, d AS dst FROM (VALUES ('a','b'),('b','c'),"
+             "('c','a'),('c','d')) v(s,d)")
+    s_sql = "SELECT n AS node FROM (VALUES ('a'),('d')) v(n)"
+    ora = duckdb.connect().execute(sql_bfs_levels(e_sql, s_sql)).fetchall()
+    assert got == {(n, int(l)) for n, l in ora}
