@@ -1872,6 +1872,83 @@ def q_kg_sameas_rewrite(spark, sf_dir):
     return inference.sameas_canonicalize(triples, pairs)
 
 
+def _event_triples(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.lit("demo").alias("repo"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:did_"), F.col("event_type")).alias("pred"),
+        F.concat(F.lit("event-"), F.col("event_id").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_type"),
+    )
+
+
+def q_sparql_update_modify(spark, sf_dir):
+    """SPARQL UPDATE, full modify form (sparql.update): DELETE + INSERT
+    templates instantiated against ONE solution pass, both computed on
+    the original store (spec §3.1.3), applied delete-first. The plan is
+    pure set algebra — per-template anti-join + union distinct — so at
+    100 TB only changed (repo_bucket, pred) partitions rewrite under
+    dynamic partition overwrite."""
+    from git_prov_spark.sparql import update
+
+    return update(
+        _event_triples(spark, sf_dir),
+        "DELETE { ?u ev:did_click ?e } INSERT { ?u ev:clicked ?e } "
+        "WHERE { ?u ev:did_click ?e }",
+        repo="demo",
+    )
+
+
+SPARQL_UPDATE_MODIFY_ORACLE = (
+    f"SELECT DISTINCT repo, subj, CASE WHEN pred = 'ev:did_click' "
+    f"THEN 'ev:clicked' ELSE pred END AS pred, obj, obj_type "
+    f"FROM ({SAMEAS_TRIPLES_SQL}) t"
+)
+
+
+def q_sparql_update_delete_where(spark, sf_dir):
+    """DELETE WHERE — the pattern is its own template; deletion is an
+    anti-join of the store against the matched solutions with the exact
+    term identity the pattern matched (term-metadata companions ride
+    into the join), so it removes precisely its own matches."""
+    from git_prov_spark.sparql import update
+
+    return update(
+        _event_triples(spark, sf_dir),
+        "DELETE WHERE { ?u ev:did_signup ?e }",
+        repo="demo",
+    )
+
+
+SPARQL_UPDATE_DELETE_ORACLE = (
+    f"SELECT repo, subj, pred, obj, obj_type FROM ({SAMEAS_TRIPLES_SQL}) t "
+    f"WHERE pred <> 'ev:did_signup'"
+)
+
+
+def q_sparql_update_insert_where(spark, sf_dir):
+    """INSERT ... WHERE — template instantiation over the solution set
+    (shared with CONSTRUCT semantics: constants carry parse-time term
+    types, unbound-template solutions skip), unioned into the store with
+    set dedup."""
+    from git_prov_spark.sparql import update
+
+    return update(
+        _event_triples(spark, sf_dir),
+        'INSERT { ?u ev:active "yes" } WHERE { ?u ev:did_purchase ?e }',
+        repo="demo",
+    )
+
+
+SPARQL_UPDATE_INSERT_ORACLE = (
+    f"SELECT repo, subj, pred, obj, obj_type FROM ({SAMEAS_TRIPLES_SQL}) t "
+    f"UNION SELECT 'demo', subj, 'ev:active', 'yes', 'string' "
+    f"FROM (SELECT DISTINCT subj FROM ({SAMEAS_TRIPLES_SQL}) p "
+    f"WHERE pred = 'ev:did_purchase') u"
+)
+
+
 BFS_SEEDS_SQL = (
     "SELECT 'user-' || CAST(user_id AS VARCHAR) AS node "
     "FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 100 = 0"
@@ -3914,6 +3991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": q_graph_bfs_levels,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
+        "sparql_update_modify": q_sparql_update_modify,
+        "sparql_update_delete_where": q_sparql_update_delete_where,
+        "sparql_update_insert_where": q_sparql_update_insert_where,
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
         "events_funnel": q_events_funnel,
@@ -4255,6 +4335,9 @@ def oracle_sql() -> dict[str, str]:
             RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL),
         "kg_sameas_rewrite": _inference.sql_sameas_canonicalize(
             SAMEAS_TRIPLES_SQL, SAMEAS_PAIRS_SQL),
+        "sparql_update_modify": SPARQL_UPDATE_MODIFY_ORACLE,
+        "sparql_update_delete_where": SPARQL_UPDATE_DELETE_ORACLE,
+        "sparql_update_insert_where": SPARQL_UPDATE_INSERT_ORACLE,
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

@@ -2172,6 +2172,7 @@ def _graph_var_solutions(
     gdf = triples
     if repo is not None:
         gdf = gdf.where(F.col("repo") == repo)
+    typed = "obj_type" in triples.columns
     result: DataFrame | None = None
     for s, p, o in g.patterns:
         df = gdf
@@ -2181,11 +2182,29 @@ def _graph_var_solutions(
                 name = term[1:]
                 if name in cols:
                     df = df.where(F.col(col) == F.col(cols[name]))
+                    if typed and "obj" in (col, cols[name]) \
+                            and col != cols[name]:
+                        # term equality across positions: the object must
+                        # be an IRI (bgp's typed-mode rule)
+                        df = df.where(F.col("obj_type") == "iri")
                 else:
                     cols[name] = col
             else:
                 df = df.where(F.col(col) == term)
-        proj = df.select(*[F.col(c).alias(v) for v, c in cols.items()])
+                if typed and isinstance(term, TypedLit):
+                    df = (df.where(F.col("obj_type") == term.meta)
+                          if col == "obj" else df.where(F.lit(False)))
+        proj_cols = [F.col(c).alias(v) for v, c in cols.items()]
+        if typed:
+            # same term-metadata companions as bgp typed mode — the graph
+            # var binds graph NAMES (term type iri); shared companion
+            # names make cross-pattern joins term-exact for free
+            proj_cols += [
+                (F.col("obj_type") if c == "obj" else F.lit("iri"))
+                .alias(term_meta(v))
+                for v, c in cols.items()
+            ]
+        proj = df.select(*proj_cols)
         if result is None:
             result = proj
         else:
@@ -2848,3 +2867,330 @@ def _order(df: DataFrame, q: SelectQuery) -> DataFrame:
         c = F.col(v) if isinstance(v, str) else _bind_col(v, df)
         keys.append(c.asc() if asc else c.desc())
     return df.orderBy(*keys)
+
+
+# --------------------------------------------------------------------------
+# SPARQL UPDATE (subset) — graph-store maintenance as pure batch set algebra
+# --------------------------------------------------------------------------
+#
+# The reference mutates its TDB dataset through Jena when repos are
+# re-translated (services/StoreService.java); a Spark KG store is immutable
+# parquet, so UPDATE compiles to a new triple RELATION:
+#     out = (store ∖ deleted) ∪ inserted        (set semantics per graph)
+# which the caller re-materializes (store.write_triples — at 100 TB with
+# (repo_bucket, pred) partition keys only changed partitions rewrite under
+# dynamic partition overwrite). Supported forms:
+#     INSERT DATA { quads }            DELETE DATA { quads }
+#     DELETE WHERE { bgp }
+#     DELETE { tmpl } INSERT { tmpl } WHERE { group }   (either optional)
+# Quad data allows GRAPH <name> { ... } blocks (the store's repo column is
+# the graph name — the convention GRAPH queries already use); plain data
+# triples need the repo= argument. Deleted and inserted rows are both
+# computed against the ORIGINAL store (spec §3.1.3), applied delete-first.
+#
+# DELETION identity follows the engine's matching semantics exactly,
+# because deletes are ANTI-JOINS of the store against per-template
+# conditions, not re-guessed rows: a template variable deletes the very
+# (obj, obj_type) terms it was bound to (the term-metadata companion rides
+# into the anti-join), a TypedLit constant deletes term-exactly, and a
+# plain constant deletes lexically — precisely what that constant MATCHES
+# in a WHERE pattern (queries.bgp), so DELETE WHERE removes exactly the
+# rows its own pattern matched, never more, never fewer.
+
+@dataclass
+class UpdateQuery:
+    form: str  # insert_data | delete_data | delete_where | modify
+    # (graph|None, (term, ot) ×3): ot is the obj_type a CONSTANT inserts
+    # with ('iri', 'string', or the TypedLit meta); None marks a variable
+    quads: list[tuple] = field(default_factory=list)
+    delete_templates: list[tuple] = field(default_factory=list)
+    insert_templates: list[tuple] = field(default_factory=list)
+    where: SelectQuery | None = None
+
+
+def _update_term(p: _Parser, predicate: bool = False) -> tuple[str, str | None]:
+    """A template/data term plus the obj_type it would INSERT with. The
+    token KIND decides iri-vs-string (post-_term both are plain str —
+    fine for matching, ambiguous for insertion): pname/iri/'a' → 'iri',
+    quoted literal → 'string' (or the TypedLit's own meta), var → None."""
+    kind = p._peek()[0]
+    t = p._term(as_pattern=True, predicate=predicate)
+    if kind == "var":
+        return t, None
+    if isinstance(t, TypedLit):
+        return t, t.meta
+    return t, ("string" if kind == "lit" else "iri")
+
+
+def _parse_update_triples(p: _Parser, allow_vars: bool,
+                          graph: str | None) -> list[tuple]:
+    """{ s p o . ... } with optional GRAPH <g> { ... } sub-blocks (data
+    blocks only). '.'-separated plain triples — paths / FILTER / blocks
+    are meaningless in templates and fail the term reader loudly."""
+    p._expect("{")
+    out: list[tuple] = []
+    while p._peek()[1] != "}":
+        if p._peek()[0] == "eof":
+            raise SparqlError("unterminated update block")
+        if p._kw("GRAPH"):
+            if graph is not None:
+                raise SparqlError("nested GRAPH blocks in update data")
+            gterm, got = _update_term(p)
+            if got is None and not allow_vars:
+                # data blocks: constant graph names only (IRI/CURIE or the
+                # store's quoted form); templates may route per-solution
+                # via GRAPH ?g (bound by a GRAPH ?g pattern in WHERE)
+                raise SparqlError("GRAPH needs a constant graph name")
+            out.extend(_parse_update_triples(p, allow_vars, gterm))
+        else:
+            s = _update_term(p)
+            pr = _update_term(p, predicate=True)
+            o = _update_term(p)
+            if not allow_vars:
+                for _term_, ot in (s, pr, o):
+                    if ot is None:
+                        raise SparqlError(
+                            "variables are not allowed in DATA blocks")
+            out.append((graph, s, pr, o))
+        if p._peek()[1] == ".":
+            p.i += 1
+    p.i += 1  # consume '}'
+    if not out:
+        raise SparqlError("empty update block")
+    return out
+
+
+def parse_update(text: str, repo: str | None = None, *,
+                 now: str | None = None,
+                 seed: int | None = None) -> UpdateQuery:
+    p = _Parser(_tokenize(text), repo, now, seed)
+    while p._kw("PREFIX"):  # same prologue as the query forms
+        kind, pname = p._next()
+        if kind != "pname" or not pname.endswith(":"):
+            raise SparqlError(f"bad PREFIX name {pname!r}")
+        kind, iri = p._next()
+        if kind != "iri":
+            raise SparqlError(f"bad PREFIX iri {iri!r}")
+        p.q.prefixes[pname[:-1]] = iri[1:-1]
+    uq = UpdateQuery(form="")
+    if p._kw("INSERT"):
+        if p._kw("DATA"):
+            uq.form = "insert_data"
+            uq.quads = _parse_update_triples(p, allow_vars=False, graph=None)
+        else:
+            uq.form = "modify"
+            uq.insert_templates = _parse_update_triples(
+                p, allow_vars=True, graph=None)
+    elif p._kw("DELETE"):
+        if p._kw("DATA"):
+            uq.form = "delete_data"
+            uq.quads = _parse_update_triples(p, allow_vars=False, graph=None)
+        elif p._kw("WHERE"):
+            uq.form = "delete_where"
+            p._expect("{")
+            p._parse_group()
+            q = p.q
+            if (q.path_patterns or q.unions or q.optionals or q.minuses
+                    or q.binds or q.filters or q.values_blocks
+                    or q.subqueries or q.graphs):
+                raise SparqlError(
+                    "DELETE WHERE takes a plain BGP (§3.1.3.3) — use "
+                    "DELETE {..} WHERE {..} for anything richer")
+            # the pattern IS the template; raw terms carry their own
+            # identity (TypedLit meta / plain-lexical / variable)
+            uq.delete_templates = [
+                (None, (s, None), (pr, None), (o, None))
+                for s, pr, o in q.patterns
+            ]
+            uq.where = q
+            q.form = "select"
+            if p._peek()[0] != "eof":
+                raise SparqlError(f"trailing input at {p._peek()[1]!r}")
+            return uq
+        else:
+            uq.form = "modify"
+            uq.delete_templates = _parse_update_triples(
+                p, allow_vars=True, graph=None)
+            if p._kw("INSERT"):
+                uq.insert_templates = _parse_update_triples(
+                    p, allow_vars=True, graph=None)
+    else:
+        raise SparqlError("update must start with INSERT or DELETE")
+    if uq.form == "modify":
+        p._expect("WHERE")
+        p._expect("{")
+        p._parse_group()
+        p._parse_modifiers()
+        q = p.q
+        if q.aggregates or q.group_by or q.having:
+            raise SparqlError("GROUP BY / aggregates in UPDATE WHERE")
+        uq.where = q
+        q.form = "select"
+    if p._peek()[0] != "eof":
+        raise SparqlError(f"trailing input at {p._peek()[1]!r}")
+    return uq
+
+
+def _quad_rows_df(spark, quads: list[tuple], repo: str | None) -> DataFrame:
+    rows = []
+    for graph, (s, _), (pr, _), (o, oot) in quads:
+        g = graph if graph is not None else repo
+        if g is None:
+            raise SparqlError(
+                "DATA block triple outside GRAPH needs repo= scope")
+        rows.append((g, str(s), str(pr), str(o), oot))
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+
+
+def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
+                  repo: str | None) -> DataFrame:
+    """Anti-join the store against each delete template: variable
+    positions equi-join the solution's bound terms (object variables
+    carry their term-metadata companion, so the deletion is term-exact);
+    constants become store-side predicates with the same identity they
+    MATCH with (TypedLit term-exact, plain lexical). One anti-join per
+    template — templates are few; each is a broadcastable distinct
+    projection of the solution set."""
+    for graph, (s, _), (pr, _), (o, _) in templates:
+        need: list[str] = []          # solution columns the join consumes
+        var_conds: list[tuple] = []   # (store col, solution col) equi pairs
+        const_conds: list = []        # store-side predicates
+        if graph is not None and graph.startswith("?") \
+                and not isinstance(graph, TypedLit):
+            gv = graph[1:]
+            if gv not in sol.columns:
+                raise SparqlError(f"template graph ?{gv} unbound in WHERE")
+            need.append(gv)
+            var_conds.append(("repo", gv))
+        elif graph is not None:
+            const_conds.append(base["repo"] == F.lit(str(graph)))
+        elif repo is not None:
+            const_conds.append(base["repo"] == F.lit(repo))
+        for term, col in ((s, "subj"), (pr, "pred")):
+            if term.startswith("?") and not isinstance(term, TypedLit):
+                v = term[1:]
+                if v not in sol.columns:
+                    raise SparqlError(f"template var ?{v} unbound in WHERE")
+                need.append(v)
+                var_conds.append((col, v))
+            else:
+                if isinstance(term, TypedLit):
+                    raise SparqlError(
+                        "a literal cannot stand in subject/predicate "
+                        "position of a delete template")
+                const_conds.append(base[col] == F.lit(str(term)))
+        if o.startswith("?") and not isinstance(o, TypedLit):
+            v = o[1:]
+            if v not in sol.columns:
+                raise SparqlError(f"template var ?{v} unbound in WHERE")
+            need.append(v)
+            var_conds.append(("obj", v))
+            meta = term_meta(v)
+            if meta in sol.columns:
+                need.append(meta)
+                var_conds.append(("obj_type", meta))
+        elif isinstance(o, TypedLit):
+            const_conds.append(base["obj"] == F.lit(str(o)))
+            const_conds.append(base["obj_type"] == F.lit(o.meta))
+        else:
+            const_conds.append(base["obj"] == F.lit(str(o)))
+        right = (sol.select(*need).distinct() if need
+                 else sol.limit(1).select(F.lit(1).alias("_x")))
+        conds = const_conds + [base[c] == right[v] for c, v in var_conds]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        base = base.join(F.broadcast(right), cond, "left_anti")
+    return base
+
+
+def _insert_rows(sol: DataFrame, templates: list[tuple],
+                 repo: str | None) -> DataFrame | None:
+    """Template quads → 5-col rows, one instance per solution. Variable
+    objects insert with the obj_type they were BOUND with (term-metadata
+    companion); companion-less vars (BIND products) insert as 'string'
+    (the engine's BIND expressions produce literals). Solutions leaving
+    a template var unbound (OPTIONAL) skip that instance, as in
+    CONSTRUCT."""
+    parts = []
+    for graph, (s, _), (pr, _), (o, oot) in templates:
+        g = graph if graph is not None else repo
+        if g is None:
+            raise SparqlError(
+                "INSERT template needs a graph — repo= scope, a GRAPH "
+                "<name> block, or per-solution GRAPH ?g routing")
+        if g.startswith("?") and not isinstance(g, TypedLit):
+            gv = g[1:]
+            if gv not in sol.columns:
+                raise SparqlError(f"template graph ?{gv} unbound in WHERE")
+            cols = [F.col(gv).alias("repo")]
+        else:
+            cols = [F.lit(str(g)).alias("repo")]
+        for term, name in ((s, "subj"), (pr, "pred")):
+            if term.startswith("?") and not isinstance(term, TypedLit):
+                v = term[1:]
+                if v not in sol.columns:
+                    raise SparqlError(f"template var ?{v} unbound in WHERE")
+                cols.append(F.col(v).alias(name))
+            else:
+                if isinstance(term, TypedLit):
+                    raise SparqlError(
+                        "a literal cannot stand in subject/predicate "
+                        "position of an insert template")
+                cols.append(F.lit(str(term)).alias(name))
+        if o.startswith("?") and not isinstance(o, TypedLit):
+            v = o[1:]
+            if v not in sol.columns:
+                raise SparqlError(f"template var ?{v} unbound in WHERE")
+            cols.append(F.col(v).alias("obj"))
+            meta = term_meta(v)
+            cols.append(
+                (F.col(meta) if meta in sol.columns
+                 else F.lit("string")).alias("obj_type"))
+        else:
+            cols.append(F.lit(str(o)).alias("obj"))
+            cols.append(F.lit(oot).alias("obj_type"))
+        parts.append(sol.select(*cols).where(
+            F.col("repo").isNotNull() & F.col("subj").isNotNull()
+            & F.col("pred").isNotNull() & F.col("obj").isNotNull()))
+    if not parts:
+        return None
+    out = parts[0]
+    for t in parts[1:]:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+_STORE_COLS = ["repo", "subj", "pred", "obj", "obj_type"]
+
+
+def update(triples: DataFrame, text: str, repo: str | None = None, *,
+           now: str | None = None, seed: int | None = None) -> DataFrame:
+    """Apply a SPARQL UPDATE string to the triple relation; returns the
+    new (repo, subj, pred, obj, obj_type) relation. With repo=None a
+    DELETE matches across every graph; INSERTs always need a graph —
+    repo= or a GRAPH data block."""
+    uq = parse_update(text, repo=repo, now=now, seed=seed)
+    spark = triples.sparkSession
+    base = triples.select(*_STORE_COLS)
+    if uq.form == "insert_data":
+        return base.unionByName(
+            _quad_rows_df(spark, uq.quads, repo)).distinct()
+    if uq.form == "delete_data":
+        # ground quads delete TERM-exactly: the anti-join keys include
+        # obj_type, with plain quoted literals carrying the same 'string'
+        # identity INSERT DATA mints (stores using the xsd:string
+        # convention spell it out: "msg"^^xsd:string)
+        dele = _quad_rows_df(spark, uq.quads, repo)
+        return base.join(F.broadcast(dele), _STORE_COLS, "left_anti")
+    sol = _solutions(base, uq.where, repo)
+    out = base
+    if uq.delete_templates:
+        out = _apply_delete(out, sol, uq.delete_templates, repo)
+    if uq.insert_templates:
+        inserted = _insert_rows(sol, uq.insert_templates, repo)
+        if inserted is not None:
+            out = out.unionByName(inserted).distinct()
+    return out

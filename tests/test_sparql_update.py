@@ -1,0 +1,178 @@
+"""SPARQL UPDATE subset — INSERT/DELETE DATA, DELETE WHERE, and
+DELETE/INSERT WHERE over the (repo, subj, pred, obj, obj_type) store.
+
+Reference parity note: the reference's store mutates through Jena on
+re-translation (services/StoreService.java); here UPDATE is pure set
+algebra over an immutable relation (sparql.py UPDATE section).
+"""
+from __future__ import annotations
+
+import pytest
+
+from git_prov_spark.sparql import SparqlError, update
+
+T_SCHEMA = "repo string, subj string, pred string, obj string, obj_type string"
+
+
+def _store(spark):
+    return spark.createDataFrame([
+        ("g1", "ex:u1", "ex:knows", "ex:u2", "iri"),
+        ("g1", "ex:u2", "ex:knows", "ex:u3", "iri"),
+        ("g1", "ex:u1", "ex:name", "ex:u2", "string"),   # literal sharing lexical!
+        ("g1", "ex:u3", "ex:age", "41", "xsd:int"),
+        ("g2", "ex:u1", "ex:knows", "ex:u2", "iri"),
+    ], T_SCHEMA)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_insert_data_graph_block(spark):
+    out = update(_store(spark), """
+        INSERT DATA { GRAPH "g1" { ex:u4 ex:knows ex:u1 . ex:u4 ex:name "Dora" } }
+    """)
+    got = _rows(out)
+    assert ("g1", "ex:u4", "ex:knows", "ex:u1", "iri") in got
+    assert ("g1", "ex:u4", "ex:name", "Dora", "string") in got
+    assert len(got) == 7
+
+
+def test_insert_data_repo_scope_and_idempotence(spark):
+    st = _store(spark)
+    out = update(st, 'INSERT DATA { ex:u1 ex:knows ex:u2 }', repo="g1")
+    assert _rows(out) == _rows(st)          # set semantics: no dup
+    with pytest.raises(SparqlError):
+        update(st, "INSERT DATA { ex:u9 ex:knows ex:u1 }")  # no graph anywhere
+
+
+def test_insert_data_typed_literal(spark):
+    out = update(_store(spark),
+                 'INSERT DATA { ex:u1 ex:age "39"^^xsd:int }', repo="g1")
+    assert ("g1", "ex:u1", "ex:age", "39", "xsd:int") in _rows(out)
+
+
+def test_delete_data_term_exact(spark):
+    # deletes the IRI row only — the lexically-equal literal row survives
+    out = update(_store(spark),
+                 "DELETE DATA { ex:u1 ex:knows ex:u2 }", repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u1", "ex:knows", "ex:u2", "iri") not in got
+    assert ("g1", "ex:u1", "ex:name", "ex:u2", "string") in got
+    assert ("g2", "ex:u1", "ex:knows", "ex:u2", "iri") in got   # other graph kept
+
+
+def test_delete_where_scoped(spark):
+    out = update(_store(spark),
+                 "DELETE WHERE { ?a ex:knows ?b }", repo="g1")
+    got = _rows(out)
+    assert got == {
+        ("g1", "ex:u1", "ex:name", "ex:u2", "string"),
+        ("g1", "ex:u3", "ex:age", "41", "xsd:int"),
+        ("g2", "ex:u1", "ex:knows", "ex:u2", "iri"),
+    }
+
+
+def test_delete_where_cross_graph(spark):
+    out = update(_store(spark), "DELETE WHERE { ?a ex:knows ex:u2 }")
+    got = _rows(out)
+    assert all(not (p == "ex:knows" and o == "ex:u2") for _, _, p, o, _ in got)
+    assert ("g1", "ex:u2", "ex:knows", "ex:u3", "iri") in got
+
+
+def test_delete_where_term_exact_variable(spark):
+    # ?o binds ex:u2 twice in g1: once as iri, once as string — each matched
+    # row deletes with ITS OWN term identity, so both go; ex:u3's iri row and
+    # the int row survive
+    out = update(_store(spark), "DELETE WHERE { ex:u1 ?p ?o }", repo="g1")
+    assert _rows(out) == {
+        ("g1", "ex:u2", "ex:knows", "ex:u3", "iri"),
+        ("g1", "ex:u3", "ex:age", "41", "xsd:int"),
+        ("g2", "ex:u1", "ex:knows", "ex:u2", "iri"),
+    }
+
+
+def test_modify_rename_predicate(spark):
+    out = update(_store(spark), """
+        DELETE { ?a ex:knows ?b } INSERT { ?a ex:met ?b }
+        WHERE { ?a ex:knows ?b }
+    """, repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u1", "ex:met", "ex:u2", "iri") in got
+    assert ("g1", "ex:u2", "ex:met", "ex:u3", "iri") in got
+    assert all(p != "ex:knows" for g, _, p, _, _ in got if g == "g1")
+    assert ("g2", "ex:u1", "ex:knows", "ex:u2", "iri") in got
+
+
+def test_insert_where_with_filter_and_literal_object(spark):
+    out = update(_store(spark), """
+        INSERT { ?a ex:reaches "far" } WHERE {
+          ?a ex:knows ?b . FILTER(?b != ex:u2)
+        }
+    """, repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u2", "ex:reaches", "far", "string") in got
+    assert ("g1", "ex:u1", "ex:reaches", "far", "string") not in got
+
+
+def test_insert_where_requires_repo(spark):
+    with pytest.raises(SparqlError):
+        update(_store(spark),
+               "INSERT { ?a ex:x ?b } WHERE { ?a ex:knows ?b }")
+
+
+def test_delete_insert_computed_against_original(spark):
+    # spec §3.1.3: INSERT sees the pre-delete store — the inserted edge
+    # derives from a solution whose triple the DELETE also removes
+    out = update(_store(spark), """
+        DELETE { ?a ex:knows ?b } INSERT { ?b ex:knownBy ?a }
+        WHERE { ?a ex:knows ?b }
+    """, repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u2", "ex:knownBy", "ex:u1", "iri") in got
+    assert ("g1", "ex:u3", "ex:knownBy", "ex:u2", "iri") in got
+
+
+def test_data_block_rejects_vars_and_bad_forms(spark):
+    st = _store(spark)
+    with pytest.raises(SparqlError):
+        update(st, "INSERT DATA { ?x ex:y ex:u1 }", repo="g1")
+    with pytest.raises(SparqlError):
+        update(st, "DELETE WHERE { ?a ex:p ?b . FILTER(?b != ex:u1) }",
+               repo="g1")
+    with pytest.raises(SparqlError):
+        update(st, "SELECT ?a WHERE { ?a ex:p ?b }", repo="g1")
+
+
+def test_prefix_resolution_in_update(spark):
+    st = spark.createDataFrame(
+        [("g1", "ex:u1", "foo:p", "ex:u2", "iri")], T_SCHEMA)
+    out = update(st, """
+        PREFIX foo: <http://example.org/foo#>
+        DELETE WHERE { ?a <http://example.org/foo#p> ?b }
+    """, repo="g1")
+    assert out.count() == 0
+
+
+def test_modify_graph_var_routing(spark):
+    # per-solution graph routing: inserts land in the graph each
+    # solution's triple came from, deletes scope to it too
+    st = _store(spark)
+    out = update(st, """
+        DELETE { GRAPH ?g { ?a ex:knows ?b } }
+        INSERT { GRAPH ?g { ?b ex:knownBy ?a } }
+        WHERE { GRAPH ?g { ?a ex:knows ?b } }
+    """)
+    got = _rows(out)
+    assert ("g1", "ex:u2", "ex:knownBy", "ex:u1", "iri") in got
+    assert ("g2", "ex:u2", "ex:knownBy", "ex:u1", "iri") in got
+    assert ("g1", "ex:u3", "ex:knownBy", "ex:u2", "iri") in got
+    assert all(p != "ex:knows" for _, _, p, _, _ in got)
+
+
+def test_insert_constant_graph_block_template(spark):
+    out = update(_store(spark), """
+        INSERT { GRAPH "audit" { ?a ex:seen ?b } }
+        WHERE { GRAPH "g2" { ?a ex:knows ?b } }
+    """)
+    assert ("audit", "ex:u1", "ex:seen", "ex:u2", "iri") in _rows(out)
