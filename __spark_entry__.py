@@ -816,6 +816,19 @@ def q_text_tfidf(spark, sf_dir):
     return ctext.tfidf_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+BM25_QUERY = ["dup", "stream", "vector"]
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-20 retrieval (text.bm25_topk) for a fixed query bag, in
+    cross-engine-exact arithmetic: the k1=1.2/b=0.75 saturation cleared
+    to integer numerator/denominator (one IEEE division of exact longs),
+    idf quantized to whole bits (flog2), per-doc fold token-ordered. The
+    isin(query) filter precedes the tf aggregate, so only matching
+    (doc, term) rows ever shuffle — corpus text stays map-side."""
+    return ctext.bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
 def q_text_surprisal(spark, sf_dir):
     """CCNet-style perplexity-proxy quality bucketing (r5,
     text.surprisal_buckets): mean integer-bit unigram surprisal per doc
@@ -1947,6 +1960,110 @@ SPARQL_UPDATE_INSERT_ORACLE = (
     f"FROM (SELECT DISTINCT subj FROM ({SAMEAS_TRIPLES_SQL}) p "
     f"WHERE pred = 'ev:did_purchase') u"
 )
+
+
+# SHACL fixture: customers as focus nodes with planted violations of
+# every constraint kind — phones missing (k%3=0) and duplicated (k%9=1),
+# nation IRIs pointing at untyped nodes (nationkey >= 20) or literals
+# (k%11=0), mistyped account fields (k%5=0).
+SHACL_TRIPLES_SQL = (
+    "SELECT 'demo' AS repo, 'cust-' || CAST(c_custkey AS VARCHAR) AS subj, "
+    "'rdf:type' AS pred, 'ex:Customer' AS obj, 'iri' AS obj_type "
+    "FROM customer "
+    "UNION ALL SELECT 'demo', 'nation-' || CAST(n_nationkey AS VARCHAR), "
+    "'rdf:type', 'ex:Nation', 'iri' FROM nation WHERE n_nationkey < 20 "
+    "UNION ALL SELECT 'demo', 'cust-' || CAST(c_custkey AS VARCHAR), "
+    "'ex:inNation', CASE WHEN c_custkey % 11 = 0 THEN 'home' "
+    "ELSE 'nation-' || CAST(c_nationkey AS VARCHAR) END, "
+    "CASE WHEN c_custkey % 11 = 0 THEN 'string' ELSE 'iri' END "
+    "FROM customer "
+    "UNION ALL SELECT 'demo', 'cust-' || CAST(c_custkey AS VARCHAR), "
+    "'ex:phone', c_name, 'string' FROM customer WHERE c_custkey % 3 <> 0 "
+    "UNION ALL SELECT 'demo', 'cust-' || CAST(c_custkey AS VARCHAR), "
+    "'ex:phone', c_name || '-x', 'string' FROM customer "
+    "WHERE c_custkey % 9 = 1 "
+    "UNION ALL SELECT 'demo', 'cust-' || CAST(c_custkey AS VARCHAR), "
+    "'ex:acct', c_mktsegment, CASE WHEN c_custkey % 5 = 0 THEN 'string' "
+    "ELSE 'xsd:decimal' END FROM customer"
+)
+SHACL_SHAPES_SQL = (
+    "SELECT * FROM (VALUES "
+    "('s_phone_min', 'ex:Customer', 'ex:phone', 'minCount', '1'), "
+    "('s_phone_max', 'ex:Customer', 'ex:phone', 'maxCount', '1'), "
+    "('s_nation_class', 'ex:Customer', 'ex:inNation', 'class', "
+    "'ex:Nation'), "
+    "('s_nation_kind', 'ex:Customer', 'ex:inNation', 'nodeKind', 'iri'), "
+    "('s_acct_dtype', 'ex:Customer', 'ex:acct', 'datatype', "
+    "'xsd:decimal')) "
+    "v(shape, target_class, path, \"constraint\", value)"
+)
+
+
+def _shacl_fixture(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ck = F.concat(F.lit("cust-"), F.col("c_custkey").cast("string"))
+    triples = (
+        cust.select(F.lit("demo").alias("repo"), ck.alias("subj"),
+                    F.lit("rdf:type").alias("pred"),
+                    F.lit("ex:Customer").alias("obj"),
+                    F.lit("iri").alias("obj_type"))
+        .unionByName(nat.where(F.col("n_nationkey") < 20).select(
+            F.lit("demo").alias("repo"),
+            F.concat(F.lit("nation-"),
+                     F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("ex:Nation").alias("obj"),
+            F.lit("iri").alias("obj_type")))
+        .unionByName(cust.select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("ex:inNation").alias("pred"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("home")).otherwise(
+                F.concat(F.lit("nation-"),
+                         F.col("c_nationkey").cast("string"))).alias("obj"),
+            F.when(F.col("c_custkey") % 11 == 0,
+                   F.lit("string")).otherwise(F.lit("iri"))
+            .alias("obj_type")))
+        .unionByName(cust.where(F.col("c_custkey") % 3 != 0).select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("ex:phone").alias("pred"),
+            F.col("c_name").alias("obj"),
+            F.lit("string").alias("obj_type")))
+        .unionByName(cust.where(F.col("c_custkey") % 9 == 1).select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("ex:phone").alias("pred"),
+            F.concat(F.col("c_name"), F.lit("-x")).alias("obj"),
+            F.lit("string").alias("obj_type")))
+        .unionByName(cust.select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("ex:acct").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+            F.when(F.col("c_custkey") % 5 == 0,
+                   F.lit("string")).otherwise(F.lit("xsd:decimal"))
+            .alias("obj_type")))
+    )
+    shapes = spark.createDataFrame(
+        [("s_phone_min", "ex:Customer", "ex:phone", "minCount", "1"),
+         ("s_phone_max", "ex:Customer", "ex:phone", "maxCount", "1"),
+         ("s_nation_class", "ex:Customer", "ex:inNation", "class",
+          "ex:Nation"),
+         ("s_nation_kind", "ex:Customer", "ex:inNation", "nodeKind", "iri"),
+         ("s_acct_dtype", "ex:Customer", "ex:acct", "datatype",
+          "xsd:decimal")],
+        _inference.SHACL_SHAPE_COLS,
+    )
+    return triples, shapes
+
+
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-lite shape validation (inference.shacl_report): the graph-
+    shaped sibling of the dq table contracts — minCount/maxCount via ONE
+    hash-aggregate over matched (focus, path) rows, class/datatype/
+    nodeKind via broadcast-filtered scans plus one anti-join against the
+    typed-node set. The shape relation broadcasts everywhere; violations
+    only, so the report is as small as the problems."""
+    triples, shapes = _shacl_fixture(spark, sf_dir)
+    return _inference.shacl_report(triples, shapes)
 
 
 BFS_SEEDS_SQL = (
@@ -3964,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigrams": q_corpus_bigrams,
         "corpus_dsir": q_corpus_dsir,
         "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
         "text_surprisal": q_text_surprisal,
         "text_novelty": q_text_novelty,
         "corpus_semantic_decontam": q_corpus_semantic_decontam,
@@ -3991,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_levels": q_graph_bfs_levels,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
+        "kg_shacl_report": q_kg_shacl_report,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
         "sparql_update_insert_where": q_sparql_update_insert_where,
@@ -4286,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bigrams": oracles.sql_bigram_stats("documents"),
         "corpus_dsir": oracles.sql_importance_sample("documents"),
         "text_tfidf": oracles.sql_tfidf_terms("documents", k=3),
+        "text_bm25": oracles.sql_bm25_topk("documents", BM25_QUERY),
         "text_surprisal": oracles.sql_surprisal_buckets("documents"),
         "text_novelty": oracles.sql_novelty("documents"),
         "corpus_semantic_decontam": oracles.sql_semantic_contamination(
@@ -4335,6 +4455,8 @@ def oracle_sql() -> dict[str, str]:
             RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL),
         "kg_sameas_rewrite": _inference.sql_sameas_canonicalize(
             SAMEAS_TRIPLES_SQL, SAMEAS_PAIRS_SQL),
+        "kg_shacl_report": _inference.sql_shacl_report(
+            SHACL_TRIPLES_SQL, SHACL_SHAPES_SQL),
         "sparql_update_modify": SPARQL_UPDATE_MODIFY_ORACLE,
         "sparql_update_delete_where": SPARQL_UPDATE_DELETE_ORACLE,
         "sparql_update_insert_where": SPARQL_UPDATE_INSERT_ORACLE,

@@ -1450,3 +1450,32 @@ def sql_editdist_verify(src: str, max_dist: int = 20, cap: int = 200,
         "FROM cands JOIN txt t1 ON t1.doc_id = d1 "
         "JOIN txt t2 ON t2.doc_id = d2"
     )
+
+
+def sql_bm25_topk(src: str = "documents", query_terms: list[str] = (),
+                  k: int = 20) -> str:
+    """DuckDB twin of text.bm25_topk — same integer-cleared saturation,
+    same bit-quantized idf, same token-ordered double fold."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    idf = _duck_flog2("(2 * n_docs - 2 * df_docs + 1) // (2 * df_docs + 1)")
+    return (
+        f"WITH toks AS ({toks_cte(src)}), "
+        "dls AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl, tokens "
+        "FROM toks), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(dl) AS BIGINT) AS s_tokens FROM dls), "
+        "tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, dl, unnest(tokens) AS token FROM dls) u "
+        f"WHERE token IN ({terms}) GROUP BY doc_id, dl, token), "
+        "dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs "
+        "FROM tf GROUP BY token), "
+        "v AS (SELECT tf.doc_id, tf.token, "
+        f"CAST({idf} * 22 * s_tokens * tf AS DOUBLE) / "
+        "CAST(10 * s_tokens * tf + 3 * s_tokens + 9 * tf.dl * n_docs "
+        "AS DOUBLE) AS v "
+        "FROM tf JOIN dfreq USING (token), st), "
+        "sc AS (SELECT doc_id, list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list(v ORDER BY token)), "
+        "(acc, x) -> acc + x) AS bm25 FROM v GROUP BY doc_id) "
+        f"SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT {k}"
+    )

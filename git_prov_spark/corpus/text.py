@@ -857,3 +857,66 @@ def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
             F.sha2(F.col("_nfc"), 256).alias("sha_nfc"),
         )
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str],
+              id_col: str = "doc_id", text: str = "text",
+              k: int = 20) -> DataFrame:
+    """(doc_id, bm25) — top-k retrieval for a bag of query terms under
+    BM25 with k1 = 1.2, b = 0.75, in CROSS-ENGINE-EXACT arithmetic.
+
+    BM25's fractions are cleared to integers before the one IEEE step:
+    with k1 = 6/5 and b = 3/4 and corpus totals N docs / S tokens
+    (avgdl = S/N), the per-term saturation
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplied through by 10·S becomes  22·S·tf / (10·S·tf + 3·S + 9·dl·N)
+    — exact longs on both sides of ONE double division (the
+    triangle-count lcc trick). IDF is bit-quantized like tfidf_terms:
+    flog2((2N − 2df + 1) div (2df + 1)) — the Robertson idf's argument
+    (N − df + ½)/(df + ½) scaled by 2 to stay integral; terms in more
+    than half the corpus get 0 bits. Per-doc scores fold the ≤|query|
+    term values SORTED BY TOKEN (double addition is not associative;
+    the ordered fold is what the DuckDB twin reproduces bit-exactly).
+
+    Scale (100 TB): the isin(query) filter lands BEFORE the tf
+    aggregate — only matching (doc, term) rows shuffle, never the
+    corpus vocabulary; dl is a map-side size(); N/S/df are scalar or
+    |query|-row broadcasts; top-k is TakeOrderedAndProject (per-
+    partition heaps), never a global sort."""
+    from .curate import flog2
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = with_tokens(df, text).select(
+        F.col(id_col), F.size("tokens").cast("long").alias("dl"),
+        "tokens")
+    stats = toks.groupBy(F.lit(1).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("s_tokens")).drop("_k")
+    tf = (
+        toks.select(F.col(id_col), "dl", F.explode("tokens").alias("token"))
+        .where(F.col("token").isin(*query_terms))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    v = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_bits", flog2(F.expr(
+            "(2 * n_docs - 2 * df_docs + 1) div (2 * df_docs + 1)")))
+        .withColumn("v", F.expr(
+            "CAST(idf_bits * 22 * s_tokens * tf AS DOUBLE) / "
+            "CAST(10 * s_tokens * tf + 3 * s_tokens "
+            "+ 9 * dl * n_docs AS DOUBLE)"))
+    )
+    scored = (
+        v.groupBy(id_col)
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "v"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"]).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

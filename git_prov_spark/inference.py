@@ -262,3 +262,158 @@ FROM t
 LEFT JOIN cmp cs ON cs.node = t.subj
 LEFT JOIN cmp co ON co.node = t.obj AND t.obj_type = 'iri'
 """
+
+
+# --------------------------------------------------------------------------
+# SHACL-lite: shape validation over the triple relation
+# --------------------------------------------------------------------------
+
+SHACL_SHAPE_COLS = "shape string, target_class string, path string, " \
+                   "constraint string, value string"
+
+
+def shacl_report(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """Violations of a SHACL-style shape relation against the KG —
+    (shape, focus, constraint, expected, node, actual), one row per
+    violating focus (count constraints) or per violating value (term
+    constraints); an empty result is a clean bill.
+
+    `shapes` rows are (shape, target_class, path, constraint, value);
+    constraints cover the core-profile checks a KG build gates on:
+
+      minCount n  — every target_class instance has ≥ n values of path
+      maxCount n  — ... at most n
+      class C     — every value of path is an IRI typed rdf:type C
+      datatype T  — every value's obj_type is exactly T
+      nodeKind k  — 'iri' or 'literal'
+
+    The reference has no validator (its output shape is fixed by
+    construction); any pipeline ACCEPTING external KG batches needs one
+    — this is the graph-shaped sibling of dq.dq_report's table
+    contracts.
+
+    Scale notes: the shape relation is tiny (broadcast in every join);
+    targets = one broadcast join against the distinct rdf:type
+    sub-relation; count constraints are ONE hash-aggregate over the
+    matched (focus, path) rows; term constraints are a broadcast-
+    filtered scan plus, for `class`, one anti-join against the typed-
+    node set (shuffle on obj — the value side, narrow rows). Nothing
+    here touches more than (focus, pred, obj, obj_type)-width rows."""
+    types = (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .select(F.col("subj").alias("tnode"), F.col("obj").alias("tcls"))
+        .distinct()
+    )
+    targets = (
+        types.join(F.broadcast(shapes),
+                   types["tcls"] == shapes["target_class"])
+        .select("shape", "target_class", "path", "constraint", "value",
+                F.col("tnode").alias("focus"))
+    )
+    vals = triples.select(F.col("subj").alias("vfocus"), "pred",
+                          "obj", "obj_type")
+
+    cnt_t = targets.where(F.col("constraint").isin("minCount", "maxCount"))
+    cnts = (
+        cnt_t.join(vals, (cnt_t["focus"] == vals["vfocus"])
+                   & (cnt_t["path"] == vals["pred"]), "left")
+        .groupBy("shape", "focus", "path", "constraint", "value")
+        .agg(F.count("obj").alias("n"))
+    )
+    bound = F.col("value").cast("long")
+    cnt_bad = cnts.where(
+        ((F.col("constraint") == "minCount") & (F.col("n") < bound))
+        | ((F.col("constraint") == "maxCount") & (F.col("n") > bound))
+    ).select(
+        "shape", "focus", "constraint",
+        F.col("value").alias("expected"),
+        F.lit(None).cast("string").alias("node"),
+        F.col("n").cast("string").alias("actual"),
+    )
+
+    term_t = targets.where(
+        F.col("constraint").isin("class", "datatype", "nodeKind"))
+    tv = term_t.join(vals, (term_t["focus"] == vals["vfocus"])
+                     & (term_t["path"] == vals["pred"]))
+
+    dt_bad = tv.where(
+        (F.col("constraint") == "datatype")
+        & (F.col("obj_type") != F.col("value"))
+    )
+    nk_bad = tv.where(
+        (F.col("constraint") == "nodeKind")
+        & (((F.col("value") == "iri") & (F.col("obj_type") != "iri"))
+           | ((F.col("value") == "literal") & (F.col("obj_type") == "iri")))
+    )
+    cls = tv.where(F.col("constraint") == "class")
+    cls_lit = cls.where(F.col("obj_type") != "iri")  # a literal is never C
+    cls_untyped = (
+        cls.where(F.col("obj_type") == "iri")
+        .join(types, (cls["obj"] == types["tnode"])
+              & (F.col("value") == types["tcls"]), "left_anti")
+    )
+
+    def _term_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "shape", "focus", "constraint",
+            F.col("value").alias("expected"),
+            F.col("obj").alias("node"),
+            F.col("obj_type").alias("actual"),
+        )
+
+    return (
+        cnt_bad
+        .unionByName(_term_rows(dt_bad))
+        .unionByName(_term_rows(nk_bad))
+        .unionByName(_term_rows(cls_lit))
+        .unionByName(_term_rows(cls_untyped))
+        .distinct()
+    )
+
+
+def sql_shacl_report(triples_sql: str, shapes_sql: str) -> str:
+    """DuckDB twin of :func:`shacl_report` — identical target join,
+    count aggregate, and term checks."""
+    return f"""
+WITH t AS MATERIALIZED ({triples_sql}),
+sh AS MATERIALIZED ({shapes_sql}),
+typ AS MATERIALIZED (
+  SELECT DISTINCT subj AS tnode, obj AS tcls FROM t
+  WHERE pred = '{RDF_TYPE}'),
+tgt AS MATERIALIZED (
+  SELECT sh.shape, sh.target_class, sh.path, sh."constraint", sh.value,
+         typ.tnode AS focus
+  FROM typ JOIN sh ON typ.tcls = sh.target_class),
+vals AS (SELECT subj AS vfocus, pred, obj, obj_type FROM t),
+cnts AS (
+  SELECT g.shape, g.focus, g."constraint", g.value,
+         COUNT(v.obj) AS n
+  FROM tgt g LEFT JOIN vals v
+    ON v.vfocus = g.focus AND v.pred = g.path
+  WHERE g."constraint" IN ('minCount', 'maxCount')
+  GROUP BY g.shape, g.focus, g.path, g."constraint", g.value),
+cnt_bad AS (
+  SELECT shape, focus, "constraint", value AS expected,
+         CAST(NULL AS VARCHAR) AS node, CAST(n AS VARCHAR) AS actual
+  FROM cnts
+  WHERE ("constraint" = 'minCount' AND n < CAST(value AS BIGINT))
+     OR ("constraint" = 'maxCount' AND n > CAST(value AS BIGINT))),
+tv AS (
+  SELECT g.shape, g.focus, g."constraint", g.value, v.obj, v.obj_type
+  FROM tgt g JOIN vals v ON v.vfocus = g.focus AND v.pred = g.path
+  WHERE g."constraint" IN ('class', 'datatype', 'nodeKind')),
+term_bad AS (
+  SELECT shape, focus, "constraint", value AS expected, obj AS node,
+         obj_type AS actual
+  FROM tv
+  WHERE ("constraint" = 'datatype' AND obj_type <> value)
+     OR ("constraint" = 'nodeKind' AND (
+          (value = 'iri' AND obj_type <> 'iri')
+          OR (value = 'literal' AND obj_type = 'iri')))
+     OR ("constraint" = 'class' AND obj_type <> 'iri')
+     OR ("constraint" = 'class' AND obj_type = 'iri' AND NOT EXISTS (
+          SELECT 1 FROM typ
+          WHERE typ.tnode = tv.obj AND typ.tcls = tv.value)))
+SELECT DISTINCT * FROM (
+  SELECT * FROM cnt_bad UNION ALL SELECT * FROM term_bad) u
+"""

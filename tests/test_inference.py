@@ -161,3 +161,73 @@ def test_bfs_levels_duckdb_twin(spark):
     s_sql = "SELECT n AS node FROM (VALUES ('a'),('d')) v(n)"
     ora = duckdb.connect().execute(sql_bfs_levels(e_sql, s_sql)).fetchall()
     assert got == {(n, int(l)) for n, l in ora}
+
+
+def test_shacl_report_all_constraint_kinds(spark):
+    tr = _df(spark, [
+        ("g", "d1", "rdf:type", "ex:Doc", "iri"),
+        ("g", "d2", "rdf:type", "ex:Doc", "iri"),
+        ("g", "d3", "rdf:type", "ex:Doc", "iri"),
+        ("g", "x1", "rdf:type", "ex:Author", "iri"),
+        # d1 is fully valid
+        ("g", "d1", "ex:by", "x1", "iri"),
+        ("g", "d1", "ex:title", "T1", "xsd:string"),
+        # d2: two titles (maxCount), author untyped (class), title ok
+        ("g", "d2", "ex:by", "x9", "iri"),
+        ("g", "d2", "ex:title", "T2a", "xsd:string"),
+        ("g", "d2", "ex:title", "T2b", "xsd:string"),
+        # d3: no author (minCount), literal author value on second pred
+        # (nodeKind via ex:by literal), title mistyped
+        ("g", "d3", "ex:title", "T3", "string"),
+        # non-target node: never checked
+        ("g", "z", "ex:title", "zz", "iri"),
+    ])
+    shapes = spark.createDataFrame(
+        [("s_min", "ex:Doc", "ex:by", "minCount", "1"),
+         ("s_max", "ex:Doc", "ex:title", "maxCount", "1"),
+         ("s_cls", "ex:Doc", "ex:by", "class", "ex:Author"),
+         ("s_kind", "ex:Doc", "ex:by", "nodeKind", "iri"),
+         ("s_dt", "ex:Doc", "ex:title", "datatype", "xsd:string")],
+        inference.SHACL_SHAPE_COLS)
+    got = {(r.shape, r.focus, r.constraint, r.node, r.actual)
+           for r in inference.shacl_report(tr, shapes).collect()}
+    assert got == {
+        ("s_min", "d3", "minCount", None, "0"),
+        ("s_max", "d2", "maxCount", None, "2"),
+        ("s_cls", "d2", "class", "x9", "iri"),       # untyped IRI value
+        ("s_dt", "d3", "datatype", "T3", "string"),
+    }
+
+
+def test_shacl_clean_graph_empty_report(spark):
+    tr = _df(spark, [
+        ("g", "d1", "rdf:type", "ex:Doc", "iri"),
+        ("g", "d1", "ex:title", "T", "xsd:string"),
+    ])
+    shapes = spark.createDataFrame(
+        [("s", "ex:Doc", "ex:title", "minCount", "1")],
+        inference.SHACL_SHAPE_COLS)
+    assert inference.shacl_report(tr, shapes).count() == 0
+
+
+def test_shacl_duckdb_twin(spark):
+    tr_rows = [
+        ("g", "d1", "rdf:type", "ex:Doc", "iri"),
+        ("g", "d2", "rdf:type", "ex:Doc", "iri"),
+        ("g", "d1", "ex:by", "x1", "iri"),
+        ("g", "x1", "rdf:type", "ex:Author", "iri"),
+        ("g", "d2", "ex:by", "lit", "string"),
+    ]
+    tr = _df(spark, tr_rows)
+    shapes_rows = [("s_cls", "ex:Doc", "ex:by", "class", "ex:Author"),
+                   ("s_kind", "ex:Doc", "ex:by", "nodeKind", "iri")]
+    shapes = spark.createDataFrame(shapes_rows, inference.SHACL_SHAPE_COLS)
+    got = {tuple(r) for r in inference.shacl_report(tr, shapes).collect()}
+    tr_sql = ("SELECT * FROM (VALUES " + ", ".join(
+        str(t) for t in tr_rows) + ") v(repo, subj, pred, obj, obj_type)")
+    sh_sql = ("SELECT * FROM (VALUES " + ", ".join(
+        str(t) for t in shapes_rows)
+        + ') v(shape, target_class, path, "constraint", value)')
+    ora = duckdb.connect().execute(
+        inference.sql_shacl_report(tr_sql, sh_sql)).fetchall()
+    assert got == set(map(tuple, ora))

@@ -80,3 +80,26 @@ def test_nfc_repartition_invariant(spark):
     x = sorted(map(tuple, nfc_normalize(df).collect()))
     y = sorted(map(tuple, nfc_normalize(df.repartition(7)).collect()))
     assert x == y
+
+
+def test_bm25_saturation_and_idf(spark):
+    """BM25 semantics on a hand-computable corpus: rare terms outrank
+    stopwords, tf saturates, longer docs penalized."""
+    from git_prov_spark.corpus.text import bm25_topk
+
+    # 9 docs, 'rare' in 2 → idf_bits = flog2((18-4+1)//5) = 1;
+    # 'common' in 7/9 → 0 bits (stopword suppression)
+    docs = spark.createDataFrame(
+        [(1, "rare common common common"),
+         (2, "rare rare common common"),
+         (3, "common common common common common common common common"),
+         (4, "other words entirely"),
+         (5, None)] + [(i, "common filler") for i in range(6, 10)],
+        "doc_id long, text string")
+    res = {r.doc_id: r.bm25
+           for r in bm25_topk(docs, ["rare", "common"], k=5).collect()}
+    # 'common' is in >half the docs → 0 idf bits; 'rare' in 2/5 → >0 bits
+    assert res[1] > 0 and res[2] > 0
+    assert res[3] == 0.0            # only stopword hits
+    assert 4 not in res and 5 not in res   # no query term / empty
+    assert res[2] > res[1]          # higher tf, same dl → higher score
