@@ -2055,6 +2055,63 @@ def _shacl_fixture(spark, sf_dir):
     return triples, shapes
 
 
+NT_RT_SQL = (
+    "SELECT 'demo' AS repo, "
+    "'gitprov:cust-' || CAST(c_custkey AS VARCHAR) AS subj, "
+    "'rdf:type' AS pred, 'ex:Customer' AS obj, 'iri' AS obj_type "
+    "FROM customer "
+    "UNION ALL SELECT 'demo', "
+    "'gitprov:cust-' || CAST(c_custkey AS VARCHAR), 'rdfs:label', "
+    "c_name, 'xsd:string' FROM customer "
+    "UNION ALL SELECT 'demo', "
+    "'gitprov:cust-' || CAST(c_custkey AS VARCHAR), 'gitprov:key', "
+    "CAST(c_custkey AS VARCHAR), 'xsd:int' FROM customer"
+)
+
+
+def q_kg_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples parse∘serialize identity (store.parse_ntriples_lines ∘
+    store.ntriples_lines): CURIEs expand to full IRIs (gitprov: per-repo
+    authority), literals escape; the parser — pure map-side regexp
+    built-ins, zero shuffle, zero UDF — compacts them back and recovers
+    the graph column from the gitprov:// authority. The oracle is the
+    UNSERIALIZED fixture itself: the gate passes iff the round trip is
+    the identity."""
+    from git_prov_spark.store import ntriples_lines, parse_ntriples_lines
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.concat(F.lit("gitprov:cust-"), F.col("c_custkey").cast("string"))
+    triples = (
+        cust.select(F.lit("demo").alias("repo"), ck.alias("subj"),
+                    F.lit("rdf:type").alias("pred"),
+                    F.lit("ex:Customer").alias("obj"),
+                    F.lit("iri").alias("obj_type"))
+        .unionByName(cust.select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("rdfs:label").alias("pred"),
+            F.col("c_name").alias("obj"),
+            F.lit("xsd:string").alias("obj_type")))
+        .unionByName(cust.select(
+            F.lit("demo").alias("repo"), ck.alias("subj"),
+            F.lit("gitprov:key").alias("pred"),
+            F.col("c_custkey").cast("string").alias("obj"),
+            F.lit("xsd:int").alias("obj_type")))
+    )
+    return parse_ntriples_lines(ntriples_lines(triples))
+
+
+def q_kg_schema_summary(spark, sf_dir):
+    """Quotient-graph schema summary (inference.schema_summary) OVER THE
+    ENTAILED graph — composed directly on rdfs_closure's output, so the
+    signatures carry the inferred classes (supplier nodes summarize as
+    their nation ∪ region ∪ geo:place ∪ ex:Supplier ∪ ex:Org set):
+    nodes collapse to sorted type signatures, edges count between
+    signatures — the what-links-what readout, ontology-sized however
+    large the instance graph."""
+    inst, sch = _rdfs_fixture(spark, sf_dir)
+    return _inference.schema_summary(_inference.rdfs_closure(inst, sch))
+
+
 def q_kg_shacl_report(spark, sf_dir):
     """SHACL-lite shape validation (inference.shacl_report): the graph-
     shaped sibling of the dq table contracts — minCount/maxCount via ONE
@@ -4110,6 +4167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_shacl_report": q_kg_shacl_report,
+        "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
+        "kg_schema_summary": q_kg_schema_summary,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
         "sparql_update_insert_where": q_sparql_update_insert_where,
@@ -4457,6 +4516,10 @@ def oracle_sql() -> dict[str, str]:
             SAMEAS_TRIPLES_SQL, SAMEAS_PAIRS_SQL),
         "kg_shacl_report": _inference.sql_shacl_report(
             SHACL_TRIPLES_SQL, SHACL_SHAPES_SQL),
+        "kg_ntriples_roundtrip": NT_RT_SQL,
+        "kg_schema_summary": _inference.sql_schema_summary(
+            "SELECT * FROM (" + _inference.sql_rdfs_closure(
+                RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL) + ") closed"),
         "sparql_update_modify": SPARQL_UPDATE_MODIFY_ORACLE,
         "sparql_update_delete_where": SPARQL_UPDATE_DELETE_ORACLE,
         "sparql_update_insert_where": SPARQL_UPDATE_INSERT_ORACLE,

@@ -417,3 +417,61 @@ term_bad AS (
 SELECT DISTINCT * FROM (
   SELECT * FROM cnt_bad UNION ALL SELECT * FROM term_bad) u
 """
+
+
+def schema_summary(triples: DataFrame) -> DataFrame:
+    """(src_sig, pred, dst_sig, n) — the quotient ("summary") graph of
+    the KG: nodes collapsed to their TYPE SIGNATURE (sorted '|'-joined
+    rdf:type class set; '(untyped)' when none), edges counted between
+    signatures. The schema-sanity readout of a KG build — it answers
+    "what links what, and how often" in a relation as small as the
+    ontology, however large the instance graph.
+
+    Scale: one hash-aggregate builds the signature per node (collect_set
+    bounded by a node's type count — ontologies are shallow), two
+    equi-joins tag edge endpoints (broadcastable when the node count
+    allows, shuffled otherwise), one final hash-aggregate over the tiny
+    signature space. rdf:type edges themselves are excluded (they ARE
+    the signatures); literal objects are excluded (no target node)."""
+    types = (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("subj").alias("node"))
+        .agg(F.concat_ws(
+            "|", F.array_sort(F.collect_set("obj"))).alias("sig"))
+    )
+    edges = (
+        triples.where((F.col("obj_type") == "iri")
+                      & (F.col("pred") != RDF_TYPE))
+        .select("subj", "pred", "obj")
+    )
+    ssig = types.select(F.col("node").alias("_sn"), F.col("sig").alias("_ss"))
+    osig = types.select(F.col("node").alias("_on"), F.col("sig").alias("_os"))
+    return (
+        edges.join(ssig, edges["subj"] == ssig["_sn"], "left")
+        .join(osig, edges["obj"] == osig["_on"], "left")
+        .groupBy(
+            F.coalesce("_ss", F.lit("(untyped)")).alias("src_sig"),
+            "pred",
+            F.coalesce("_os", F.lit("(untyped)")).alias("dst_sig"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_schema_summary(triples_sql: str) -> str:
+    """DuckDB twin of :func:`schema_summary` — string_agg(DISTINCT ..
+    ORDER BY) reproduces the sorted signature exactly."""
+    return f"""
+WITH t AS MATERIALIZED ({triples_sql}),
+sig AS (
+  SELECT subj AS node, string_agg(DISTINCT obj, '|' ORDER BY obj) AS sig
+  FROM t WHERE pred = '{RDF_TYPE}' GROUP BY subj),
+e AS (SELECT subj, pred, obj FROM t
+      WHERE obj_type = 'iri' AND pred <> '{RDF_TYPE}')
+SELECT COALESCE(s.sig, '(untyped)') AS src_sig, e.pred,
+       COALESCE(o.sig, '(untyped)') AS dst_sig,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e LEFT JOIN sig s ON s.node = e.subj
+LEFT JOIN sig o ON o.node = e.obj
+GROUP BY 1, 2, 3
+"""

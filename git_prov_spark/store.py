@@ -528,3 +528,105 @@ def search_repos(
     if language is not None:
         df = df.where(F.array_contains(F.col("languages"), language))
     return df
+
+
+# --------------------------------------------------------------------------
+# N-Triples PARSER — the ingest twin of ntriples_lines (round-trip closure)
+# --------------------------------------------------------------------------
+
+#: private-use sentinel for the two-phase backslash unescape. A literal
+#: containing U+E000 is outside the parser's contract (it cannot appear in
+#: well-formed corpus text; the serializer never emits it).
+_UNESC_SENTINEL = ""
+
+
+def _lit_unescape(c: F.Column) -> F.Column:
+    """Exact inverse of _lit_escape: protect '\\\\' behind a sentinel
+    first so '\\\\n' decodes to backslash+n, not newline — the classic
+    two-phase trick that makes sequential regexp passes order-safe."""
+    c = F.regexp_replace(c, r"\\\\", _UNESC_SENTINEL)
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r'\\"', '"')
+    return F.regexp_replace(c, _UNESC_SENTINEL, r"\\")
+
+
+def _compact(term: F.Column) -> F.Column:
+    """Full IRI -> the store's CURIE vocabulary (inverse of _expand):
+    gitprov://<repo># IRIs re-anchor on the gitprov: prefix; known
+    namespaces compact longest-prefix-first; anything else verbatim."""
+    out = F.when(
+        term.startswith("gitprov://"),
+        F.concat(F.lit("gitprov:"),
+                 F.substring_index(term, "#", -1)),
+    )
+    for p, ns in sorted(NAMESPACES.items(), key=lambda kv: -len(kv[1])):
+        out = out.when(term.startswith(ns),
+                       F.concat(F.lit(p + ":"), F.substring(
+                           term, len(ns) + 1, 1 << 20)))
+    return out.otherwise(term)
+
+
+def parse_ntriples_lines(lines: DataFrame,
+                         default_repo: str | None = None) -> DataFrame:
+    """(repo, subj, pred, obj, obj_type) from a `line` column of
+    N-Triples — the distributed INGEST path that closes the store's
+    serialization round trip (ntriples_lines ∘ parse_ntriples_lines =
+    identity on the store's term vocabulary).
+
+    Entirely map-side built-ins (regexp_extract / regexp_replace /
+    substring): no shuffle, no UDF — at 100 TB this is a pure scan
+    stage that parallelizes with the input file split count. Per line:
+    subject/predicate IRIs compact back to CURIEs; the object branches
+    on its lexical shape (<iri> / "literal" / "literal"^^<datatype>);
+    plain literals read back as xsd:string (exactly what the serializer
+    emits for them). The graph column recovers from any gitprov://
+    term's authority (the per-repo namespace, DESIGN.md §2), falling
+    back to `default_repo`; rows where neither side carries one and no
+    default is given keep a NULL repo, which the store's writers
+    reject loudly. Malformed lines (no NT shape) are dropped — the
+    standard big-ingest posture (count them upstream via a dq rule on
+    the raw line relation when provenance demands it)."""
+    s_raw = F.regexp_extract("line", r"^<([^>]*)> ", 1)
+    p_raw = F.regexp_extract("line", r"^<[^>]*> <([^>]*)> ", 1)
+    rest = F.regexp_extract("line", r"^<[^>]*> <[^>]*> (.*) \.$", 1)
+    shaped = (
+        lines.select(
+            s_raw.alias("_s"), p_raw.alias("_p"), rest.alias("_r"))
+        .where((F.col("_s") != "") & (F.col("_p") != "")
+               & (F.col("_r") != ""))
+    )
+    o_iri = F.regexp_extract("_r", r"^<(.*)>$", 1)
+    o_typed = F.regexp_extract("_r", r'^"(.*)"\^\^<(.*)>$', 1)
+    o_dtype = F.regexp_extract("_r", r'^"(.*)"\^\^<(.*)>$', 2)
+    o_plain = F.regexp_extract("_r", r'^"(.*)"$', 1)
+    parsed = shaped.select(
+        "_s", "_p", o_iri.alias("_oraw"),
+        F.when(F.col("_r").startswith("<"), _compact(o_iri))
+        .when(o_dtype != "", _lit_unescape(o_typed))
+        .otherwise(_lit_unescape(o_plain)).alias("obj"),
+        F.when(F.col("_r").startswith("<"), F.lit("iri"))
+        .when(o_dtype != "", _compact(o_dtype))
+        .otherwise(F.lit("xsd:string")).alias("obj_type"),
+    )
+    repo_of = lambda c: F.regexp_extract(c, r"^gitprov://(.*)#", 1)  # noqa: E731
+    return parsed.select(
+        F.coalesce(
+            F.when(repo_of(F.col("_s")) != "", repo_of(F.col("_s"))),
+            F.when(repo_of(F.col("_p")) != "", repo_of(F.col("_p"))),
+            F.when(repo_of(F.col("_oraw")) != "", repo_of(F.col("_oraw"))),
+            F.lit(default_repo),
+        ).alias("repo"),
+        _compact(F.col("_s")).alias("subj"),
+        _compact(F.col("_p")).alias("pred"),
+        "obj", "obj_type",
+    )
+
+
+def read_ntriples(spark, path: str,
+                  default_repo: str | None = None) -> DataFrame:
+    """Distributed N-Triples source: text lines -> triple relation."""
+    return parse_ntriples_lines(
+        spark.read.text(path).withColumnRenamed("value", "line"),
+        default_repo=default_repo)

@@ -231,3 +231,30 @@ def test_shacl_duckdb_twin(spark):
     ora = duckdb.connect().execute(
         inference.sql_shacl_report(tr_sql, sh_sql)).fetchall()
     assert got == set(map(tuple, ora))
+
+
+def test_schema_summary(spark):
+    tr = _df(spark, [
+        ("g", "a1", "rdf:type", "ex:B", "iri"),
+        ("g", "a1", "rdf:type", "ex:A", "iri"),     # sig sorts: A|B
+        ("g", "a2", "rdf:type", "ex:A", "iri"),
+        ("g", "a1", "ex:to", "a2", "iri"),
+        ("g", "a2", "ex:to", "zz", "iri"),          # untyped target
+        ("g", "a1", "ex:name", "lit", "string"),    # literal: excluded
+    ])
+    got = {(r.src_sig, r.pred, r.dst_sig, r.n)
+           for r in inference.schema_summary(tr).collect()}
+    assert got == {
+        ("ex:A|ex:B", "ex:to", "ex:A", 1),
+        ("ex:A", "ex:to", "(untyped)", 1),
+    }
+    ora = duckdb.connect().execute(inference.sql_schema_summary(
+        "SELECT * FROM (VALUES "
+        "('g','a1','rdf:type','ex:B','iri'),"
+        "('g','a1','rdf:type','ex:A','iri'),"
+        "('g','a2','rdf:type','ex:A','iri'),"
+        "('g','a1','ex:to','a2','iri'),"
+        "('g','a2','ex:to','zz','iri'),"
+        "('g','a1','ex:name','lit','string')"
+        ") v(repo,subj,pred,obj,obj_type)")).fetchall()
+    assert got == set(map(tuple, ora))

@@ -229,3 +229,49 @@ def test_results_uri_typing(bindings):
     uris = root.findall(f"{ns}results/{ns}result/{ns}binding/{ns}uri")
     lits = root.findall(f"{ns}results/{ns}result/{ns}binding/{ns}literal")
     assert len(uris) == 2 and len(lits) == 1
+
+
+class TestNtriplesParser:
+    """parse_ntriples_lines — the distributed ingest twin of
+    ntriples_lines; round-trip identity plus escape/edge handling."""
+
+    def _rt(self, spark, rows, **kw):
+        from git_prov_spark.store import ntriples_lines, parse_ntriples_lines
+
+        t = spark.createDataFrame(
+            rows, "repo string, subj string, pred string, obj string, "
+                  "obj_type string")
+        back = parse_ntriples_lines(ntriples_lines(t), **kw)
+        return {tuple(r) for r in back.collect()}
+
+    def test_roundtrip_escapes(self, spark):
+        rows = [
+            ("r1", "gitprov:f", "rdfs:label", 'quote " back \\ nl \n tab \t', "xsd:string"),
+            ("r1", "gitprov:f", "rdfs:label", "\\n is not a newline", "xsd:string"),
+            ("r1", "gitprov:f", "prov:atTime", "2024-01-01T00:00:00Z", "xsd:dateTime"),
+            ("r1", "gitprov:f", "prov:used", "gitprov:g", "iri"),
+        ]
+        assert self._rt(spark, rows) == set(rows)
+
+    def test_repo_recovery_and_default(self, spark):
+        from git_prov_spark.store import parse_ntriples_lines
+
+        lines = spark.createDataFrame(
+            [("<gitprov://own/rep#x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/ns/prov#Entity> .",),
+             ("<urn:a> <urn:p> \"plain\" .",),
+             ("not a triple line",)],
+            "line string")
+        got = {tuple(r)
+               for r in parse_ntriples_lines(lines, default_repo="dflt").collect()}
+        assert got == {
+            ("own/rep", "gitprov:x", "rdf:type", "prov:Entity", "iri"),
+            ("dflt", "urn:a", "urn:p", "plain", "xsd:string"),
+        }
+
+    def test_full_kg_roundtrip(self, spark, triples_df):
+        from git_prov_spark.store import ntriples_lines, parse_ntriples_lines
+
+        t = triples_df.select("repo", "subj", "pred", "obj", "obj_type")
+        back = parse_ntriples_lines(ntriples_lines(t))
+        assert {tuple(r) for r in t.collect()} \
+            == {tuple(r) for r in back.collect()}
