@@ -553,6 +553,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     return similarity.topk_lsh(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_knn_graph(spark, sf_dir):
+    """Whole-corpus k-nearest-neighbor GRAPH (similarity.knn_graph):
+    every node's candidates restricted to its LSH bucket — one bucket
+    equi-join (cost Σ|bucket|², never n²) + a per-node window bounded by
+    the bucket. The edge list SemDeDup-style semantic clustering feeds
+    into components/coreness."""
+    return similarity.knn_graph(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_topk_multiprobe(spark, sf_dir):
     """16-plane (65,536-bucket) ANN with hamming-1 multi-probe — production
     bucket granularity; see similarity.topk_lsh_multiprobe. On the RANDOM
@@ -2098,6 +2107,32 @@ def q_kg_ntriples_roundtrip(spark, sf_dir):
             F.lit("xsd:int").alias("obj_type")))
     )
     return parse_ntriples_lines(ntriples_lines(triples))
+
+
+STORE_DELTA_OLD_SQL = (
+    "SELECT 'demo' AS repo, 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj, 'iri' AS obj_type "
+    "FROM events WHERE event_id % 4 <> 0"
+)
+STORE_DELTA_NEW_SQL = (
+    "SELECT 'demo' AS repo, 'user-' || CAST(user_id AS VARCHAR) AS subj, "
+    "'ev:did_' || event_type AS pred, "
+    "'event-' || CAST(event_id AS VARCHAR) AS obj, 'iri' AS obj_type "
+    "FROM events WHERE event_id % 3 <> 0"
+)
+
+
+def q_kg_store_delta(spark, sf_dir):
+    """Triple diff between two KG builds (inference.store_delta): two
+    co-partitioned anti-joins on the 5-column identity, tagged
+    added/removed — the incremental-publishing primitive (ship the
+    delta, not the snapshot). Output is |difference|-sized."""
+    old = _event_triples(spark, sf_dir).where(
+        F.col("obj").substr(F.lit(7), F.lit(1 << 10)).cast("long") % 4 != 0)
+    new = _event_triples(spark, sf_dir).where(
+        F.col("obj").substr(F.lit(7), F.lit(1 << 10)).cast("long") % 3 != 0)
+    return _inference.store_delta(old, new)
 
 
 def q_kg_schema_summary(spark, sf_dir):
@@ -4169,6 +4204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": q_kg_shacl_report,
         "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
         "kg_schema_summary": q_kg_schema_summary,
+        "kg_store_delta": q_kg_store_delta,
+        "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
         "sparql_update_insert_where": q_sparql_update_insert_where,
@@ -4444,6 +4481,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracles.sql_topk_bruteforce("embeddings"),
         "ann_lsh_buckets": oracles.sql_lsh_buckets("embeddings"),
         "ann_topk_lsh": oracles.sql_topk_lsh("embeddings"),
+        "ann_knn_graph": oracles.sql_knn_graph("embeddings"),
+        "kg_store_delta": _inference.sql_store_delta(
+            STORE_DELTA_OLD_SQL, STORE_DELTA_NEW_SQL),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

@@ -1479,3 +1479,21 @@ def sql_bm25_topk(src: str = "documents", query_terms: list[str] = (),
         "(acc, x) -> acc + x) AS bm25 FROM v GROUP BY doc_id) "
         f"SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT {k}"
     )
+
+
+def sql_knn_graph(src: str = "embeddings", k: int = 5) -> str:
+    """DuckDB twin of similarity.knn_graph — same bucket equi-join and
+    per-src ranked window, no query-side filter."""
+    cos = duck_cosine("q.embedding", "c.embedding")
+    return (
+        f"WITH b AS ({sql_lsh_buckets(src)}), "
+        f"e AS (SELECT s.vec_id, s.embedding, b.bucket FROM {src} s "
+        "JOIN b ON b.vec_id = s.vec_id), "
+        f"scored AS (SELECT q.vec_id AS src, c.vec_id AS dst, {cos} AS cos "
+        "FROM e q JOIN e c ON q.bucket = c.bucket "
+        "AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rank FROM scored) "
+        f"SELECT src, dst, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )

@@ -818,3 +818,35 @@ def label_centroid_sim(df: DataFrame, group: str = "label",
             .alias("cos"),
         )
     )
+
+
+def knn_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+              n_planes: int = ANN_PLANES, dim: int = EMBED_DIM) -> DataFrame:
+    """(src, dst, rank) — the k-nearest-neighbor GRAPH over the whole
+    embedding corpus, bucket-restricted: every node's candidates are its
+    LSH bucket mates, so the all-pairs O(n²) cross product becomes one
+    equi-join on bucket whose cost is Σ|bucket|² — the only kNN-graph
+    shape that survives 100 TB (SemDeDup/SNN clustering build exactly
+    this graph before components). Per-node top-k is a window bounded by
+    the node's bucket, never the corpus. Ranks only (cos is plan-
+    internal): the output feeds graph ops (components, coreness) that
+    need edges, not scores."""
+    with_b = spread(emb).join(lsh_buckets(emb, id_col, n_planes, dim),
+                              id_col)
+    a = with_b.select(
+        F.col(id_col).alias("src"), F.col("embedding").alias("ae"),
+        F.expr(norm_expr("embedding")).alias("an"), "bucket")
+    b = with_b.select(
+        F.col(id_col).alias("dst"), F.col("embedding").alias("be"),
+        F.expr(norm_expr("embedding")).alias("bn"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cos", F.expr(cosine_dot_expr("ae", "be", "an", "bn")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank")
+    )

@@ -475,3 +475,37 @@ FROM e LEFT JOIN sig s ON s.node = e.subj
 LEFT JOIN sig o ON o.node = e.obj
 GROUP BY 1, 2, 3
 """
+
+
+def store_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """('added'|'removed', repo, subj, pred, obj, obj_type) — the triple
+    diff between two KG builds; the incremental-publishing primitive
+    (ship the delta, not the snapshot) and the drift monitor between a
+    re-translation and the store it replaces.
+
+    Two anti-joins on the full identity, each tagged and unioned.
+    Scale: both sides partition on the same 5-column identity hash, so
+    at 100 TB this is one co-partitioned shuffle per side (or zero when
+    both stores were WRITTEN bucketed by the store's (repo_bucket, pred)
+    layout and read back with bucket pruning); output is |difference|-
+    sized, typically ≪ either snapshot."""
+    o = old.select(*TRIPLE_COLS).distinct()
+    n = new.select(*TRIPLE_COLS).distinct()
+    added = n.join(o, TRIPLE_COLS, "left_anti").select(
+        F.lit("added").alias("change"), *TRIPLE_COLS)
+    removed = o.join(n, TRIPLE_COLS, "left_anti").select(
+        F.lit("removed").alias("change"), *TRIPLE_COLS)
+    return added.unionByName(removed)
+
+
+def sql_store_delta(old_sql: str, new_sql: str) -> str:
+    """DuckDB twin of :func:`store_delta` — EXCEPT both ways."""
+    cols = ", ".join(TRIPLE_COLS)
+    return (
+        f"WITH o AS MATERIALIZED (SELECT DISTINCT {cols} FROM ({old_sql}) xo), "
+        f"n AS MATERIALIZED (SELECT DISTINCT {cols} FROM ({new_sql}) xn) "
+        f"SELECT 'added' AS change, * FROM (SELECT * FROM n EXCEPT "
+        f"SELECT * FROM o) a "
+        f"UNION ALL SELECT 'removed', * FROM (SELECT * FROM o EXCEPT "
+        f"SELECT * FROM n) r"
+    )

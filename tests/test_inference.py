@@ -258,3 +258,22 @@ def test_schema_summary(spark):
         "('g','a1','ex:name','lit','string')"
         ") v(repo,subj,pred,obj,obj_type)")).fetchall()
     assert got == set(map(tuple, ora))
+
+
+def test_store_delta(spark):
+    old = _df(spark, [
+        ("g", "a", "p", "x", "iri"),
+        ("g", "b", "p", "y", "iri"),
+    ])
+    new = _df(spark, [
+        ("g", "a", "p", "x", "iri"),        # unchanged
+        ("g", "b", "p", "y", "string"),     # obj_type change = remove+add
+        ("g", "c", "p", "z", "iri"),        # added
+    ])
+    got = {(r.change, r.subj, r.obj, r.obj_type)
+           for r in inference.store_delta(old, new).collect()}
+    assert got == {
+        ("added", "b", "y", "string"),
+        ("added", "c", "z", "iri"),
+        ("removed", "b", "y", "iri"),
+    }

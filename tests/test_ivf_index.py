@@ -155,3 +155,18 @@ def test_explicit_centroids_fork_the_assignment_key():
     assert k1 == _index_key(path, 4, [[1.0, 0.0], [0.0, 1.0]])  # value-keyed
     digest = hashlib.sha256(json.dumps(c1).encode()).hexdigest()[:12]
     assert k1.endswith("-c" + digest)
+
+
+def test_knn_graph_consistent_with_topk_lsh(spark):
+    """knn_graph restricted to the query prefix IS topk_lsh — same
+    buckets, same scoring, same ranking; plus the degree bound holds."""
+    from git_prov_spark.corpus.similarity import knn_graph, topk_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = knn_graph(emb, k=5)
+    sub = {(r.src, r.dst, r.rank) for r in g.where("src < 10").collect()}
+    ref = {(r.query_id, r.neighbor_id, r.rank)
+           for r in topk_lsh(emb, n_queries=10, k=5).collect()}
+    assert sub == ref
+    from pyspark.sql import functions as F
+    assert g.groupBy("src").count().agg(F.max("count")).first()[0] <= 5
