@@ -182,6 +182,21 @@ EXTRA_QUERIES = [
     "events_hopping",
     "events_salted",
     "corpus_ntile",
+    # round-5 additions, session-2 batch: KG inference & maintenance
+    # (RDFS closure, sameAs rewrite, SHACL, schema summary, NT ingest
+    # round trip, store delta), SPARQL UPDATE, BFS levels, BM25, kNN graph
+    "kg_rdfs_closure",
+    "kg_sameas_rewrite",
+    "kg_shacl_report",
+    "kg_schema_summary",
+    "kg_ntriples_roundtrip",
+    "kg_store_delta",
+    "sparql_update_modify",
+    "sparql_update_delete_where",
+    "sparql_update_insert_where",
+    "graph_bfs_levels",
+    "text_bm25",
+    "ann_knn_graph",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
