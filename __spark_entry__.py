@@ -2144,7 +2144,14 @@ def q_kg_schema_summary(spark, sf_dir):
     signatures — the what-links-what readout, ontology-sized however
     large the instance graph."""
     inst, sch = _rdfs_fixture(spark, sf_dir)
-    return _inference.schema_summary(_inference.rdfs_closure(inst, sch))
+    # the summary consumes the closed graph twice (signatures + edges);
+    # a LAZY localCheckpoint materializes the closure once on first
+    # action and both consumers read the checkpointed RDD — measured
+    # 2x faster than recomputing the closure per consumer at sf0.1
+    # (and unlike persist() it doesn't double-buffer through the
+    # block manager while the distinct shuffle is live)
+    closed = _inference.rdfs_closure(inst, sch).localCheckpoint(eager=False)
+    return _inference.schema_summary(closed)
 
 
 def q_kg_shacl_report(spark, sf_dir):

