@@ -2135,6 +2135,35 @@ def q_kg_store_delta(spark, sf_dir):
     return _inference.store_delta(old, new)
 
 
+def q_kg_asof_snapshot(spark, sf_dir):
+    """Time-travel tree reconstruction (versions.asof_snapshot): the
+    repo state at BOTH commit seqs of the doc-adapter history, tagged —
+    seq 0 shows the even-doc initial import, seq 1 the full tree with
+    every 4th doc's modified content. content_sha carries the per-row
+    sha256 invariant, so the DuckDB twin derives each snapshot in
+    closed form from the documents table and the adapter's rules and
+    must match hash-for-hash."""
+    files, commits, _ = _docs_as_repo_tables(spark, sf_dir)
+    from git_prov_spark.pipeline.versions import asof_snapshot
+
+    s0 = asof_snapshot(files, commits, 0).withColumn("as_of", F.lit(0))
+    s1 = asof_snapshot(files, commits, 1).withColumn("as_of", F.lit(1))
+    return s0.unionByName(s1)
+
+
+KG_ASOF_ORACLE = (
+    "SELECT source AS repo, "
+    "'docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path, "
+    "'c0000' || md5(source) AS commit, sha256(text) AS content_sha, "
+    "0 AS as_of FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT source, "
+    "'docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt', "
+    "'c0001' || md5(source || '/1'), "
+    "sha256(CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || 'v2' "
+    "ELSE text END), 1 FROM documents"
+)
+
+
 def q_kg_schema_summary(spark, sf_dir):
     """Quotient-graph schema summary (inference.schema_summary) OVER THE
     ENTAILED graph — composed directly on rdfs_closure's output, so the
@@ -4212,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
         "kg_schema_summary": q_kg_schema_summary,
         "kg_store_delta": q_kg_store_delta,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4491,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_graph": oracles.sql_knn_graph("embeddings"),
         "kg_store_delta": _inference.sql_store_delta(
             STORE_DELTA_OLD_SQL, STORE_DELTA_NEW_SQL),
+        "kg_asof_snapshot": KG_ASOF_ORACLE,
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

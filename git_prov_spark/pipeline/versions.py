@@ -31,3 +31,35 @@ def ensure_commit_seq(commits: DataFrame) -> DataFrame:
         return commits
     w = Window.partitionBy("repo").orderBy("authored_at", "commit")
     return commits.withColumn("commit_seq", F.row_number().over(w) - 1)
+
+
+def asof_snapshot(files: DataFrame, commits: DataFrame,
+                  seq: int) -> DataFrame:
+    """(repo, path, commit, content_sha) — the repository tree as of
+    commit sequence `seq`. The time-travel query a provenance KG exists
+    to answer ("what did the repo look like at commit T").
+
+    The files relation is SNAPSHOT-form (one row per path PRESENT in a
+    commit; absence at the next seq is how changelog.py detects
+    removals), so the as-of tree is exactly the file set of ONE commit:
+    the newest commit_seq <= seq per repo. That makes the plan a
+    broadcast semi-join of the files scan against a per-repo winning
+    (repo, commit) pair — no shuffle of file rows at all, deletions
+    handled by construction (a deleted path simply has no row in the
+    winning snapshot). content_sha carries the per-row sha256 invariant
+    (BASELINE.json input_hint) computed map-side on the pruned scan;
+    content itself never leaves the mappers.
+
+    Repos whose history starts after `seq` (no commit_seq <= seq)
+    contribute nothing — the repo did not exist yet."""
+    seqd = ensure_commit_seq(commits).select("repo", "commit", "commit_seq")
+    win = (
+        seqd.where(F.col("commit_seq") <= seq)
+        .groupBy("repo").agg(F.max("commit_seq").alias("commit_seq"))
+    )
+    chosen = seqd.join(win, ["repo", "commit_seq"]).select("repo", "commit")
+    return (
+        files.join(F.broadcast(chosen), ["repo", "commit"])
+        .select("repo", "path", "commit",
+                F.sha2(F.col("content"), 256).alias("content_sha"))
+    )
