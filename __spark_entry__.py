@@ -416,6 +416,15 @@ def q_dedup_near_groups(spark, sf_dir):
     return dedup.near_dup_groups(_aug_near_df(spark, sf_dir), n=4)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.near_dup_keep_best):
+    within each near-dup cluster the LONGEST document wins (the planted
+    near-dups drop their final token, so originals out-length their
+    mirrors) — the keep-the-complete-copy policy real curation ships,
+    vs the min-id keeper of dedup_near_groups."""
+    return dedup.near_dup_keep_best(_aug_near_df(spark, sf_dir), n=4)
+
+
 def q_corpus_manifest(spark, sf_dir):
     """Composed curation manifest: exact-dup, near-dup (LSH→components),
     language, and quality gates in ONE plan with first-match-wins reasons
@@ -1866,6 +1875,33 @@ SAMEAS_PAIRS_SQL = (
     "'user-' || CAST(user_id + 1 AS VARCHAR) AS dst "
     "FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 10 < 2"
 )
+
+
+_RDFS_DELTA_COND = "pred = 'ex:supplies' AND CAST(substring(obj, 6) AS BIGINT) % 2 = 1"
+RDFS_OLD_SQL = (
+    f"SELECT * FROM ({RDFS_INSTANCE_SQL}) ri "
+    f"WHERE NOT ({_RDFS_DELTA_COND})"
+)
+RDFS_DELTA_SQL = (
+    f"SELECT * FROM ({RDFS_INSTANCE_SQL}) ri WHERE {_RDFS_DELTA_COND}"
+)
+
+
+def q_kg_rdfs_delta(spark, sf_dir):
+    """Incremental RDFS maintenance (inference.rdfs_closure_delta): the
+    NEW entailments when a batch of odd-part supply edges lands on an
+    already-closed store — computed linear-in-Δ (close the Δ, one
+    anti-join against the base closure), while the DuckDB twin computes
+    the DEFINITION: closure(old ∪ Δ) EXCEPT closure(old). The gate
+    passing proves the O(|Δ|) path equals the recompute-the-world
+    path."""
+    inst, sch = _rdfs_fixture(spark, sf_dir)
+    cond = (F.col("pred") == "ex:supplies") & (
+        F.col("obj").substr(F.lit(6), F.lit(1 << 10)).cast("long") % 2 == 1)
+    old = inst.where(~cond)
+    delta = inst.where(cond)
+    base_closed = _inference.rdfs_closure(old, sch)
+    return _inference.rdfs_closure_delta(base_closed, delta, sch)
 
 
 def q_kg_sameas_rewrite(spark, sf_dir):
@@ -4242,6 +4278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_summary": q_kg_schema_summary,
         "kg_store_delta": q_kg_store_delta,
         "kg_asof_snapshot": q_kg_asof_snapshot,
+        "kg_rdfs_delta": q_kg_rdfs_delta,
+        "dedup_keep_best": q_dedup_keep_best,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4468,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
             bands=hashing.LSH_BANDS_WIDE, rows=hashing.LSH_ROWS_WIDE,
         ),
         "dedup_near_groups": oracles.sql_near_dup_groups(aug_near, n=4),
+        "dedup_keep_best": oracles.sql_near_dup_keep_best(aug_near, n=4),
         "corpus_decontam": oracles.sql_contamination("documents", n=4),
         "corpus_mix": oracles.sql_stratified_sample(
             f"(SELECT doc_id, lang_pred AS stratum "
@@ -4522,6 +4561,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_store_delta": _inference.sql_store_delta(
             STORE_DELTA_OLD_SQL, STORE_DELTA_NEW_SQL),
         "kg_asof_snapshot": KG_ASOF_ORACLE,
+        "kg_rdfs_delta": _inference.sql_rdfs_closure_delta(
+            RDFS_OLD_SQL, RDFS_DELTA_SQL, RDFS_SCHEMA_SQL),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

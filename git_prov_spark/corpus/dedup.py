@@ -680,3 +680,37 @@ def editdist_verify(
         )
         .withColumn("is_dup", F.col("dist") <= max_dist)
     )
+
+
+def near_dup_keep_best(
+    df: DataFrame, n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id, keep) — near-dup clusters with the keeper
+    chosen by QUALITY rather than by id: within each component the
+    longest document wins (n_chars of the normalized text; ties by
+    smaller id). The policy real curation ships — when a scrape and its
+    truncated mirror collide, keep the complete one, not whichever
+    crawled first. cluster_id stays the component minimum (stable
+    naming); `keep` marks the winner.
+
+    Scale: near_dup_groups does the heavy lifting (LSH bands →
+    components over candidate pairs only); this adds one broadcast-size
+    join of cluster members against their integer lengths and one
+    window bounded by cluster size — cluster cardinality is tiny next
+    to the corpus, so the added cost is O(|clustered docs|)."""
+    from pyspark.sql import Window
+
+    from .text import norm_text
+
+    groups = near_dup_groups(df, n=n, id_col=id_col)
+    lens = df.select(F.col(id_col),
+                     F.length(norm_text()).cast("long").alias("n_chars"))
+    j = groups.join(lens, id_col)
+    w = Window.partitionBy("canonical_doc_id").orderBy(
+        F.desc("n_chars"), F.asc(id_col))
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .select(F.col(id_col),
+                F.col("canonical_doc_id").alias("cluster_id"),
+                (F.col("_rk") == 1).alias("keep"))
+    )

@@ -1497,3 +1497,20 @@ def sql_knn_graph(src: str = "embeddings", k: int = 5) -> str:
         f"SELECT src, dst, CAST(rank AS INTEGER) AS rank "
         f"FROM ranked WHERE rank <= {k}"
     )
+
+
+def sql_near_dup_keep_best(src: str, n: int = 4) -> str:
+    """DuckDB twin of dedup.near_dup_keep_best — the groups twin plus
+    one length join and the same (n_chars DESC, id) window."""
+    return (
+        f"WITH g AS ({sql_near_dup_groups(src, n=n)}), "
+        f"ln AS (SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) "
+        f"AS n_chars FROM (SELECT * FROM {src} s) raw), "
+        "j AS (SELECT g.doc_id, g.canonical_doc_id, ln.n_chars "
+        "FROM g JOIN ln USING (doc_id)), "
+        "r AS (SELECT doc_id, canonical_doc_id, row_number() OVER "
+        "(PARTITION BY canonical_doc_id ORDER BY n_chars DESC, doc_id) "
+        "AS rk FROM j) "
+        "SELECT doc_id, canonical_doc_id AS cluster_id, rk = 1 AS keep "
+        "FROM r"
+    )

@@ -516,3 +516,40 @@ def sql_store_delta(old_sql: str, new_sql: str) -> str:
         f"UNION ALL SELECT 'removed', * FROM (SELECT * FROM o EXCEPT "
         f"SELECT * FROM n) r"
     )
+
+
+def rdfs_closure_delta(base_closed: DataFrame, delta: DataFrame,
+                       schema: DataFrame) -> DataFrame:
+    """NEW entailments when `delta` instance triples arrive at an
+    already-closed store: closure(old ∪ Δ) ∖ closure(old), computed in
+    time LINEAR IN Δ — the incremental-maintenance twin of
+    :func:`rdfs_closure` (semi-naive evaluation, Δ-restricted).
+
+    Sound and complete for ρdf because every instance rule has exactly
+    ONE instance antecedent (schema antecedents broadcast): any triple
+    entailed by old ∪ Δ but not by old alone must derive from a Δ
+    triple, and its whole derivation chain stays inside Δ's own closure
+    (rdfs7 → rdfs2/3 → rdfs9 stratification). So the delta closure is
+    rdfs_closure(Δ, schema) minus what the store already holds — one
+    anti-join against the closed base, |Δ|-sized left side.
+
+    Scale: this is the operator that makes materialized reasoning
+    viable at 100 TB — re-closing the world per ingest batch is
+    O(|store|); this is O(|Δ| + lookup), with the anti-join
+    co-partitioned on the store's identity layout."""
+    return (
+        rdfs_closure(delta, schema)
+        .join(base_closed.select(*TRIPLE_COLS), TRIPLE_COLS, "left_anti")
+    )
+
+
+def sql_rdfs_closure_delta(old_sql: str, delta_sql: str,
+                           schema_sql: str) -> str:
+    """DuckDB twin — the DEFINITION, not the incremental algorithm:
+    closure(old ∪ Δ) EXCEPT closure(old). The gate passing is therefore
+    a proof the linear-in-Δ path equals the recompute-the-world path."""
+    both = f"SELECT * FROM ({old_sql}) a UNION ALL SELECT * FROM ({delta_sql}) b"
+    return (
+        f"SELECT * FROM ({sql_rdfs_closure(both, schema_sql)}) full_c "
+        f"EXCEPT SELECT * FROM ({sql_rdfs_closure(old_sql, schema_sql)}) old_c"
+    )

@@ -277,3 +277,33 @@ def test_store_delta(spark):
         ("added", "c", "z", "iri"),
         ("removed", "b", "y", "iri"),
     }
+
+
+def test_rdfs_closure_delta_linear_path(spark):
+    sch = _df(spark, [
+        ("s", "ex:Draft", "rdfs:subClassOf", "ex:Document", "iri"),
+        ("s", "ex:authored", "rdfs:domain", "ex:Person", "iri"),
+    ])
+    old = _df(spark, [("g", "doc1", "rdf:type", "ex:Draft", "iri")])
+    delta = _df(spark, [
+        ("g", "alice", "ex:authored", "doc2", "iri"),
+        ("g", "doc2", "rdf:type", "ex:Draft", "iri"),
+    ])
+    base_closed = inference.rdfs_closure(old, sch)
+    new = {(r.subj, r.pred, r.obj)
+           for r in inference.rdfs_closure_delta(
+               base_closed, delta, sch).collect()}
+    # Δ's own assertions + their entailments appear...
+    assert ("alice", "rdf:type", "ex:Person") in new
+    assert ("doc2", "rdf:type", "ex:Document") in new
+    assert ("alice", "ex:authored", "doc2") in new
+    # ...but nothing the old closure already held
+    assert ("doc1", "rdf:type", "ex:Document") not in new
+    assert ("ex:Draft", "rdfs:subClassOf", "ex:Document") not in new
+    # and it equals the definition: closure(old ∪ Δ) \ closure(old)
+    full = inference.rdfs_closure(old.unionByName(delta), sch)
+    defn = {(r.subj, r.pred, r.obj)
+            for r in full.join(base_closed,
+                               ["repo", "subj", "pred", "obj", "obj_type"],
+                               "left_anti").collect()}
+    assert new == defn

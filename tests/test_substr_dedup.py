@@ -127,3 +127,17 @@ def test_editdist_verify_propose_then_verify(spark):
     assert out[(1, 2)].dist == 2 and out[(1, 2)].is_dup
     # doc 3 shares no shingles -> never proposed by LSH at all
     assert not any(3 in k for k in out)
+
+
+def test_near_dup_keep_best_prefers_longest(spark):
+    from git_prov_spark.corpus.dedup import near_dup_keep_best
+
+    # doc 1 (short mirror, smaller id) vs doc 2 (complete, larger id):
+    # min-id canonical would keep 1; quality keeper must keep 2
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa"), (50, "unrelated words only")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.cluster_id, r.keep)
+           for r in near_dup_keep_best(docs, n=4).collect()}
+    assert got == {(1, 1, False), (2, 1, True)}
