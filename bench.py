@@ -197,6 +197,9 @@ EXTRA_QUERIES = [
     "graph_bfs_levels",
     "text_bm25",
     "ann_knn_graph",
+    "kg_asof_snapshot",
+    "kg_rdfs_delta",
+    "dedup_keep_best",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -176,3 +176,17 @@ def test_insert_constant_graph_block_template(spark):
         WHERE { GRAPH "g2" { ?a ex:knows ?b } }
     """)
     assert ("audit", "ex:u1", "ex:seen", "ex:u2", "iri") in _rows(out)
+
+
+def test_modify_where_with_property_path(spark):
+    # UPDATE WHERE groups compile through the full engine — property
+    # paths included: mark every node reachable from ex:u1 via ex:knows+
+    st = _store(spark)
+    out = update(st, """
+        INSERT { ?b ex:reachedFromU1 "yes" }
+        WHERE { ex:u1 ex:knows+ ?b }
+    """, repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u2", "ex:reachedFromU1", "yes", "string") in got
+    assert ("g1", "ex:u3", "ex:reachedFromU1", "yes", "string") in got
+    assert ("g2", "ex:u2", "ex:reachedFromU1", "yes", "string") not in got
