@@ -2230,6 +2230,24 @@ def q_kg_shacl_report(spark, sf_dir):
     return _inference.shacl_report(triples, shapes)
 
 
+def q_sparql_update_graph_copy(spark, sf_dir):
+    """Graph management (sparql.update COPY): whole-graph duplication as
+    repo-column relabeling — one filter + one union, no row rewriting.
+    With the store's (repo_bucket, pred) layout a COPY at 100 TB writes
+    only the destination partitions."""
+    from git_prov_spark.sparql import update
+
+    return update(_event_triples(spark, sf_dir),
+                  'COPY GRAPH "demo" TO GRAPH "mirror"')
+
+
+SPARQL_UPDATE_COPY_ORACLE = (
+    f"SELECT repo, subj, pred, obj, obj_type FROM ({SAMEAS_TRIPLES_SQL}) t "
+    f"UNION ALL SELECT 'mirror', subj, pred, obj, obj_type "
+    f"FROM ({SAMEAS_TRIPLES_SQL}) m"
+)
+
+
 BFS_SEEDS_SQL = (
     "SELECT 'user-' || CAST(user_id AS VARCHAR) AS node "
     "FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 100 = 0"
@@ -4284,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
         "sparql_update_insert_where": q_sparql_update_insert_where,
+        "sparql_update_graph_copy": q_sparql_update_graph_copy,
         "events_interval": q_events_interval,
         "events_stream_windowed": q_events_stream_windowed,
         "events_funnel": q_events_funnel,
@@ -4642,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_modify": SPARQL_UPDATE_MODIFY_ORACLE,
         "sparql_update_delete_where": SPARQL_UPDATE_DELETE_ORACLE,
         "sparql_update_insert_where": SPARQL_UPDATE_INSERT_ORACLE,
+        "sparql_update_graph_copy": SPARQL_UPDATE_COPY_ORACLE,
         "events_sessionize": EVENTS_SESSIONIZE_ORACLE,
         "events_asof": EVENTS_ASOF_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

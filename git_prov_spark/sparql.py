@@ -2973,6 +2973,36 @@ def parse_update(text: str, repo: str | None = None, *,
             raise SparqlError(f"bad PREFIX iri {iri!r}")
         p.q.prefixes[pname[:-1]] = iri[1:-1]
     uq = UpdateQuery(form="")
+    # graph-management forms (§3.2): CLEAR/DROP drop a graph's triples,
+    # COPY/MOVE/ADD move whole graphs (repo-column relabeling). SILENT
+    # is accepted and meaningless here — these are total functions on
+    # the relation (an absent graph is just an empty selection).
+    if p._kw("CLEAR") or p._kw("DROP"):
+        p._kw("SILENT")
+        p._expect("GRAPH")
+        gterm, got = _update_term(p)
+        if got is None:
+            raise SparqlError("CLEAR/DROP GRAPH needs a constant name")
+        uq.form = "clear"
+        uq.quads = [(gterm, None, None, None)]
+        if p._peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {p._peek()[1]!r}")
+        return uq
+    for verb in ("COPY", "MOVE", "ADD"):
+        if p._kw(verb):
+            p._kw("SILENT")
+            p._kw("GRAPH")
+            src, sot = _update_term(p)
+            p._expect("TO")
+            p._kw("GRAPH")
+            dst, dot = _update_term(p)
+            if sot is None or dot is None:
+                raise SparqlError(f"{verb} needs constant graph names")
+            uq.form = verb.lower()
+            uq.quads = [(src, dst, None, None)]
+            if p._peek()[0] != "eof":
+                raise SparqlError(f"trailing input at {p._peek()[1]!r}")
+            return uq
     if p._kw("INSERT"):
         if p._kw("DATA"):
             uq.form = "insert_data"
@@ -3175,6 +3205,19 @@ def update(triples: DataFrame, text: str, repo: str | None = None, *,
     uq = parse_update(text, repo=repo, now=now, seed=seed)
     spark = triples.sparkSession
     base = triples.select(*_STORE_COLS)
+    if uq.form == "clear":
+        g = str(uq.quads[0][0])
+        return base.where(F.col("repo") != g)
+    if uq.form in ("copy", "move", "add"):
+        src, dst = (str(t) for t in uq.quads[0][:2])
+        moved = base.where(F.col("repo") == src).select(
+            F.lit(dst).alias("repo"), "subj", "pred", "obj", "obj_type")
+        if uq.form == "add":      # union into dst, set semantics
+            return base.unionByName(moved).distinct()
+        kept = base.where(F.col("repo") != dst)   # COPY/MOVE replace dst
+        if uq.form == "move":
+            kept = kept.where(F.col("repo") != src)
+        return kept.unionByName(moved)
     if uq.form == "insert_data":
         return base.unionByName(
             _quad_rows_df(spark, uq.quads, repo)).distinct()

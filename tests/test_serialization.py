@@ -275,3 +275,25 @@ class TestNtriplesParser:
         back = parse_ntriples_lines(ntriples_lines(t))
         assert {tuple(r) for r in t.collect()} \
             == {tuple(r) for r in back.collect()}
+
+
+def test_ntriples_parser_fuzz_roundtrip(spark):
+    """Property: serialize∘parse is the identity for arbitrary literal
+    content over the escape alphabet (backslashes, quotes, newlines,
+    tabs, CR, unicode)."""
+    import random
+
+    rng = random.Random(20260821)
+    alphabet = list('ab"\\\n\r\t ') + ["é", "中", "\\n", "\\\\"]
+    rows = []
+    for i in range(200):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 12)))
+        rows.append(("rp", f"gitprov:n{i}", "rdfs:label", s, "xsd:string"))
+    from git_prov_spark.store import ntriples_lines, parse_ntriples_lines
+
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+    back = parse_ntriples_lines(ntriples_lines(t))
+    assert {tuple(r) for r in back.collect()} == set(rows)

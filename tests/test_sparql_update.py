@@ -190,3 +190,26 @@ def test_modify_where_with_property_path(spark):
     assert ("g1", "ex:u2", "ex:reachedFromU1", "yes", "string") in got
     assert ("g1", "ex:u3", "ex:reachedFromU1", "yes", "string") in got
     assert ("g2", "ex:u2", "ex:reachedFromU1", "yes", "string") not in got
+
+
+def test_graph_management_forms(spark):
+    st = _store(spark)
+    # CLEAR drops g1's triples, keeps g2
+    got = _rows(update(st, 'CLEAR GRAPH "g1"'))
+    assert got == {("g2", "ex:u1", "ex:knows", "ex:u2", "iri")}
+    # COPY replaces the destination with the source
+    got = _rows(update(st, 'COPY GRAPH "g1" TO GRAPH "g2"'))
+    assert ("g2", "ex:u2", "ex:knows", "ex:u3", "iri") in got
+    assert ("g2", "ex:u3", "ex:age", "41", "xsd:int") in got
+    assert len([r for r in got if r[0] == "g2"]) == 4
+    assert len([r for r in got if r[0] == "g1"]) == 4  # source intact
+    # MOVE also drops the source
+    got = _rows(update(st, 'MOVE "g1" TO "g2"'))
+    assert not [r for r in got if r[0] == "g1"]
+    assert len([r for r in got if r[0] == "g2"]) == 4
+    # ADD unions (set semantics: g2's row already exists in g1's copy)
+    got = _rows(update(st, 'ADD "g2" TO "g1"'))
+    assert len(got) == 5  # g2's single row already present in g1
+    # DROP is CLEAR
+    assert _rows(update(st, 'DROP SILENT GRAPH "g2"')) \
+        == {r for r in _rows(st) if r[0] != "g2"}
