@@ -1904,6 +1904,37 @@ def q_kg_rdfs_delta(spark, sf_dir):
     return _inference.rdfs_closure_delta(base_closed, delta, sch)
 
 
+def q_kg_streaming_entailed(spark, sf_dir):
+    """Streaming reasoner (streaming.IncrementalEntailment): the RDFS
+    fixture's instance triples arrive in TWO micro-batches (even part
+    pairs + types, then odd part pairs); batch 0 closes in full, batch 1
+    runs the linear-in-Δ delta closure against the accumulated store.
+    The gated oracle is the ONE-SHOT closure of the whole input —
+    passing proves incremental maintenance over batches equals batch
+    reasoning, the property that makes materialized entailment viable
+    under continuous ingest."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.streaming import IncrementalEntailment
+
+    inst, sch = _rdfs_fixture(spark, sf_dir)
+    cond = (F.col("pred") == "ex:supplies") & (
+        F.col("obj").substr(F.lit(6), F.lit(1 << 10)).cast("long") % 2 == 1)
+    out = tempfile.mkdtemp(prefix="kg_ent_")
+    try:
+        ent = IncrementalEntailment(spark, sch, out)
+        ent.process_batch(inst.where(~cond), 0)
+        ent.process_batch(inst.where(cond), 1)
+        # materialize before the tempdir vanishes
+        rows = ent.store().collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+
+
 def q_kg_sameas_rewrite(spark, sf_dir):
     """owl:sameAs canonicalization (inference.sameas_canonicalize): fixed-
     round min-label components over the alias PAIR graph (tiny vs the
@@ -4298,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "kg_rdfs_delta": q_kg_rdfs_delta,
         "dedup_keep_best": q_dedup_keep_best,
+        "kg_streaming_entailed": q_kg_streaming_entailed,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4582,6 +4614,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_asof_snapshot": KG_ASOF_ORACLE,
         "kg_rdfs_delta": _inference.sql_rdfs_closure_delta(
             RDFS_OLD_SQL, RDFS_DELTA_SQL, RDFS_SCHEMA_SQL),
+        "kg_streaming_entailed": _inference.sql_rdfs_closure(
+            RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

@@ -377,3 +377,62 @@ def test_stream_windowed_unflushed_tail_stays_in_state(spark, tmp_path):
     out = stream_windowed_counts(
         spark, src, schema, str(tmp_path / "ckpt"), str(tmp_path / "out"))
     assert out.collect() == []
+
+
+class TestIncrementalEntailment:
+    SCH_ROWS = [
+        ("s", "ex:Draft", "rdfs:subClassOf", "ex:Document", "iri"),
+        ("s", "ex:Document", "rdfs:subClassOf", "ex:Work", "iri"),
+        ("s", "ex:authored", "rdfs:subPropertyOf", "ex:contributedTo", "iri"),
+        ("s", "ex:authored", "rdfs:domain", "ex:Person", "iri"),
+    ]
+    T = ("repo string, subj string, pred string, obj string, "
+         "obj_type string")
+
+    def _batches(self, spark):
+        b0 = spark.createDataFrame([
+            ("g", "d1", "rdf:type", "ex:Draft", "iri"),
+            ("g", "a1", "ex:authored", "d1", "iri"),
+        ], self.T)
+        b1 = spark.createDataFrame([
+            ("g", "d2", "rdf:type", "ex:Draft", "iri"),
+            ("g", "a2", "ex:authored", "d2", "iri"),
+        ], self.T)
+        return b0, b1
+
+    def test_prefix_invariant_and_replay(self, spark, tmp_path):
+        from git_prov_spark.inference import rdfs_closure
+        from git_prov_spark.streaming import IncrementalEntailment
+
+        sch = spark.createDataFrame(self.SCH_ROWS, self.T)
+        b0, b1 = self._batches(spark)
+        ent = IncrementalEntailment(spark, sch, str(tmp_path / "ent"))
+        ent.process_batch(b0, 0)
+        # prefix invariant after batch 0
+        assert {tuple(r) for r in ent.store().collect()} \
+            == {tuple(r) for r in rdfs_closure(b0, sch).collect()}
+        ent.process_batch(b1, 1)
+        full = rdfs_closure(b0.unionByName(b1), sch)
+        assert {tuple(r) for r in ent.store().collect()} \
+            == {tuple(r) for r in full.collect()}
+        # at-least-once: replaying batch 1 must be a no-op
+        ent.process_batch(b1, 1)
+        assert {tuple(r) for r in ent.store().collect()} \
+            == {tuple(r) for r in full.collect()}
+
+    def test_real_stream_drive(self, spark, tmp_path):
+        from git_prov_spark.inference import rdfs_closure
+        from git_prov_spark.streaming import stream_entailed
+
+        sch = spark.createDataFrame(self.SCH_ROWS, self.T)
+        b0, b1 = self._batches(spark)
+        src = str(tmp_path / "triples_in")
+        # two chunk files -> two micro-batches under maxFilesPerTrigger=1
+        b0.coalesce(1).write.mode("append").parquet(src)
+        b1.coalesce(1).write.mode("append").parquet(src)
+        got = stream_entailed(
+            spark, src, sch, str(tmp_path / "ent2"),
+            str(tmp_path / "ckpt"))
+        full = rdfs_closure(b0.unionByName(b1), sch)
+        assert {tuple(r) for r in got.collect()} \
+            == {tuple(r) for r in full.collect()}
