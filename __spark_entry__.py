@@ -1935,6 +1935,65 @@ def q_kg_streaming_entailed(spark, sf_dir):
               "obj_type string")
 
 
+def q_sparql_entailed(spark, sf_dir):
+    """Query ∘ reasoner integration: a SPARQL SELECT whose every solution
+    exists ONLY through inference — ?s rdf:type ex:Org is entailed via
+    domain typing + class subsumption, ?s ex:related ?part via the
+    subPropertyOf chain; neither triple is asserted. The engine runs the
+    string frontend directly over rdfs_closure's output frame (lazy
+    localCheckpoint: the closure materializes once under the two BGP
+    pattern scans)."""
+    from git_prov_spark.sparql import execute
+
+    inst, sch = _rdfs_fixture(spark, sf_dir)
+    closed = _inference.rdfs_closure(inst, sch).localCheckpoint(eager=False)
+    return execute(closed, """
+        SELECT ?s ?part WHERE {
+          ?s rdf:type ex:Org .
+          ?s ex:related ?part .
+        }
+    """)
+
+
+SPARQL_ENTAILED_ORACLE = (
+    "WITH c AS MATERIALIZED ({closure}) "
+    "SELECT t.subj AS s, r.obj AS part "
+    "FROM (SELECT DISTINCT subj FROM c WHERE pred = 'rdf:type' "
+    "AND obj = 'ex:Org') t "
+    "JOIN (SELECT DISTINCT subj, obj FROM c WHERE pred = 'ex:related') r "
+    "ON r.subj = t.subj"
+)
+
+
+def q_kg_compacted_store(spark, sf_dir):
+    """Store compaction (store.compact_store): a deliberately fragmented
+    (max salt fan-out) partitioned store rewritten to ~one right-sized
+    file per (repo_bucket, pred) directory — layout-only by contract,
+    so the oracle is the UNWRITTEN fixture relation: the gate passes
+    iff compaction preserved the triple multiset exactly. The pytest
+    twin asserts the file-count shrink; this entry gates the content
+    identity."""
+    import shutil
+    import tempfile
+
+    from git_prov_spark.store import compact_store, write_triples
+
+    t = _event_triples(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="kg_compact_")
+    path = out + "/store"
+    try:
+        write_triples(t, path, n_buckets=4, salt_files=8)
+        compact_store(spark, path, target_bytes=1 << 30)
+        rows = (spark.read.parquet(path)
+                .select("repo", "subj", "pred", "obj", "obj_type")
+                .collect())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+
+
 def q_kg_sameas_rewrite(spark, sf_dir):
     """owl:sameAs canonicalization (inference.sameas_canonicalize): fixed-
     round min-label components over the alias PAIR graph (tiny vs the
@@ -4330,6 +4389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_delta": q_kg_rdfs_delta,
         "dedup_keep_best": q_dedup_keep_best,
         "kg_streaming_entailed": q_kg_streaming_entailed,
+        "sparql_entailed": q_sparql_entailed,
+        "kg_compacted_store": q_kg_compacted_store,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4616,6 +4677,10 @@ def oracle_sql() -> dict[str, str]:
             RDFS_OLD_SQL, RDFS_DELTA_SQL, RDFS_SCHEMA_SQL),
         "kg_streaming_entailed": _inference.sql_rdfs_closure(
             RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL),
+        "sparql_entailed": SPARQL_ENTAILED_ORACLE.format(
+            closure=_inference.sql_rdfs_closure(
+                RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL)),
+        "kg_compacted_store": SAMEAS_TRIPLES_SQL,
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

@@ -630,3 +630,61 @@ def read_ntriples(spark, path: str,
     return parse_ntriples_lines(
         spark.read.text(path).withColumnRenamed("value", "line"),
         default_repo=default_repo)
+
+
+def compact_store(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
+                  n_buckets: int = DEFAULT_BUCKETS) -> dict:
+    """Rewrite a partitioned triple store so every (repo_bucket, pred)
+    directory holds ~target_bytes-sized files — the compaction pass an
+    incrementally-appended store (streaming build batches, UPDATE
+    deltas, store_delta shipments) needs periodically, or reads drown
+    in file-open overhead (the classic small-files problem; Iceberg's
+    rewrite_data_files is the managed twin, still jar-less in this
+    container — BASELINE.md §Iceberg).
+
+    Contract: content-identical (same triple multiset), layout-only.
+    Mechanics: one pass — read with the partition columns, compute the
+    global bytes/row from the scan statistics, then shuffle ON THE
+    PARTITION KEYS with a row_number-derived file index so each
+    directory lands in ceil(dir_rows / rows_per_file) write tasks; a
+    directory already at one right-sized file costs one task. Returns
+    {files_before, files_after, rows} so the caller can assert the
+    shrink.
+
+    At 100 TB you'd run this per-partition-subset (WHERE repo_bucket
+    IN (...)) under dynamic partition overwrite — the `where` the
+    caller applies before calling composes with the same plan."""
+    import glob as _glob
+    import os
+
+    def _count_files(p):
+        return len([f for f in _glob.glob(
+            os.path.join(p, "**", "*.parquet"), recursive=True)])
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    size_bytes = sum(
+        os.path.getsize(f) for f in _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True))
+    rows_per_file = max(
+        1, int(rows * target_bytes / size_bytes) if size_bytes else rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo_bucket", "pred").orderBy("subj", "obj")
+    tmp = path.rstrip("/") + ".compact.tmp"
+    (
+        df.withColumn(
+            "_f", ((F.row_number().over(w) - 1) / rows_per_file)
+            .cast("long"))
+        .repartition(F.col("repo_bucket"), F.col("pred"), F.col("_f"))
+        .drop("_f")
+        .write.mode("overwrite").partitionBy("repo_bucket", "pred")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {"files_before": before, "files_after": _count_files(path),
+            "rows": rows}

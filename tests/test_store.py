@@ -182,3 +182,31 @@ def test_table_sink_contract(spark, triples_df, tmp_path):
     if not iceberg_available(spark):
         total = spark.read.parquet(out).count()
         assert total == triples_df.count()  # idempotent partition overwrite
+
+
+def test_compact_store_layout_only(spark, tmp_path):
+    from git_prov_spark.store import compact_store, write_triples
+
+    t = spark.createDataFrame(
+        [("r%d" % (i % 5), "s%d" % i, "p%d" % (i % 3), "o%d" % i, "iri")
+         for i in range(2000)],
+        "repo string, subj string, pred string, obj string, obj_type string")
+    path = str(tmp_path / "frag")
+    # fragment hard: max salt fan-out
+    write_triples(t, path, n_buckets=4, salt_files=8)
+    before_rows = {tuple(r) for r in spark.read.parquet(path)
+                   .drop("repo_bucket").collect()}
+    stats = compact_store(spark, path, target_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 2000
+    after = spark.read.parquet(path)
+    assert {tuple(r) for r in after.drop("repo_bucket").collect()} \
+        == before_rows
+    # pruning keys survive
+    assert "repo_bucket" in after.columns and "pred" in after.columns
+    # one file per (bucket, pred) dir at this tiny size
+    import glob, os
+    dirs = {os.path.dirname(f) for f in glob.glob(
+        f"{path}/**/*.parquet", recursive=True)}
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
