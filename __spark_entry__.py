@@ -1965,6 +1965,31 @@ SPARQL_ENTAILED_ORACLE = (
 )
 
 
+def q_kg_agent_fuzzy_links(spark, sf_dir):
+    """Blocked fuzzy agent matching (agents.fuzzy_agent_links): the
+    customer directory blocked by nation, id-ordered pairs within edit
+    distance 2 of each other's names — the candidate-link pass that
+    feeds alias-merge components. Equi-join on the block key (cost
+    Σ|block|², never all-pairs); levenshtein is JVM-side codegen and
+    integer-exact cross-engine."""
+    from git_prov_spark.pipeline.agents import fuzzy_agent_links
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("blk"))
+    return fuzzy_agent_links(cust, "id", "nm", "blk", max_dist=2)
+
+
+KG_AGENT_FUZZY_ORACLE = (
+    "SELECT a.c_nationkey AS block, a.c_custkey AS id_a, "
+    "b.c_custkey AS id_b, "
+    "CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist "
+    "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey "
+    "AND a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 2"
+)
+
+
 def q_kg_compacted_store(spark, sf_dir):
     """Store compaction (store.compact_store): a deliberately fragmented
     (max salt fan-out) partitioned store rewritten to ~one right-sized
@@ -4391,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_streaming_entailed": q_kg_streaming_entailed,
         "sparql_entailed": q_sparql_entailed,
         "kg_compacted_store": q_kg_compacted_store,
+        "kg_agent_fuzzy_links": q_kg_agent_fuzzy_links,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4681,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
             closure=_inference.sql_rdfs_closure(
                 RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL)),
         "kg_compacted_store": SAMEAS_TRIPLES_SQL,
+        "kg_agent_fuzzy_links": KG_AGENT_FUZZY_ORACLE,
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

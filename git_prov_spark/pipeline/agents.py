@@ -208,3 +208,37 @@ def alias_components(commits: DataFrame, contributors: DataFrame,
     )
     edges.unpersist()
     return result
+
+
+def fuzzy_agent_links(directory: DataFrame, id_col: str, name_col: str,
+                      block_col: str, max_dist: int = 2) -> DataFrame:
+    """(block, id_a, id_b, dist) — BLOCKED fuzzy candidate links for
+    agent entity resolution: within each blocking key (email domain,
+    organization, phonetic bucket — whatever the caller projects),
+    every id-ordered pair whose names are within `max_dist` edit
+    distance. The fuzzy complement of alias_components' exact
+    login↔email graph: feed these pairs into the same min-label
+    components to merge near-identical agent records ("J. Smith" /
+    "J Smith"), exactly the salted-broadcast + union-find linking pass
+    the north rule names.
+
+    Scale: the block key is what makes this survive 10^12 rows — the
+    self-join is an equi-join on block (never all-pairs), cost
+    Σ|block|². A viral block (one hosting domain) is the skew case:
+    route through operators.salted_join or pre-cap blocks like the LSH
+    bucket guard. levenshtein runs JVM-side (whole-stage codegen), and
+    its integer distances are engine-exact — the DuckDB twin
+    hash-matches with no tolerance."""
+    a = directory.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
+    b = directory.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("block", "id_a", "id_b", "dist")
+    )

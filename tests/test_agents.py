@@ -123,3 +123,24 @@ def test_canonicalize_default_off_is_identical(spark_tables):
         ).collect()
     }
     assert a == b
+
+
+def test_fuzzy_agent_links_blocking_and_threshold(spark):
+    from git_prov_spark.pipeline.agents import fuzzy_agent_links
+
+    d = spark.createDataFrame(
+        [(1, "J. Smith", "x"), (2, "J Smith", "x"), (3, "J. Smyth", "x"),
+         (4, "Completely Different", "x"),
+         (5, "J. Smith", "y")],   # same name, other block: never paired
+        "id long, nm string, blk string")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_agent_links(d, "id", "nm", "blk",
+                                      max_dist=2).collect()}
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 2)}
+    # composition: the links feed the same components machinery
+    from git_prov_spark.operators import connected_components
+    pairs = fuzzy_agent_links(d, "id", "nm", "blk", max_dist=2) \
+        .selectExpr("CAST(id_a AS STRING) a", "CAST(id_b AS STRING) b")
+    comp = {(r.node, r.component)
+            for r in connected_components(pairs, a="a", b="b").collect()}
+    assert comp == {("1", "1"), ("2", "1"), ("3", "1")}
