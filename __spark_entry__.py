@@ -1513,6 +1513,17 @@ def q_corpus_bpe_merges(spark, sf_dir):
     return bpe_merge_table(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_bpe_encode(spark, sf_dir):
+    """Per-doc BPE ENCODING under the corpus-learned merge table (r5.s2,
+    bpe.bpe_encode_counts): pretoken and piece counts — the
+    pieces/word compression readout. The Zipf-small vocabulary
+    broadcasts into the per-doc word counts; documents are never
+    re-folded symbol-by-symbol."""
+    from git_prov_spark.corpus.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_bpe_vocab(spark, sf_dir):
     """Per-word tokenization under the 8 learned BPE merges (r5,
     bpe.bpe_vocab) — evidence the merges are APPLIED with exact greedy
@@ -4384,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_semantic_decontam": q_corpus_semantic_decontam,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
+        "corpus_bpe_encode": q_corpus_bpe_encode,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_estimate": q_sketch_hll_estimate,
         "sketch_cms_counters": q_sketch_cms_counters,
@@ -4735,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", threshold=0.3),
         "corpus_bpe_merges": oracles.sql_bpe_merges("documents"),
         "corpus_bpe_vocab": oracles.sql_bpe_vocab("documents"),
+        "corpus_bpe_encode": oracles.sql_bpe_encode_counts("documents"),
         "sketch_hll_registers": oracles.sql_hll_registers(
             "lineitem", "l_orderkey"),
         "sketch_hll_estimate": oracles.sql_hll_estimate(

@@ -145,3 +145,36 @@ def bpe_vocab(df: DataFrame, n_merges: int = N_MERGES,
         F.size("syms").cast("long").alias("n_syms"),
         F.concat_ws(" ", "syms").alias("toks"),
     )
+
+
+def bpe_encode_counts(df: DataFrame, n_merges: int = N_MERGES,
+                      text: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_pieces) — every document ENCODED under the
+    corpus-learned merge table: pretoken count and resulting BPE piece
+    count. The compression readout a tokenizer-training pipeline logs
+    per shard (pieces/word ratio), and the budgeting input for token-
+    based pricing of a corpus.
+
+    Scale: encoding never touches documents symbol-by-symbol — the
+    vocabulary (word → piece count under all merges) comes out of
+    learn_bpe's word-level fold, is Zipf-small, and BROADCASTS into a
+    join against the per-doc word counts (one hash-aggregate over
+    exploded pretokens, map-side partials). The corpus-sized work is
+    the same single pass word_freqs already does."""
+    _, words = learn_bpe(df, n_merges, text)
+    vocab = words.select("word", F.size("syms").alias("n_syms"))
+    from .text import bpe_tokens_col
+
+    per_doc = (
+        df.select(F.col(id_col), F.explode(bpe_tokens_col(text)).alias("word"))
+        .where(~F.col("word").contains(SEP))
+        .groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("n_words"),
+             F.sum(F.col("c") * F.col("n_syms")).cast("long")
+             .alias("n_pieces"))
+    )

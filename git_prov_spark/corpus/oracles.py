@@ -1514,3 +1514,21 @@ def sql_near_dup_keep_best(src: str, n: int = 4) -> str:
         "SELECT doc_id, canonical_doc_id AS cluster_id, rk = 1 AS keep "
         "FROM r"
     )
+
+
+def sql_bpe_encode_counts(src: str = "documents", n_merges: int = 8) -> str:
+    """DuckDB twin of bpe.bpe_encode_counts — the shared merge-chain
+    CTEs, then per-doc pretoken counts joined to the final
+    tokenization's piece counts."""
+    from .text import BPE_TOKEN_PATTERN
+
+    return (
+        f"{_bpe_cte_chain(src, n_merges)} "
+        "SELECT dw.doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_words, "
+        f"CAST(SUM(dw.c * len(w{n_merges}.syms)) AS BIGINT) AS n_pieces "
+        "FROM (SELECT doc_id, word, COUNT(*) AS c FROM "
+        "(SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), "
+        f"'{BPE_TOKEN_PATTERN}')) AS word FROM {src}) u "
+        "WHERE strpos(word, chr(31)) = 0 GROUP BY doc_id, word) dw "
+        f"JOIN w{n_merges} USING (word) GROUP BY dw.doc_id"
+    )

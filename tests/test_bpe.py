@@ -123,3 +123,23 @@ def test_bpe_stops_when_pairs_exhausted(spark):
     assert [(m[1], m[2]) for m in merges] == [("a", "b"), ("c", "d")]
     assert all(r.n_syms == 1 for r in
                words.selectExpr("size(syms) AS n_syms").collect())
+
+
+def test_bpe_encode_counts_invariants(spark):
+    from git_prov_spark.corpus.bpe import bpe_encode_counts, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer low"), (3, None)],
+        "doc_id long, text string")
+    enc = {r.doc_id: (r.n_words, r.n_pieces)
+           for r in bpe_encode_counts(docs, n_merges=4).collect()}
+    # empty doc emits nothing; counts are per-pretoken sums
+    assert 3 not in enc
+    assert enc[1][0] == 4 and enc[2][0] == 3
+    # pieces bounded: 1..len(word) per word, and merges COMPRESS:
+    # total pieces strictly below total characters (merges fired)
+    vocab = {r.word: r.n_syms
+             for r in bpe_vocab(docs, n_merges=4).collect()}
+    for d, (nw, np_) in enc.items():
+        assert nw <= np_
+    assert enc[1][1] == vocab["low"] * 2 + vocab["lower"] + vocab["lowest"]
