@@ -2001,6 +2001,35 @@ KG_AGENT_FUZZY_ORACLE = (
 )
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic KG-embedding negative sampling
+    (inference.negative_samples): k=2 corruptions per positive triple,
+    the object replaced by a portable-hash draw over the dense entity
+    index — reproducible epochs on any cluster size, every drawn row
+    verified by the DuckDB twin. Self-collisions filtered, never
+    resampled."""
+    ents = _event_triples(spark, sf_dir).select(
+        F.col("obj").alias("entity")).distinct()
+    return _inference.negative_samples(
+        _event_triples(spark, sf_dir), ents)
+
+
+NEG_ENTITIES_SQL = (
+    "SELECT DISTINCT 'event-' || CAST(event_id AS VARCHAR) AS entity "
+    "FROM events"
+)
+
+
+def q_corpus_split_leakage(spark, sf_dir):
+    """Cross-split exact-dup leakage audit (curate.split_leakage_report)
+    over the planted-copy corpus at a 50/50 train/val cut: sha-equal doc
+    pairs straddling the cut are the leaks; the self-join runs ON the
+    sha (dup-group-bounded, never all-pairs)."""
+    return curate.split_leakage_report(
+        _aug_exact_df(spark, sf_dir),
+        weights={"train": 5000, "val": 5000})
+
+
 def q_kg_compacted_store(spark, sf_dir):
     """Store compaction (store.compact_store): a deliberately fragmented
     (max salt fan-out) partitioned store rewritten to ~one right-sized
@@ -4429,6 +4458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_entailed": q_sparql_entailed,
         "kg_compacted_store": q_kg_compacted_store,
         "kg_agent_fuzzy_links": q_kg_agent_fuzzy_links,
+        "kg_negative_samples": q_kg_negative_samples,
+        "corpus_split_leakage": q_corpus_split_leakage,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4720,6 +4751,11 @@ def oracle_sql() -> dict[str, str]:
                 RDFS_INSTANCE_SQL, RDFS_SCHEMA_SQL)),
         "kg_compacted_store": SAMEAS_TRIPLES_SQL,
         "kg_agent_fuzzy_links": KG_AGENT_FUZZY_ORACLE,
+        "kg_negative_samples": _inference.sql_negative_samples(
+            SAMEAS_TRIPLES_SQL, NEG_ENTITIES_SQL),
+        "corpus_split_leakage": oracles.sql_split_leakage(
+            f"({AUG_EXACT_SQL})",
+            weights=[("train", 5000), ("val", 5000)]),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

@@ -639,3 +639,40 @@ def ntile_per_group(df: DataFrame, group: str, order_col: str,
         df.select(group, id_col, order_col)
         .withColumn("bucket", F.ntile(n).over(w).cast("long"))
     )
+
+
+def split_leakage_report(documents: DataFrame,
+                         weights: dict[str, int] | None = None,
+                         salt: str = "split-v1",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(split_lo, split_hi, n_pairs, n_shas) — exact-duplicate LEAKAGE
+    between dataset splits: pairs of distinct docs with identical
+    content sha landing in two splits (split_lo < split_hi rows are the
+    leaks; split_lo = split_hi rows are benign intra-split dupes, kept
+    for context). The audit every train/val/test cut needs BEFORE
+    evaluation numbers mean anything — hash-based splits are stable but
+    content-blind, so exact copies with different ids can straddle the
+    cut.
+
+    Scale: one sha aggregate + a self-equi-join ON THE SHA (bounded by
+    dup-group sizes, the dedup_exact shape — never all-pairs), then a
+    hash-aggregate over the tiny split×split space."""
+    from .text import norm_text
+
+    sp = dataset_splits(documents, weights=weights, salt=salt,
+                        id_col=id_col)
+    sh = documents.select(
+        F.col(id_col), F.sha2(norm_text(), 256).alias("sha"))
+    j = sh.join(sp, id_col)
+    a = j.select(F.col(id_col).alias("ida"), F.col("sha"),
+                 F.col("split").alias("sa"))
+    b = j.select(F.col(id_col).alias("idb"), F.col("sha").alias("shb"),
+                 F.col("split").alias("sb"))
+    pairs = a.join(b, (a["sha"] == b["shb"]) & (a["ida"] < b["idb"]))
+    return (
+        pairs.groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.count_distinct("sha").alias("n_shas"))
+    )

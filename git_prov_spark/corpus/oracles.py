@@ -1532,3 +1532,21 @@ def sql_bpe_encode_counts(src: str = "documents", n_merges: int = 8) -> str:
         "WHERE strpos(word, chr(31)) = 0 GROUP BY doc_id, word) dw "
         f"JOIN w{n_merges} USING (word) GROUP BY dw.doc_id"
     )
+
+
+def sql_split_leakage(src: str = "documents", salt: str = "split-v1",
+                      weights: list[tuple[str, int]] | None = None) -> str:
+    """DuckDB twin of curate.split_leakage_report."""
+    return (
+        f"WITH sp AS ({sql_dataset_splits(src, salt=salt, weights=weights)}), "
+        f"sh AS (SELECT doc_id, sha256(COALESCE(text, '')) AS sha "
+        f"FROM {src}), "
+        "j AS (SELECT sh.doc_id, sh.sha, sp.split FROM sh "
+        "JOIN sp USING (doc_id)) "
+        "SELECT LEAST(a.split, b.split) AS split_lo, "
+        "GREATEST(a.split, b.split) AS split_hi, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(COUNT(DISTINCT a.sha) AS BIGINT) AS n_shas "
+        "FROM j a JOIN j b ON a.sha = b.sha AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
+    )

@@ -553,3 +553,76 @@ def sql_rdfs_closure_delta(old_sql: str, delta_sql: str,
         f"SELECT * FROM ({sql_rdfs_closure(both, schema_sql)}) full_c "
         f"EXCEPT SELECT * FROM ({sql_rdfs_closure(old_sql, schema_sql)}) old_c"
     )
+
+
+def negative_samples(triples: DataFrame, entities: DataFrame,
+                     k: int = 2, salt: str = "neg-v1") -> DataFrame:
+    """(subj, pred, obj, neg_obj, neg_idx) — deterministic corrupted
+    triples for KG-embedding training (the TransE/DistMult negative-
+    sampling pass): each positive (s, p, o) IRI triple yields `k`
+    corruptions replacing the object with a pseudo-random entity drawn
+    by portable hash of (salt, s, p, o, neg_idx) mod |E|. Self-
+    collisions (drawn entity == true object) are dropped, not resampled
+    — the standard filtered-sampling trade (a resample loop would make
+    the row's value depend on corpus-global state).
+
+    Determinism is the point: the same (triple, salt) draws the same
+    negatives on any cluster size — reproducible epochs, auditable
+    leakage, and a DuckDB twin that verifies every drawn row.
+
+    Scale: entities get a dense 0..|E|-1 index via a range-partitioned
+    global row number (no single-task sort); the draw joins triples ⋈
+    entities ON the computed index — an equi-join that broadcasts when
+    the entity dictionary fits and shuffles co-partitioned otherwise.
+    Text never moves; every row is (4 strings, 2 longs)."""
+    from .corpus.hashing import spark_h64
+    from .operators import global_row_number
+
+    ent = global_row_number(
+        entities.select(F.col(entities.columns[0]).alias("entity"))
+        .distinct(), order_by=["entity"], out_col="eidx")
+    ent = ent.withColumn("eidx", F.col("eidx") - 1)  # dense 0-based
+    n_ent = ent.groupBy(F.lit(1).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_ent")).drop("_k")
+    pos = triples.where(F.col("obj_type") == "iri") \
+        .select("subj", "pred", "obj")
+    expanded = pos.crossJoin(F.broadcast(n_ent)).selectExpr(
+        "*", f"explode(sequence(0, {k - 1})) AS neg_idx")
+    drawn = expanded.withColumn(
+        "_draw",
+        F.expr(spark_h64(
+            f"concat_ws('\\u001f', '{salt}', subj, pred, obj, "
+            "cast(neg_idx as string))")) % F.col("n_ent"))
+    return (
+        drawn.join(ent, drawn["_draw"] == ent["eidx"])
+        .where(F.col("entity") != F.col("obj"))
+        .select("subj", "pred", "obj",
+                F.col("entity").alias("neg_obj"), "neg_idx")
+    )
+
+
+def sql_negative_samples(triples_sql: str, entities_sql: str,
+                         k: int = 2, salt: str = "neg-v1") -> str:
+    """DuckDB twin of :func:`negative_samples` — same dense entity
+    index (row_number over the sorted distinct entities), same portable
+    hash draw."""
+    from .corpus.hashing import duck_h64
+
+    h = duck_h64(
+        f"concat_ws(chr(31), '{salt}', subj, pred, obj, "
+        "CAST(neg_idx AS VARCHAR))")
+    return f"""
+WITH ent AS MATERIALIZED (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS eidx
+  FROM (SELECT DISTINCT * FROM ({entities_sql}) re) e),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ent FROM ent),
+pos AS (SELECT subj, pred, obj FROM ({triples_sql}) t
+        WHERE obj_type = 'iri'),
+ex AS (SELECT pos.*, i AS neg_idx FROM pos,
+       unnest(range(0, {k})) AS t(i)),
+dr AS (SELECT ex.*, ({h}) % n_ent AS draw FROM ex, ne)
+SELECT dr.subj, dr.pred, dr.obj, ent.entity AS neg_obj,
+       CAST(dr.neg_idx AS INTEGER) AS neg_idx
+FROM dr JOIN ent ON ent.eidx = dr.draw
+WHERE ent.entity <> dr.obj
+"""

@@ -297,3 +297,24 @@ def test_source_report_repartition_invariant(spark):
     x = sorted(map(tuple, source_report(df).collect()))
     y = sorted(map(tuple, source_report(df.repartition(11)).collect()))
     assert x == y
+
+
+def test_split_leakage_report_detects_planted_leak(spark):
+    from git_prov_spark.corpus.curate import dataset_splits, split_leakage_report
+
+    # 40 unique docs + exact copies under different ids: at a 50/50 cut
+    # some copy pairs must straddle it (and the report must say so)
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 40}") for i in range(80)],
+        "doc_id long, text string")
+    w = {"train": 5000, "val": 5000}
+    rep = {(r.split_lo, r.split_hi): (r.n_pairs, r.n_shas)
+           for r in split_leakage_report(docs, weights=w).collect()}
+    # cross-split pairs reported exactly = hand count from the split fn
+    sp = {r.doc_id: r.split for r in dataset_splits(docs, weights=w).collect()}
+    cross = sum(1 for i in range(40) if sp[i] != sp[i + 40])
+    same = 40 - cross
+    assert cross > 0, "50/50 cut should leak on this fixture"
+    assert rep.get(("train", "val"), (0, 0))[0] == cross
+    assert rep.get(("train", "train"), (0, 0))[0] \
+        + rep.get(("val", "val"), (0, 0))[0] == same

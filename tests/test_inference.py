@@ -307,3 +307,23 @@ def test_rdfs_closure_delta_linear_path(spark):
                                ["repo", "subj", "pred", "obj", "obj_type"],
                                "left_anti").collect()}
     assert new == defn
+
+
+def test_negative_samples_determinism_and_validity(spark):
+    tr = _df(spark, [
+        ("g", "a", "p", "e1", "iri"),
+        ("g", "b", "p", "e2", "iri"),
+        ("g", "c", "q", "lit", "string"),   # literal obj: never corrupted
+    ])
+    ents = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",), ("e4",)], "entity string")
+    r1 = {tuple(r) for r in inference.negative_samples(tr, ents).collect()}
+    r2 = {tuple(r) for r in inference.negative_samples(tr, ents).collect()}
+    assert r1 == r2 and r1                       # deterministic, nonempty
+    for subj, pred, obj, neg, idx in r1:
+        assert neg != obj and neg in {"e1", "e2", "e3", "e4"}
+        assert subj in {"a", "b"}                # literal triple excluded
+    # a different salt is an independent draw
+    r3 = {tuple(r) for r in inference.negative_samples(
+        tr, ents, salt="neg-v2").collect()}
+    assert r3 != r1 or len(r1) == 0
