@@ -2030,6 +2030,31 @@ def q_corpus_split_leakage(spark, sf_dir):
         weights={"train": 5000, "val": 5000})
 
 
+def q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte ICDE'11 —
+    inference.characteristic_sets) over the SHACL fixture graph: the
+    star-join cardinality statistic a SPARQL optimizer keeps. Two
+    hash-aggregates; the per-subject collect is bounded by DISTINCT
+    predicate count. The fixture's planted irregularities (missing
+    phones, doubled phones) give real signature variety."""
+    triples, _ = _shacl_fixture(spark, sf_dir)
+    return _inference.characteristic_sets(triples)
+
+
+def q_corpus_decontam_spans(spark, sf_dir):
+    """Span-level decontamination (decontam.span_decontaminate): token
+    windows tested against the eval shingle set independently — one
+    contaminated paragraph loses its window, not the document. Same
+    doc_id-stride eval split and 32/8 windows as the doc-level and
+    chunking entries."""
+    from git_prov_spark.corpus.decontam import span_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return span_decontaminate(tr, ev, window=32, overlap=8, n=4)
+
+
 def q_kg_compacted_store(spark, sf_dir):
     """Store compaction (store.compact_store): a deliberately fragmented
     (max salt fan-out) partitioned store rewritten to ~one right-sized
@@ -4460,6 +4485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_agent_fuzzy_links": q_kg_agent_fuzzy_links,
         "kg_negative_samples": q_kg_negative_samples,
         "corpus_split_leakage": q_corpus_split_leakage,
+        "kg_char_sets": q_kg_char_sets,
+        "corpus_decontam_spans": q_corpus_decontam_spans,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4756,6 +4783,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_leakage": oracles.sql_split_leakage(
             f"({AUG_EXACT_SQL})",
             weights=[("train", 5000), ("val", 5000)]),
+        "kg_char_sets": _inference.sql_characteristic_sets(
+            SHACL_TRIPLES_SQL),
+        "corpus_decontam_spans": oracles.sql_span_decontam(
+            "documents", window=32, overlap=8),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

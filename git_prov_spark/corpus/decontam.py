@@ -138,3 +138,56 @@ def semantic_contamination(
             (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def span_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    window: int = 32,
+    overlap: int = 8,
+    n: int = DEFAULT_DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, n_hits, keep) — SPAN-level
+    benchmark decontamination: documents chunk into token windows
+    (text.chunk_documents) and each WINDOW is tested against the eval
+    shingle set independently, so a doc with one contaminated paragraph
+    loses that window, not the whole document — the Pile/Llama-style
+    surgical cut that preserves the clean 99% of a long doc where
+    doc-level decontam (contamination_report) would drop it all.
+
+    Scale: same shape as the doc-level pass — the eval shingle set
+    broadcasts (eval corpora are small by definition), the chunk
+    shingles are map-side explodes, one hash-aggregate per chunk key.
+    The corpus text shuffles once, in the chunker's posexplode."""
+    from .text import chunk_documents, tokens_col
+
+    ch = chunk_documents(train, window=window, overlap=overlap,
+                         id_col=id_col)
+    parts = ", ".join(f"element_at(tokens, i + {j})" for j in range(n))
+    sh_expr = (
+        f"case when size(tokens) >= {n} then "
+        f"transform(sequence(1, size(tokens) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) "
+        f"else cast(array() as array<string>) end"
+    )
+    csh = (
+        ch.withColumn("tokens", tokens_col("chunk_text"))
+        .select(F.col(id_col), "chunk_idx",
+                F.explode(F.expr(sh_expr)).alias("shingle"))
+        .distinct()
+    )
+    ev = shingles(eval_df, n=n, id_col=id_col).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = csh.join(ev, "shingle").groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).alias("_hits"))
+    return (
+        ch.join(hits, [id_col, "chunk_idx"], "left")
+        .select(
+            F.col(id_col), "chunk_idx", "n_tokens",
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("_hits", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -1550,3 +1550,36 @@ def sql_split_leakage(src: str = "documents", salt: str = "split-v1",
         "FROM j a JOIN j b ON a.sha = b.sha AND a.doc_id < b.doc_id "
         "GROUP BY 1, 2"
     )
+
+
+def sql_span_decontam(src: str = "documents", window: int = 32,
+                      overlap: int = 8, n: int = 4,
+                      eval_mod: int = 10) -> str:
+    """DuckDB twin of decontam.span_decontaminate over the doc_id-stride
+    eval split (eval = doc_id % eval_mod == 0, train = the rest)."""
+    parts = ", ".join(f"tokens[i + {j}]" for j in range(n))
+    sh = (
+        f"unnest(CASE WHEN len(tokens) >= {n} THEN "
+        f"list_transform(generate_series(1, len(tokens) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE CAST([] AS VARCHAR[]) END)"
+    )
+    train = f"(SELECT * FROM {src} WHERE doc_id % {eval_mod} <> 0)"
+    return (
+        f"WITH ch AS ({sql_chunk_documents(train, window, overlap)}), "
+        "ctoks AS (SELECT doc_id, chunk_idx, "
+        "CASE WHEN trim(chunk_text) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(chunk_text), '\\s+') END AS tokens "
+        "FROM ch), "
+        "csh AS (SELECT DISTINCT doc_id, chunk_idx, shingle FROM "
+        f"(SELECT doc_id, chunk_idx, {sh} AS shingle FROM ctoks) s), "
+        f"etoks AS (SELECT doc_id, tokens FROM ({toks_cte(src)}) tk "
+        f"WHERE doc_id % {eval_mod} = 0), "
+        "ev AS (SELECT DISTINCT shingle FROM "
+        f"(SELECT doc_id, {sh} AS shingle FROM etoks) e), "
+        "hits AS (SELECT doc_id, chunk_idx, COUNT(*) AS nh FROM csh "
+        "JOIN ev USING (shingle) GROUP BY 1, 2) "
+        "SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, "
+        "CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits, "
+        "COALESCE(nh, 0) = 0 AS keep "
+        "FROM ch LEFT JOIN hits USING (doc_id, chunk_idx)"
+    )

@@ -626,3 +626,41 @@ SELECT dr.subj, dr.pred, dr.obj, ent.entity AS neg_obj,
 FROM dr JOIN ent ON ent.eidx = dr.draw
 WHERE ent.entity <> dr.obj
 """
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """(sig, n_subjects, n_triples) — Neumann & Moerkotte's
+    characteristic sets (ICDE 2011): subjects grouped by the SET of
+    predicates they carry. THE cardinality statistic a SPARQL optimizer
+    keeps — star-join selectivity over a subject is read off the
+    signatures that contain the star's predicates (n_subjects sums),
+    and per-predicate multiplicity within a signature is
+    n_triples / n_subjects. Distinct-predicate signatures also bound
+    the schema's real shape far tighter than per-predicate counts.
+
+    Scale: two hash-aggregates — (subj → sorted predicate set), then
+    (sig → counts); the signature space is ontology-sized. The per-
+    subject collect_set is bounded by a subject's predicate count (tens,
+    even for fat hubs — it is the DISTINCT predicates, not the edges)."""
+    per_subj = (
+        triples.groupBy("subj")
+        .agg(F.concat_ws("|", F.array_sort(
+            F.collect_set("pred"))).alias("sig"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_subj.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_subjects"),
+             F.sum("_n").alias("n_triples"))
+    )
+
+
+def sql_characteristic_sets(triples_sql: str) -> str:
+    """DuckDB twin of :func:`characteristic_sets`."""
+    return (
+        f"WITH t AS MATERIALIZED ({triples_sql}), "
+        "ps AS (SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) "
+        "AS sig, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY subj) "
+        "SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_subjects, "
+        "CAST(SUM(n) AS BIGINT) AS n_triples FROM ps GROUP BY sig"
+    )

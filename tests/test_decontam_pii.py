@@ -146,3 +146,27 @@ def test_semantic_contamination_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_decontaminate_surgical(spark):
+    """A doc with one contaminated window keeps its clean windows —
+    where doc-level decontam drops the whole doc."""
+    from git_prov_spark.corpus.decontam import (
+        contamination_report, span_decontaminate)
+
+    leak = "secret eval answer key"
+    clean = " ".join(f"w{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [(1, clean + " " + leak), (2, clean)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    spans = {(r.doc_id, r.chunk_idx): r.keep
+             for r in span_decontaminate(train, ev, window=8, overlap=0,
+                                         n=4).collect()}
+    # doc 1: window 0 = w0..w7 clean; window 1 = leak → dropped
+    assert spans[(1, 0)] is True and spans[(1, 1)] is False
+    assert spans[(2, 0)] is True
+    # doc-level would reject doc 1 wholesale
+    doc = {r.doc_id: r.contaminated
+           for r in contamination_report(train, ev, n=4).collect()}
+    assert doc[1] is True and doc[2] is False

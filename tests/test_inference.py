@@ -327,3 +327,24 @@ def test_negative_samples_determinism_and_validity(spark):
     r3 = {tuple(r) for r in inference.negative_samples(
         tr, ents, salt="neg-v2").collect()}
     assert r3 != r1 or len(r1) == 0
+
+
+def test_characteristic_sets(spark):
+    tr = _df(spark, [
+        ("g", "a", "p", "x", "iri"),
+        ("g", "a", "q", "y", "iri"),
+        ("g", "a", "q", "z", "iri"),     # multiplicity counts in n_triples
+        ("g", "b", "p", "x", "iri"),
+        ("g", "b", "q", "x", "iri"),
+        ("g", "c", "p", "x", "iri"),
+    ])
+    got = {(r.sig, r.n_subjects, r.n_triples)
+           for r in inference.characteristic_sets(tr).collect()}
+    assert got == {("p|q", 2, 5), ("p", 1, 1)}
+    ora = duckdb.connect().execute(inference.sql_characteristic_sets(
+        "SELECT * FROM (VALUES ('g','a','p','x','iri'),"
+        "('g','a','q','y','iri'),('g','a','q','z','iri'),"
+        "('g','b','p','x','iri'),('g','b','q','x','iri'),"
+        "('g','c','p','x','iri')) v(repo,subj,pred,obj,obj_type)"
+    )).fetchall()
+    assert got == set(map(tuple, ora))
