@@ -200,6 +200,16 @@ EXTRA_QUERIES = [
     "kg_asof_snapshot",
     "kg_rdfs_delta",
     "dedup_keep_best",
+    "kg_streaming_entailed",
+    "sparql_entailed",
+    "kg_compacted_store",
+    "kg_agent_fuzzy_links",
+    "kg_negative_samples",
+    "corpus_split_leakage",
+    "kg_char_sets",
+    "corpus_decontam_spans",
+    "corpus_bpe_encode",
+    "sparql_update_graph_copy",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES

@@ -2,8 +2,9 @@
 
 Completes the reference's document formats (ProvenanceService.java:216-250):
 with store.py's Turtle / RDF/XML / TriG / N-Triples / JSON-lines, every DATA
-format of the 11 is covered — only the image/PDF renders (PDF, SVG, PNG,
-JPEG) stay out of scope as presentation.
+format of the 11 is covered; SVG / PDF / HTML (r4) and PNG (r5.s2 — stdlib
+zlib encoder, no codec libs) close the presentation renders too, leaving
+only JPEG (lossy codec; see png_bytes' section header).
 
 Two surfaces share one assembler per format:
 * `*_text(triples, repo)` — one-repo driver-side export, mirroring the
@@ -833,4 +834,173 @@ def prov_document_parts(
         triples.select("repo", "subj", "pred", "obj", "obj_type")
         .groupBy("repo")
         .applyInPandas(build, "repo string, part_idx int, part string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG raster export (S6 completion) — stdlib zlib + numpy, no codec libs
+# ---------------------------------------------------------------------------
+#
+# The reference serves raster graph images through ProvToolbox+graphviz
+# (ProvController.java:69); this container ships no image codecs, but PNG
+# needs none — the format is zlib-compressed filtered scanlines plus CRC'd
+# chunks, all stdlib. The renderer rasterizes the SAME deterministic
+# layered layout the SVG/PDF exporters use (shapes + edges; text labels
+# remain the vector layers' concern — a font rasterizer is out of scope,
+# and every consumer that needs labels has svg_text/pdf_bytes/html_text).
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(arr) -> bytes:
+    """RGB uint8 (H, W, 3) array -> PNG bytes (8-bit truecolor, filter 0
+    scanlines, one zlib stream). Deterministic: fixed compression level,
+    no ancillary chunks, no timestamps."""
+    import struct
+    import zlib as _z
+
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """Minimal PNG reader for the encoder's own dialect (8-bit RGB,
+    filter 0) — the round-trip test's independent half."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    i, idat, w, h = 8, b"", None, None
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i:i + 4])
+        tag = data[i + 4:i + 8]
+        payload = data[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", data[i + 8 + ln:i + 12 + ln])
+        assert crc == (_z.crc32(tag + payload) & 0xFFFFFFFF), "bad CRC"
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert (depth, ctype) == (8, 2)
+        elif tag == b"IDAT":
+            idat += payload
+        i += 12 + ln
+    rows = _z.decompress(idat)
+    stride = 1 + w * 3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = rows[y * stride:(y + 1) * stride]
+        assert row[0] == 0, "only filter 0 emitted"
+        out[y] = np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 3)
+    return out
+
+
+def _rgb255(t):
+    return tuple(int(round(c * 255)) for c in t)
+
+
+def _render_raster(g: _Graph, repo: str, max_nodes: int = 2_000,
+                   max_edges: int = 8_000):
+    import numpy as np
+
+    pos, kinds, edges, width, height = _viz_layout(
+        g, max_nodes=max_nodes, max_edges=max_edges)
+    canvas = np.full((height, width, 3), 255, dtype=np.uint8)
+
+    def line(x1, y1, x2, y2, color):
+        n = max(abs(x2 - x1), abs(y2 - y1), 1)
+        xs = np.rint(np.linspace(x1, x2, n + 1)).astype(int)
+        ys = np.rint(np.linspace(y1, y2, n + 1)).astype(int)
+        ok = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+        canvas[ys[ok], xs[ok]] = color
+
+    ink = (68, 68, 68)
+    for s, _p, o in edges:
+        (x1, y1), (x2, y2) = pos[s], pos[o]
+        line(x1 + _VIZ_W // 2, y1 + _VIZ_H // 2,
+             x2 + _VIZ_W // 2, y2 + _VIZ_H // 2, ink)
+
+    border = (51, 51, 51)
+    for n in sorted(pos):
+        x, y = pos[n]
+        kind = kinds[n]
+        fill = _rgb255(_VIZ_FILL[kind])
+        # masks are computed on the node's own (H, W) tile, never the
+        # whole canvas — without this the render is O(nodes x canvas)
+        tile = canvas[y:y + _VIZ_H, x:x + _VIZ_W]
+        yy, xx = np.mgrid[0:_VIZ_H, 0:_VIZ_W]
+        if kind == "entity":
+            cx, cy = _VIZ_W / 2, _VIZ_H / 2
+            rx, ry = _VIZ_W / 2, _VIZ_H / 2
+            d_out = (((xx + 0.5) - cx) / rx) ** 2 \
+                + (((yy + 0.5) - cy) / ry) ** 2
+            d_in = ((((xx + 0.5) - cx) / (rx - 1.5)) ** 2
+                    + (((yy + 0.5) - cy) / (ry - 1.5)) ** 2)
+            tile[d_out <= 1.0] = border
+            tile[d_in <= 1.0] = fill
+        elif kind == "agent":
+            pts = [(_VIZ_W / 2, 0), (_VIZ_W, _VIZ_H / 2),
+                   (_VIZ_W - 25, _VIZ_H), (25, _VIZ_H), (0, _VIZ_H / 2)]
+            cx = sum(p[0] for p in pts) / 5.0
+            cy = sum(p[1] for p in pts) / 5.0
+
+            def poly_mask(shrink):
+                m = np.ones((_VIZ_H, _VIZ_W), dtype=bool)
+                for (ax, ay), (bx, by) in zip(pts, pts[1:] + pts[:1]):
+                    # pull each vertex toward the centroid for the inset
+                    ax2 = ax + (cx - ax) * shrink
+                    ay2 = ay + (cy - ay) * shrink
+                    bx2 = bx + (cx - bx) * shrink
+                    by2 = by + (cy - by) * shrink
+                    cross = ((bx2 - ax2) * ((yy + 0.5) - ay2)
+                             - (by2 - ay2) * ((xx + 0.5) - ax2))
+                    ref = ((bx2 - ax2) * (cy - ay2)
+                           - (by2 - ay2) * (cx - ax2))
+                    m &= (cross * ref) >= 0
+                return m
+            tile[poly_mask(0.0)] = border
+            tile[poly_mask(0.06)] = fill
+        else:  # activity / other: rectangle
+            tile[:, :] = border
+            tile[1:-1, 1:-1] = fill
+    return canvas
+
+
+def png_bytes(triples: DataFrame, repo: str, max_nodes: int = 2_000,
+              max_edges: int = 8_000,
+              max_triples: int | None = None) -> bytes:
+    """image/png rendering of one repo's PROV graph — the raster twin of
+    svg_text, closing SURVEY §2.1 S6's last format gap without any
+    image library (ProvController.java:69 serves the graphviz raster)."""
+    return png_encode(_render_raster(
+        _collect_graph(triples, repo, max_triples=max_triples), repo,
+        max_nodes=max_nodes, max_edges=max_edges))
+
+
+def png_documents(triples: DataFrame) -> DataFrame:
+    """(repo, png) — the distributed bulk twin: one PNG per repo via
+    groupBy(repo).applyInPandas, binary column (same one-repo-per-task
+    contract and bounds as prov_documents)."""
+    def build(key: Tuple[Any, ...],
+              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        repo = key[0]
+        g = _graph_from_batches(batches)
+        yield pd.DataFrame({"repo": [repo],
+                            "png": [png_encode(_render_raster(g, repo))]})
+
+    return (
+        triples.select("repo", "subj", "pred", "obj", "obj_type")
+        .groupBy("repo")
+        .applyInPandas(build, "repo string, png binary")
     )

@@ -158,3 +158,40 @@ def test_parts_reassembles_svg(triples_df):
     assert len(chunks) > 1  # actually chunked
     joined = "\n".join(chunks[i] for i in sorted(chunks))
     assert joined == svg_text(triples_df, HOT)
+
+
+class TestPngExport:
+    def test_png_roundtrip_and_geometry(self, spark, triples_df):
+        import numpy as np
+
+        from git_prov_spark.provdoc import (
+            _collect_graph, _render_raster, _viz_layout, _VIZ_FILL, _VIZ_H,
+            _VIZ_W, png_bytes, png_decode)
+
+        repo = triples_df.select("repo").distinct().orderBy("repo") \
+            .first().repo
+        data = png_bytes(triples_df, repo)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        arr = png_decode(data)          # CRCs + structure verified inside
+        g = _collect_graph(triples_df, repo)
+        pos, kinds, edges, width, height = _viz_layout(g)
+        assert arr.shape == (height, width, 3)
+        # every node's center pixel carries its kind's fill color
+        want = {k: tuple(int(round(c * 255)) for c in v)
+                for k, v in _VIZ_FILL.items()}
+        for n, (x, y) in pos.items():
+            cx, cy = x + _VIZ_W // 2, y + _VIZ_H // 2
+            assert tuple(arr[cy, cx]) == want[kinds[n]], n
+        # margins stay white
+        assert tuple(arr[0, 0]) == (255, 255, 255)
+        # deterministic: byte-identical re-render
+        assert png_bytes(triples_df, repo) == data
+
+    def test_png_documents_distributed_parity(self, spark, triples_df):
+        from git_prov_spark.provdoc import png_bytes, png_documents
+
+        rows = {r.repo: bytes(r.png)
+                for r in png_documents(triples_df).collect()}
+        assert rows
+        for repo in sorted(rows)[:2]:
+            assert rows[repo] == png_bytes(triples_df, repo)
