@@ -2,9 +2,9 @@
 
 Completes the reference's document formats (ProvenanceService.java:216-250):
 with store.py's Turtle / RDF/XML / TriG / N-Triples / JSON-lines, every DATA
-format of the 11 is covered; SVG / PDF / HTML (r4) and PNG (r5.s2 — stdlib
-zlib encoder, no codec libs) close the presentation renders too, leaving
-only JPEG (lossy codec; see png_bytes' section header).
+format of the 11 is covered; SVG / PDF / HTML (r4), PNG (r5.s2 — stdlib
+zlib encoder) and JPEG (r5.s2 — baseline T.81 codec in raster.py, numpy +
+stdlib) close the presentation renders: ALL ELEVEN formats now ship.
 
 Two surfaces share one assembler per format:
 * `*_text(triples, repo)` — one-repo driver-side export, mirroring the
@@ -1003,4 +1003,38 @@ def png_documents(triples: DataFrame) -> DataFrame:
         triples.select("repo", "subj", "pred", "obj", "obj_type")
         .groupBy("repo")
         .applyInPandas(build, "repo string, png binary")
+    )
+
+
+def jpeg_bytes(triples: DataFrame, repo: str, quality: int = 90,
+               max_nodes: int = 2_000, max_edges: int = 8_000,
+               max_triples: int | None = None) -> bytes:
+    """image/jpeg rendering of one repo's PROV graph — the lossy raster
+    twin of png_bytes, via the stdlib+numpy baseline codec
+    (git_prov_spark/raster.py). With PNG this closes every format of
+    SURVEY §2.1 S6 (ProvController.java:69 serves graphviz rasters)."""
+    from .raster import jpeg_encode
+
+    return jpeg_encode(_render_raster(
+        _collect_graph(triples, repo, max_triples=max_triples), repo,
+        max_nodes=max_nodes, max_edges=max_edges), quality=quality)
+
+
+def jpeg_documents(triples: DataFrame, quality: int = 90) -> DataFrame:
+    """(repo, jpeg) — distributed one-JPEG-per-repo bulk twin."""
+    from .raster import jpeg_encode
+
+    def build(key: Tuple[Any, ...],
+              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        repo = key[0]
+        g = _graph_from_batches(batches)
+        yield pd.DataFrame({
+            "repo": [repo],
+            "jpeg": [jpeg_encode(_render_raster(g, repo),
+                     quality=quality)]})
+
+    return (
+        triples.select("repo", "subj", "pred", "obj", "obj_type")
+        .groupBy("repo")
+        .applyInPandas(build, "repo string, jpeg binary")
     )

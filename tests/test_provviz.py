@@ -195,3 +195,46 @@ class TestPngExport:
         assert rows
         for repo in sorted(rows)[:2]:
             assert rows[repo] == png_bytes(triples_df, repo)
+
+
+class TestJpegExport:
+    def test_codec_roundtrip_quality(self):
+        import numpy as np
+
+        from git_prov_spark.raster import jpeg_decode, jpeg_encode, psnr
+
+        img = np.zeros((50, 70, 3), dtype=np.uint8)
+        img[..., 0] = np.linspace(0, 255, 70)[None, :].astype(np.uint8)
+        img[..., 1] = np.linspace(0, 255, 50)[:, None].astype(np.uint8)
+        img[10:30, 20:50] = (255, 252, 135)
+        data = jpeg_encode(img, quality=90)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        back = jpeg_decode(data)
+        assert back.shape == img.shape
+        assert psnr(img, back) > 38          # quantization-only loss
+        assert jpeg_encode(img, quality=90) == data  # deterministic
+        # quality knob actually trades size for fidelity
+        lo = jpeg_encode(img, quality=20)
+        assert len(lo) < len(data)
+        assert psnr(img, jpeg_decode(lo)) < psnr(img, back)
+
+    def test_jpeg_graph_render(self, spark, triples_df):
+        from git_prov_spark.provdoc import (
+            _collect_graph, _render_raster, jpeg_bytes)
+        from git_prov_spark.raster import jpeg_decode, psnr
+
+        repo = triples_df.select("repo").distinct().orderBy("repo") \
+            .first().repo
+        data = jpeg_bytes(triples_df, repo, quality=95)
+        back = jpeg_decode(data)
+        ref = _render_raster(_collect_graph(triples_df, repo), repo)
+        assert back.shape == ref.shape
+        assert psnr(ref, back) > 30          # diagram survives recognizably
+
+    def test_jpeg_documents_distributed_parity(self, spark, triples_df):
+        from git_prov_spark.provdoc import jpeg_bytes, jpeg_documents
+
+        rows = {r.repo: bytes(r.jpeg)
+                for r in jpeg_documents(triples_df, quality=90).collect()}
+        repo = sorted(rows)[0]
+        assert rows[repo] == jpeg_bytes(triples_df, repo, quality=90)
