@@ -125,6 +125,10 @@ def main() -> None:
         "text_pmi": "1-row scalar broadcast (total bigram count N) onto the vocabulary-sized pair table — linear; margins join as equi-joins on the word keys",
         "text_surprisal_lm": "1-row scalar broadcast (train token total T) onto per-transition rows — linear; the LM lookups are equi-joins on pair/word keys",
         "embed_centroid_sim": "label-centroid pair matrix (l1 < l2) — labels^2 rows, dashboard-sized by definition; the data-bearing centroid aggregation is a plain hash-aggregate",
+        "text_bm25": "1-row scalar broadcast (corpus N docs / S tokens) onto the query-filtered (doc, term) rows — linear; tf/df are hash-aggregates",
+        "kg_rdfs_closure": "1-row schema-repo broadcast tagging the closed-schema pairs — the instance-side rules are all broadcast EQUI-joins",
+        "kg_rdfs_delta": "same 1-row schema-repo broadcast (closure applied to the delta); the store subtraction is an equi anti-join",
+        "kg_negative_samples": "1-row scalar broadcast (entity count) onto positives — linear; the draw joins entities by the computed dense index, an equi-join",
     }
     # Queries whose returned DataFrame is driver-materialized during
     # construction (streaming folds, iterative closures ending in a
