@@ -1924,6 +1924,7 @@ def q_kg_streaming_entailed(spark, sf_dir):
     passing proves incremental maintenance over batches equals batch
     reasoning, the property that makes materialized entailment viable
     under continuous ingest."""
+    import os
     import shutil
     import tempfile
 
@@ -1932,18 +1933,18 @@ def q_kg_streaming_entailed(spark, sf_dir):
     inst, sch = _rdfs_fixture(spark, sf_dir)
     cond = (F.col("pred") == "ex:supplies") & (
         F.col("obj").substr(F.lit(6), F.lit(1 << 10)).cast("long") % 2 == 1)
-    out = tempfile.mkdtemp(prefix="kg_ent_")
-    try:
-        ent = IncrementalEntailment(spark, sch, out)
-        ent.process_batch(inst.where(~cond), 0)
-        ent.process_batch(inst.where(cond), 1)
-        # materialize before the tempdir vanishes
-        rows = ent.store().collect()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "repo string, subj string, pred string, obj string, "
-              "obj_type string")
+    # per-process stable dir, cleared up front: the accumulated store can
+    # be returned LAZILY (no 10^6-row driver collect) and a rerun in the
+    # same process never sees stale batch dirs; at most one dir lingers
+    # per process in tmp (overwritten by the next call)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"kg_ent_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out, ignore_errors=True)
+    ent = IncrementalEntailment(spark, sch, out)
+    ent.process_batch(inst.where(~cond), 0)
+    ent.process_batch(inst.where(cond), 1)
+    return ent.store()
 
 
 def q_sparql_entailed(spark, sf_dir):
