@@ -45,6 +45,15 @@ def main() -> None:
         help="merge agent aliases (login/email connected components) into "
              "one canonical agent per component before emission",
     )
+    p.add_argument(
+        "--entail-schema", default=None,
+        help="path (or table, with --format table) of an RDFS schema "
+             "triple relation; when given, the job adds a reasoning "
+             "stage after construction: the rho-df closure of the built "
+             "store materializes to <out>_entailed with the same "
+             "partitioned layout (inference.rdfs_closure — batch-time "
+             "materialized entailment, never per-query reasoning)",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("kg_construct").getOrCreate()
@@ -77,6 +86,19 @@ def main() -> None:
         triples = build(files, commits, contributors)
         write_triples(triples, args.out, n_buckets=args.buckets)
         metrics.record("total", None, time.time() - t0)
+
+    if args.entail_schema:
+        from git_prov_spark.inference import rdfs_closure
+        from git_prov_spark.store import read_triples
+
+        t1 = time.time()
+        schema = read(args.entail_schema)
+        stored = read_triples(spark, args.out).select(
+            "repo", "subj", "pred", "obj", "obj_type")
+        closed = rdfs_closure(stored, schema)
+        write_triples(closed, args.out + "_entailed",
+                      n_buckets=args.buckets)
+        metrics.record("entail", None, time.time() - t1)
 
     metrics.log()
     if args.metrics:
