@@ -2042,6 +2042,17 @@ def q_kg_char_sets(spark, sf_dir):
     return _inference.characteristic_sets(triples)
 
 
+def q_kg_star_estimate(spark, sf_dir):
+    """Characteristic-set star-join estimation CONSUMED
+    (inference.star_cardinality): per signature, the optimizer's
+    independence estimate (exact integer rational) next to the true
+    star count for { ?s ex:phone ?x . ?s ex:acct ?y } — the doubled
+    phones in the SHACL fixture make estimate and actual genuinely
+    diverge, which is the statistic's whole story."""
+    triples, _ = _shacl_fixture(spark, sf_dir)
+    return _inference.star_cardinality(triples, "ex:phone", "ex:acct")
+
+
 def q_corpus_decontam_spans(spark, sf_dir):
     """Span-level decontamination (decontam.span_decontaminate): token
     windows tested against the eval shingle set independently — one
@@ -4487,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "corpus_split_leakage": q_corpus_split_leakage,
         "kg_char_sets": q_kg_char_sets,
+        "kg_star_estimate": q_kg_star_estimate,
         "corpus_decontam_spans": q_corpus_decontam_spans,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
@@ -4786,6 +4798,8 @@ def oracle_sql() -> dict[str, str]:
             weights=[("train", 5000), ("val", 5000)]),
         "kg_char_sets": _inference.sql_characteristic_sets(
             SHACL_TRIPLES_SQL),
+        "kg_star_estimate": _inference.sql_star_cardinality(
+            SHACL_TRIPLES_SQL, "ex:phone", "ex:acct"),
         "corpus_decontam_spans": oracles.sql_span_decontam(
             "documents", window=32, overlap=8),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),

@@ -664,3 +664,62 @@ def sql_characteristic_sets(triples_sql: str) -> str:
         "SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_subjects, "
         "CAST(SUM(n) AS BIGINT) AS n_triples FROM ps GROUP BY sig"
     )
+
+
+def star_cardinality(triples: DataFrame, pred_a: str,
+                     pred_b: str) -> DataFrame:
+    """(sig, n_subjects, n_a, n_b, est_num, est_den, actual) — the
+    characteristic-set star-join cardinality ESTIMATE next to the exact
+    answer, per signature: what a SPARQL optimizer would predict for
+    { ?s pred_a ?x . ?s pred_b ?y } within each subject class, and what
+    the join really produces.
+
+    The classic per-set independence estimate (Neumann & Moerkotte):
+    within a set, est = n_subjects · (n_a/n_subjects) · (n_b/n_subjects)
+    = n_a·n_b / n_subjects — kept as an EXACT integer rational
+    (est_num, est_den), no floats; `actual` = Σ_s cnt_a(s)·cnt_b(s).
+    Signatures not containing both predicates estimate (and produce) 0
+    and are filtered.
+
+    Scale: the same two hash-aggregates as characteristic_sets, with the
+    two predicate counts riding the first as conditional sums — the
+    statistic AND its evaluation in one pass, no self-join (the exact
+    star count folds from per-subject multiplicities)."""
+    per_subj = (
+        triples.groupBy("subj")
+        .agg(F.concat_ws("|", F.array_sort(
+            F.collect_set("pred"))).alias("sig"),
+             F.sum((F.col("pred") == pred_a).cast("long")).alias("ca"),
+             F.sum((F.col("pred") == pred_b).cast("long")).alias("cb"))
+    )
+    return (
+        per_subj.where((F.col("ca") > 0) & (F.col("cb") > 0))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_subjects"),
+             F.sum("ca").alias("n_a"),
+             F.sum("cb").alias("n_b"),
+             F.sum(F.col("ca") * F.col("cb")).alias("actual"))
+        .select("sig", "n_subjects", "n_a", "n_b",
+                (F.col("n_a") * F.col("n_b")).alias("est_num"),
+                F.col("n_subjects").alias("est_den"),
+                "actual")
+    )
+
+
+def sql_star_cardinality(triples_sql: str, pred_a: str,
+                         pred_b: str) -> str:
+    """DuckDB twin of :func:`star_cardinality`."""
+    return (
+        f"WITH t AS MATERIALIZED ({triples_sql}), "
+        "ps AS (SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) "
+        "AS sig, "
+        f"SUM(CASE WHEN pred = '{pred_a}' THEN 1 ELSE 0 END) AS ca, "
+        f"SUM(CASE WHEN pred = '{pred_b}' THEN 1 ELSE 0 END) AS cb "
+        "FROM t GROUP BY subj) "
+        "SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_subjects, "
+        "CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b, "
+        "CAST(SUM(ca) * SUM(cb) AS BIGINT) AS est_num, "
+        "CAST(COUNT(*) AS BIGINT) AS est_den, "
+        "CAST(SUM(ca * cb) AS BIGINT) AS actual "
+        "FROM ps WHERE ca > 0 AND cb > 0 GROUP BY sig"
+    )

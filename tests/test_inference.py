@@ -348,3 +348,24 @@ def test_characteristic_sets(spark):
         "('g','c','p','x','iri')) v(repo,subj,pred,obj,obj_type)"
     )).fetchall()
     assert got == set(map(tuple, ora))
+
+
+def test_star_cardinality_estimate_vs_actual(spark):
+    # sig p|q: subj a has 2 p's and 1 q (correlated), subj b has 1+1 →
+    # estimate n_p*n_q/n_subj = 3*2/2 = 3 (num 6 / den 2); actual = 2+1
+    tr = _df(spark, [
+        ("g", "a", "p", "x1", "iri"), ("g", "a", "p", "x2", "iri"),
+        ("g", "a", "q", "y1", "iri"),
+        ("g", "b", "p", "x3", "iri"), ("g", "b", "q", "y2", "iri"),
+        ("g", "c", "p", "x4", "iri"),   # lacks q: filtered out
+    ])
+    got = {tuple(r)
+           for r in inference.star_cardinality(tr, "p", "q").collect()}
+    assert got == {("p|q", 2, 3, 2, 6, 2, 3)}
+    ora = duckdb.connect().execute(inference.sql_star_cardinality(
+        "SELECT * FROM (VALUES ('g','a','p','x1','iri'),"
+        "('g','a','p','x2','iri'),('g','a','q','y1','iri'),"
+        "('g','b','p','x3','iri'),('g','b','q','y2','iri'),"
+        "('g','c','p','x4','iri')) v(repo,subj,pred,obj,obj_type)",
+        "p", "q")).fetchall()
+    assert got == set(map(tuple, ora))
