@@ -2392,6 +2392,38 @@ KG_ASOF_ORACLE = (
 )
 
 
+def q_kg_blame(spark, sf_dir):
+    """KG-native blame (queries.blame): every file version attributed to
+    the agent of its generating activity via two BGP equi-joins over the
+    REAL built KG, rolled up per (commit, agent). The DuckDB twin
+    derives the same attribution in closed form from the doc adapter's
+    rules (c0 generates the even-doc snapshot, c1 the additions +
+    modifications, all associated to the repo's one dev) — including the
+    exact minted IRIs (md5-derived commit shas)."""
+    from git_prov_spark.queries import blame
+
+    files, commits, contributors = _docs_as_repo_tables(spark, sf_dir)
+    t = build_triples(files, commits, contributors)
+    return (
+        blame(t).groupBy("commit", "agent")
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+
+
+KG_BLAME_ORACLE = (
+    "WITH d AS (SELECT source, COUNT(*) AS n, "
+    "SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ne, "
+    "SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS q "
+    "FROM documents GROUP BY source) "
+    "SELECT 'gitprov:commit-c0000' || md5(source) AS commit, "
+    "'gitprov:dev-' || source AS agent, CAST(ne AS BIGINT) AS n_versions "
+    "FROM d WHERE ne > 0 "
+    "UNION ALL SELECT 'gitprov:commit-c0001' || md5(source || '/1'), "
+    "'gitprov:dev-' || source, CAST(n - ne + q AS BIGINT) "
+    "FROM d WHERE n - ne + q > 0"
+)
+
+
 def q_kg_schema_summary(spark, sf_dir):
     """Quotient-graph schema summary (inference.schema_summary) OVER THE
     ENTAILED graph — composed directly on rdfs_closure's output, so the
@@ -4499,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakage": q_corpus_split_leakage,
         "kg_char_sets": q_kg_char_sets,
         "kg_star_estimate": q_kg_star_estimate,
+        "kg_blame": q_kg_blame,
         "corpus_decontam_spans": q_corpus_decontam_spans,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
@@ -4800,6 +4833,7 @@ def oracle_sql() -> dict[str, str]:
             SHACL_TRIPLES_SQL),
         "kg_star_estimate": _inference.sql_star_cardinality(
             SHACL_TRIPLES_SQL, "ex:phone", "ex:acct"),
+        "kg_blame": KG_BLAME_ORACLE,
         "corpus_decontam_spans": oracles.sql_span_decontam(
             "documents", window=32, overlap=8),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),

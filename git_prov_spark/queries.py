@@ -215,3 +215,21 @@ def agent_activity_summary(triples: DataFrame, repo: str) -> DataFrame:
         .groupBy("agent")
         .agg(F.count("*").alias("n_commits"))
     )
+
+
+def blame(triples: DataFrame, repo: str | None = None) -> DataFrame:
+    """(version, commit, agent) — every file version attributed to the
+    agent of its generating activity: the KG-native `git blame` at
+    version granularity, and the shape the north_star's
+    prov:wasAttributedTo edges exist to answer. Two BGP equi-joins
+    (version →wasGeneratedBy→ commit →wasAssociatedWith→ agent); with
+    repo=None it runs across every named graph (the merged-graph BGP
+    semantics, distinct per pattern)."""
+    return bgp(
+        triples,
+        [
+            ("?version", "prov:wasGeneratedBy", "?commit"),
+            ("?commit", "prov:wasAssociatedWith", "?agent"),
+        ],
+        repo=repo,
+    ).select("version", "commit", "agent")
