@@ -202,6 +202,13 @@ def materialize_resumable(
         triples = build_fn(f_g, c_g, k_g).withColumn(
             "repo_bucket", repo_bucket(n_buckets)
         )
+        # row lineage rides the WRITE action itself (Observation API) —
+        # no second count job; north_rule: per-partition lineage +
+        # throughput metrics per stage
+        from pyspark.sql import Observation
+
+        obs = Observation(f"group_{group[0]}_{group[-1]}")
+        triples = triples.observe(obs, F.count(F.lit(1)).alias("rows"))
         # dynamic partition overwrite MUST be write-scoped, not assumed from
         # session conf: under spark-submit's default (STATIC) an overwrite
         # here would delete the whole store — every earlier group AND the
@@ -213,7 +220,10 @@ def materialize_resumable(
             .parquet(out_dir)
         )
         elapsed = time.time() - t0
-        meta = {"seconds": round(elapsed, 3)}
+        n_rows = int(obs.get["rows"])
+        meta = {"seconds": round(elapsed, 3), "rows": n_rows,
+                "rows_per_sec": round(n_rows / elapsed, 1)
+                if elapsed > 0 else None}
         _mark_done(out_dir, group, meta)
         stats["groups"].append({"buckets": group, **meta})
         if on_group_done:
@@ -223,8 +233,9 @@ def materialize_resumable(
 
 # --------------------------------------------------------------------------
 # RDF serialization (S6) — N-Triples / Turtle / JSON-lines text sinks.
-# The reference's 11 interop formats (ProvenanceService.java:216-250) beyond
-# these are presentation (PDF/SVG/PNG...), out of data-processing scope.
+# The reference's 11 interop formats (ProvenanceService.java:216-250):
+# document forms live in provdoc.py, presentation renders incl. SVG/PDF/
+# HTML/PNG/JPEG in provdoc.py + raster.py — all eleven ship.
 # --------------------------------------------------------------------------
 
 def _expand(term: F.Column) -> F.Column:
