@@ -210,6 +210,8 @@ EXTRA_QUERIES = [
     "corpus_decontam_spans",
     "corpus_bpe_encode",
     "sparql_update_graph_copy",
+    "kg_star_estimate",
+    "kg_blame",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + EXTRA_QUERIES
