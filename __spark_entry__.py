@@ -2067,6 +2067,20 @@ def q_corpus_decontam_spans(spark, sf_dir):
     return span_decontaminate(tr, ev, window=32, overlap=8, n=4)
 
 
+def q_corpus_decontam_clean(spark, sf_dir):
+    """The shipped artifact of span decontamination
+    (decontam.span_cleaned_corpus): documents reassembled from kept
+    windows with contaminated stride segments excised — row-exact
+    cleaned_text strings, not just flags."""
+    from git_prov_spark.corpus.decontam import span_cleaned_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_cleaned_corpus(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        window=32, overlap=8, n=4)
+
+
 def q_kg_compacted_store(spark, sf_dir):
     """Store compaction (store.compact_store): a deliberately fragmented
     (max salt fan-out) partitioned store rewritten to ~one right-sized
@@ -4533,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_star_estimate": q_kg_star_estimate,
         "kg_blame": q_kg_blame,
         "corpus_decontam_spans": q_corpus_decontam_spans,
+        "corpus_decontam_clean": q_corpus_decontam_clean,
         "ann_knn_graph": q_ann_knn_graph,
         "sparql_update_modify": q_sparql_update_modify,
         "sparql_update_delete_where": q_sparql_update_delete_where,
@@ -4836,6 +4851,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_blame": KG_BLAME_ORACLE,
         "corpus_decontam_spans": oracles.sql_span_decontam(
             "documents", window=32, overlap=8),
+        "corpus_decontam_clean": oracles.sql_span_cleaned(
+            "documents", window=32, overlap=8, n=4),
         "ann_topk_multiprobe": oracles.sql_topk_lsh_multiprobe("embeddings"),
         "ann_topk_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_oracle_sql(),

@@ -191,3 +191,59 @@ def span_decontaminate(
             (F.coalesce("_hits", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+def span_cleaned_corpus(
+    train: DataFrame,
+    eval_df: DataFrame,
+    window: int = 32,
+    overlap: int = 8,
+    n: int = DEFAULT_DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cleaned_text, n_tokens_kept, n_chunks_dropped) — the
+    SHIPPED artifact of span-level decontamination: each document
+    reassembled from its kept windows, contaminated windows excised.
+
+    Reassembly rule (exact, both engines): a kept chunk contributes its
+    first `window - overlap` tokens — the stride segment it uniquely
+    owns — except the document's LAST chunk, which contributes all of
+    its tokens (the tail past the final stride boundary exists only
+    there). Dropping a chunk therefore excises exactly its stride
+    segment (plus the tail, if last). Documents whose every chunk drops
+    emit an empty cleaned_text, still one row — the manifest must
+    partition the input.
+
+    Scale: the chunker's posexplode is the one text shuffle; reassembly
+    is a per-doc array_sort over (chunk_idx, segment) structs — bounded
+    by a document's chunk count, never the corpus."""
+    from .text import chunk_documents, tokens_col
+
+    stride = window - overlap
+    ch = chunk_documents(train, window=window, overlap=overlap,
+                         id_col=id_col)
+    flags = span_decontaminate(train, eval_df, window=window,
+                               overlap=overlap, n=n, id_col=id_col) \
+        .select(id_col, "chunk_idx", "keep")
+    last = ch.groupBy(id_col).agg(F.max("chunk_idx").alias("_last"))
+    seg = (
+        ch.join(flags, [id_col, "chunk_idx"])
+        .join(last, id_col)
+        .withColumn("_toks", tokens_col("chunk_text"))
+        .withColumn(
+            "_seg",
+            F.when(~F.col("keep"), F.array().cast("array<string>"))
+            .when(F.col("chunk_idx") == F.col("_last"), F.col("_toks"))
+            .otherwise(F.slice("_toks", 1, stride)))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_idx", F.col("_seg").alias("s"))))
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.concat_ws(" ", F.flatten(
+                F.transform(ordered, lambda x: x["s"])))
+            .alias("cleaned_text"),
+            F.sum(F.size("_seg")).cast("long").alias("n_tokens_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_chunks_dropped"),
+        )
+    )

@@ -1583,3 +1583,32 @@ def sql_span_decontam(src: str = "documents", window: int = 32,
         "COALESCE(nh, 0) = 0 AS keep "
         "FROM ch LEFT JOIN hits USING (doc_id, chunk_idx)"
     )
+
+
+def sql_span_cleaned(src: str = "documents", window: int = 32,
+                     overlap: int = 8, n: int = 4,
+                     eval_mod: int = 10) -> str:
+    """DuckDB twin of decontam.span_cleaned_corpus."""
+    stride = window - overlap
+    return (
+        f"WITH sp AS ({sql_span_decontam(src, window, overlap, n, eval_mod)}), "
+        f"ch AS ({sql_chunk_documents(f'(SELECT * FROM {src} WHERE doc_id % {eval_mod} <> 0)', window, overlap)}), "
+        "lastc AS (SELECT doc_id, MAX(chunk_idx) AS lastx FROM ch "
+        "GROUP BY doc_id), "
+        "seg AS (SELECT ch.doc_id, ch.chunk_idx, sp.keep, "
+        "CASE WHEN NOT sp.keep THEN CAST([] AS VARCHAR[]) "
+        "WHEN ch.chunk_idx = lastc.lastx THEN toks ELSE toks[1:" 
+        f"{stride}] END AS s "
+        "FROM (SELECT *, CASE WHEN trim(chunk_text) = '' "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(chunk_text), '\\s+') END AS toks "
+        "FROM ch) ch "
+        "JOIN sp USING (doc_id, chunk_idx) JOIN lastc USING (doc_id)) "
+        "SELECT doc_id, "
+        "COALESCE(array_to_string(flatten(list(s ORDER BY chunk_idx)), "
+        "' '), '') AS cleaned_text, "
+        "CAST(SUM(len(s)) AS BIGINT) AS n_tokens_kept, "
+        "CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_chunks_dropped "
+        "FROM seg GROUP BY doc_id"
+    )

@@ -170,3 +170,27 @@ def test_span_decontaminate_surgical(spark):
     doc = {r.doc_id: r.contaminated
            for r in contamination_report(train, ev, n=4).collect()}
     assert doc[1] is True and doc[2] is False
+
+
+def test_span_cleaned_corpus_excision(spark):
+    from git_prov_spark.corpus.decontam import span_cleaned_corpus
+
+    leak = "secret eval answer key"
+    clean8 = " ".join(f"w{i}" for i in range(8))
+    tail = "t0 t1 t2"
+    train = spark.createDataFrame(
+        [(1, clean8 + " " + leak + " " + clean8 + " " + tail),
+         (2, clean8)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    got = {r.doc_id: (r.cleaned_text, r.n_tokens_kept, r.n_chunks_dropped)
+           for r in span_cleaned_corpus(train, ev, window=8, overlap=0,
+                                        n=4).collect()}
+    # doc 1: windows of 8 tokens; the leak window drops, the rest rejoin
+    text1, kept1, dropped1 = got[1]
+    assert dropped1 == 1
+    assert leak.split()[0] not in text1.split()
+    assert text1.startswith(clean8) and text1.endswith(tail)
+    assert kept1 == len(text1.split())
+    # doc 2 untouched
+    assert got[2] == (clean8, 8, 0)
