@@ -59,7 +59,14 @@ def main() -> None:
     out = f"/tmp/kg_scaling_triples_{spec.replace('x', '_')}"
     shutil.rmtree(out, ignore_errors=True)
 
-    conf = {"spark.ui.showConsoleProgress": "false"}
+    conf = {
+        "spark.ui.showConsoleProgress": "false",
+        # v2 commit: tasks move their own output (no serial driver rename
+        # pass over the salted sink's ~2k files). The standard cluster
+        # setting; v1's serial commit is a pure Amdahl term that caps
+        # small-arm scaling (BENCH §R5.12 measured it at ~38 s).
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    }
     if "x" in spec:
         n_exec, exec_cores = (int(v) for v in spec.split("x"))
         # worker memory > executor memory: the worker JVM just hosts the
