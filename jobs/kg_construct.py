@@ -56,7 +56,17 @@ def main() -> None:
     )
     args = p.parse_args()
 
-    spark = SparkSession.builder.appName("kg_construct").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("kg_construct")
+        # task-side output commit (v2): no serial driver rename pass over
+        # the salted sink's file fan-out (BENCH §R5.12-R5.13 measured the
+        # v1 pass as a fixed Amdahl term). Safe here: every writer is
+        # either whole-store overwrite or per-group dynamic partition
+        # overwrite, so a retried group replaces any partial output.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .getOrCreate()
+    )
     read = (
         spark.table if args.format == "table"
         else spark.read.parquet
@@ -77,7 +87,8 @@ def main() -> None:
             build, files, commits, contributors, args.out,
             n_buckets=args.buckets,
             on_group_done=lambda g, m: metrics.record(
-                f"bucket_group_{g[0]}-{g[-1]}", None, m["seconds"]
+                f"bucket_group_{g[0]}-{g[-1]}", m.get("rows"),
+                m["seconds"]
             ),
         )
         metrics.record("total", None, time.time() - t0,
