@@ -213,3 +213,40 @@ def test_graph_management_forms(spark):
     # DROP is CLEAR
     assert _rows(update(st, 'DROP SILENT GRAPH "g2"')) \
         == {r for r in _rows(st) if r[0] != "g2"}
+
+
+def test_update_parser_garbage_fails_loudly():
+    """Any malformed update must raise SparqlError — never an internal
+    IndexError/KeyError/AttributeError — so callers can catch one type."""
+    import random
+
+    from git_prov_spark.sparql import SparqlError, parse_update
+
+    rng = random.Random(20260821)
+    frags = ["INSERT", "DELETE", "DATA", "WHERE", "GRAPH", "{", "}", ".",
+             "?x", "ex:p", '"lit"', "<http://e/x>", "FILTER", "(", ")",
+             "COPY", "TO", "SILENT", ";", "^^xsd:int", "@en", "PREFIX"]
+    n_bad = 0
+    for _ in range(400):
+        s = " ".join(rng.choice(frags)
+                     for _ in range(rng.randrange(1, 12)))
+        try:
+            parse_update(s, repo="g")
+        except SparqlError:
+            n_bad += 1
+        # anything else propagates and fails the test
+    assert n_bad > 300   # the vast majority of random soup is malformed
+
+
+def test_update_with_not_exists_filter(spark):
+    # the full FILTER grammar (incl. bracketed NOT EXISTS —
+    # the engine's documented constraint form) works in UPDATE WHERE
+    out = update(_store(spark), """
+        INSERT { ?a ex:leaf "yes" } WHERE {
+          ?x ex:knows ?a .
+          FILTER(NOT EXISTS { ?a ex:knows ?y })
+        }
+    """, repo="g1")
+    got = _rows(out)
+    assert ("g1", "ex:u3", "ex:leaf", "yes", "string") in got
+    assert ("g1", "ex:u2", "ex:leaf", "yes", "string") not in got
