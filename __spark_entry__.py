@@ -2207,7 +2207,7 @@ def q_sparql_update_insert_where(spark, sf_dir):
 
 SPARQL_UPDATE_INSERT_ORACLE = (
     f"SELECT repo, subj, pred, obj, obj_type FROM ({SAMEAS_TRIPLES_SQL}) t "
-    f"UNION SELECT 'demo', subj, 'ev:active', 'yes', 'string' "
+    f"UNION SELECT 'demo', subj, 'ev:active', 'yes', 'xsd:string' "
     f"FROM (SELECT DISTINCT subj FROM ({SAMEAS_TRIPLES_SQL}) p "
     f"WHERE pred = 'ev:did_purchase') u"
 )

@@ -161,21 +161,27 @@ def span_decontaminate(
     broadcasts (eval corpora are small by definition), the chunk
     shingles are map-side explodes, one hash-aggregate per chunk key.
     The corpus text shuffles once, in the chunker's posexplode."""
-    from .text import chunk_documents, tokens_col
+    from .text import chunk_documents
 
     ch = chunk_documents(train, window=window, overlap=overlap,
                          id_col=id_col)
-    parts = ", ".join(f"element_at(tokens, i + {j})" for j in range(n))
-    sh_expr = (
-        f"case when size(tokens) >= {n} then "
-        f"transform(sequence(1, size(tokens) - {n - 1}),"
-        f" i -> concat_ws(' ', {parts})) "
-        f"else cast(array() as array<string>) end"
-    )
+    return _span_flags(ch, eval_df, n=n, id_col=id_col,
+                       broadcast_eval=broadcast_eval)
+
+
+def _span_flags(ch: DataFrame, eval_df: DataFrame, n: int,
+                id_col: str, broadcast_eval: bool) -> DataFrame:
+    """Per-chunk contamination flags over an ALREADY-CHUNKED relation —
+    shared by span_decontaminate and span_cleaned_corpus so the corpus
+    chunks exactly once per caller (the chunker's posexplode is the
+    corpus-sized cost)."""
+    from .dedup import shingle_expr
+    from .text import tokens_col
+
     csh = (
         ch.withColumn("tokens", tokens_col("chunk_text"))
         .select(F.col(id_col), "chunk_idx",
-                F.explode(F.expr(sh_expr)).alias("shingle"))
+                F.explode(F.expr(shingle_expr(n))).alias("shingle"))
         .distinct()
     )
     ev = shingles(eval_df, n=n, id_col=id_col).select("shingle").distinct()
@@ -221,8 +227,11 @@ def span_cleaned_corpus(
     stride = window - overlap
     ch = chunk_documents(train, window=window, overlap=overlap,
                          id_col=id_col)
-    flags = span_decontaminate(train, eval_df, window=window,
-                               overlap=overlap, n=n, id_col=id_col) \
+    # ONE chunking pass: the flags come from the same chunk relation the
+    # reassembly consumes (the chunker's posexplode is the corpus-sized
+    # cost — running it twice would double the dominant term)
+    flags = _span_flags(ch, eval_df, n=n, id_col=id_col,
+                        broadcast_eval=True) \
         .select(id_col, "chunk_idx", "keep")
     last = ch.groupBy(id_col).agg(F.max("chunk_idx").alias("_last"))
     seg = (

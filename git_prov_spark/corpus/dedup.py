@@ -152,17 +152,25 @@ def substring_dupes(
     )
 
 
-def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle). 1-based
-    element_at keeps the expr portable to the DuckDB oracle's list_extract."""
+def shingle_expr(n: int) -> str:
+    """Spark SQL expr producing the word n-gram shingle array of a
+    `tokens` column — THE shared shingle definition (dedup plus doc- and
+    span-level decontamination compile this one string, so the DuckDB
+    twins stay in sync with a single site). 1-based element_at keeps the
+    expr portable to the oracle's list_extract; the size guard matters
+    because sequence(1, 0) in Spark is [1, 0] (descending), not empty."""
     parts = ", ".join(f"element_at(tokens, i + {j})" for j in range(n))
-    # guard: sequence(1, 0) in Spark is [1, 0] (descending), not empty
-    expr = (
+    return (
         f"case when size(tokens) >= {n} then "
         f"transform(sequence(1, size(tokens) - {n - 1}),"
         f" i -> concat_ws(' ', {parts})) "
         f"else cast(array() as array<string>) end"
     )
+
+
+def shingles(df: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    expr = shingle_expr(n)
     return (
         with_tokens(df)
         .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))

@@ -232,9 +232,13 @@ def sameas_canonicalize(triples: DataFrame, sameas: DataFrame,
     comp = components_sync(sameas, n_iter=n_iter)
     cs = comp.select(F.col("node").alias("_s"), F.col("label").alias("_sl"))
     co = comp.select(F.col("node").alias("_o"), F.col("label").alias("_ol"))
+    # no broadcast HINT: the alias map is usually tiny and AQE broadcasts
+    # it on its own; forcing the hint would collect an arbitrarily large
+    # alias population onto the driver instead of degrading to the
+    # shuffled join the docstring promises
     return (
-        triples.join(F.broadcast(cs), triples["subj"] == cs["_s"], "left")
-        .join(F.broadcast(co),
+        triples.join(cs, triples["subj"] == cs["_s"], "left")
+        .join(co,
               (triples["obj"] == co["_o"]) & (triples["obj_type"] == "iri"),
               "left")
         .select(

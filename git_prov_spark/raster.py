@@ -123,11 +123,8 @@ def _huff_spec(symbols: set[int]) -> tuple[list[int], list[int], dict]:
     n < 2^L (the all-ones code stays unassigned). Returns (BITS[1..16],
     HUFFVAL, symbol → (code, L))."""
     vals = sorted(symbols) or [0]
-    L = max(1, (len(vals)).bit_length())    # n < 2^L  strictly
-    if len(vals) == (1 << L) - 0:           # defensive; cannot trigger
-        L += 1
-    if len(vals) >= (1 << L):
-        L += 1
+    L = max(1, (len(vals)).bit_length())    # n < 2^bit_length(n) always
+    assert len(vals) < (1 << L)             # ⇒ all-ones code unassigned
     bits = [0] * 16
     bits[L - 1] = len(vals)
     codes = {v: (i, L) for i, v in enumerate(vals)}

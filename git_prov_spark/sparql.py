@@ -2919,7 +2919,10 @@ def _update_term(p: _Parser, predicate: bool = False) -> tuple[str, str | None]:
         return t, None
     if isinstance(t, TypedLit):
         return t, t.meta
-    return t, ("string" if kind == "lit" else "iri")
+    # plain quoted literals mint the store-wide xsd:string identity —
+    # the vocabulary every pipeline emitter and serializer uses (a bare
+    # 'string' tag would create rows nothing else matches)
+    return t, ("xsd:string" if kind == "lit" else "iri")
 
 
 def _parse_update_triples(p: _Parser, allow_vars: bool,
@@ -3084,7 +3087,10 @@ def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
     template — templates are few; each is a broadcastable distinct
     projection of the solution set."""
     for graph, (s, _), (pr, _), (o, _) in templates:
-        need: list[str] = []          # solution columns the join consumes
+        # dict-keyed so a variable repeated across positions (?x p ?x,
+        # GRAPH ?g { ?g ... }) projects ONCE — duplicate columns in the
+        # join's right side would make every reference ambiguous
+        need: dict[str, None] = {}    # solution columns the join consumes
         var_conds: list[tuple] = []   # (store col, solution col) equi pairs
         const_conds: list = []        # store-side predicates
         if graph is not None and graph.startswith("?") \
@@ -3092,7 +3098,7 @@ def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
             gv = graph[1:]
             if gv not in sol.columns:
                 raise SparqlError(f"template graph ?{gv} unbound in WHERE")
-            need.append(gv)
+            need[gv] = None
             var_conds.append(("repo", gv))
         elif graph is not None:
             const_conds.append(base["repo"] == F.lit(str(graph)))
@@ -3103,7 +3109,7 @@ def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
                 v = term[1:]
                 if v not in sol.columns:
                     raise SparqlError(f"template var ?{v} unbound in WHERE")
-                need.append(v)
+                need[v] = None
                 var_conds.append((col, v))
             else:
                 if isinstance(term, TypedLit):
@@ -3115,11 +3121,11 @@ def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
             v = o[1:]
             if v not in sol.columns:
                 raise SparqlError(f"template var ?{v} unbound in WHERE")
-            need.append(v)
+            need[v] = None
             var_conds.append(("obj", v))
             meta = term_meta(v)
             if meta in sol.columns:
-                need.append(meta)
+                need[meta] = None
                 var_conds.append(("obj_type", meta))
         elif isinstance(o, TypedLit):
             const_conds.append(base["obj"] == F.lit(str(o)))
@@ -3132,7 +3138,10 @@ def _apply_delete(base: DataFrame, sol: DataFrame, templates: list[tuple],
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c
-        base = base.join(F.broadcast(right), cond, "left_anti")
+        # no forced broadcast: the solution projection can be store-sized
+        # (DELETE WHERE over a broad pattern); AQE broadcasts small sides
+        # on its own and shuffles the rest
+        base = base.join(right, cond, "left_anti")
     return base
 
 
@@ -3140,7 +3149,7 @@ def _insert_rows(sol: DataFrame, templates: list[tuple],
                  repo: str | None) -> DataFrame | None:
     """Template quads → 5-col rows, one instance per solution. Variable
     objects insert with the obj_type they were BOUND with (term-metadata
-    companion); companion-less vars (BIND products) insert as 'string'
+    companion); companion-less vars (BIND products) insert as xsd:string
     (the engine's BIND expressions produce literals). Solutions leaving
     a template var unbound (OPTIONAL) skip that instance, as in
     CONSTRUCT."""
@@ -3178,7 +3187,7 @@ def _insert_rows(sol: DataFrame, templates: list[tuple],
             meta = term_meta(v)
             cols.append(
                 (F.col(meta) if meta in sol.columns
-                 else F.lit("string")).alias("obj_type"))
+                 else F.lit("xsd:string")).alias("obj_type"))
         else:
             cols.append(F.lit(str(o)).alias("obj"))
             cols.append(F.lit(oot).alias("obj_type"))
@@ -3223,9 +3232,9 @@ def update(triples: DataFrame, text: str, repo: str | None = None, *,
             _quad_rows_df(spark, uq.quads, repo)).distinct()
     if uq.form == "delete_data":
         # ground quads delete TERM-exactly: the anti-join keys include
-        # obj_type, with plain quoted literals carrying the same 'string'
-        # identity INSERT DATA mints (stores using the xsd:string
-        # convention spell it out: "msg"^^xsd:string)
+        # obj_type, with plain quoted literals carrying the same
+        # xsd:string identity INSERT DATA mints (matching the pipeline
+        # emitters' vocabulary; an explicit "msg"^^other still works)
         dele = _quad_rows_df(spark, uq.quads, repo)
         return base.join(F.broadcast(dele), _STORE_COLS, "left_anti")
     sol = _solutions(base, uq.where, repo)

@@ -263,17 +263,32 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
     """One N-Triples line per triple (column `line`); order-insensitive."""
     s = F.concat(F.lit("<"), _expand(F.col("subj")), F.lit(">"))
     p = F.concat(F.lit("<"), _expand(F.col("pred")), F.lit(">"))
+    # every obj_type shape serializes to a well-formed term — a NULL
+    # branch would silently truncate the line and the triple would
+    # vanish through serialize∘parse:
+    #   iri            → <expanded>
+    #   xsd:string     → plain quoted literal
+    #   '@tag'         → "lit"@tag        (language-tagged)
+    #   any CURIE      → "lit"^^<expanded datatype> (not just xsd:)
+    #   colon-less     → plain quoted (legacy demo vocabularies like
+    #                    'string' normalize to xsd:string on re-parse)
     o = F.when(
         F.col("obj_type") == "iri",
         F.concat(F.lit("<"), _expand(F.col("obj")), F.lit(">")),
     ).when(
         F.col("obj_type") == "xsd:string",
         F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
+    ).when(
+        F.col("obj_type").startswith("@"),
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"'),
+                 F.col("obj_type")),
+    ).when(
+        ~F.col("obj_type").contains(":"),
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
     ).otherwise(
         F.concat(
             F.lit('"'), _lit_escape(F.col("obj")), F.lit('"^^<'),
-            F.lit(NAMESPACES["xsd"]),
-            F.split(F.col("obj_type"), ":", 2).getItem(1),
+            _expand(F.col("obj_type")),
             F.lit(">"),
         )
     )
@@ -400,11 +415,20 @@ def rdfxml_description_lines(triples: DataFrame) -> DataFrame:
         F.col("obj_type") == "xsd:string",
         F.concat(F.lit('<'), qname, inline_ns, F.lit('>'), obj_lit,
                  F.lit('</'), qname, F.lit('>')),
+    ).when(
+        F.col("obj_type").startswith("@"),
+        F.concat(F.lit('<'), qname, inline_ns, F.lit(' xml:lang="'),
+                 F.substring(F.col("obj_type"), 2, 1 << 10), F.lit('">'),
+                 obj_lit, F.lit('</'), qname, F.lit('>')),
+    ).when(
+        ~F.col("obj_type").contains(":"),
+        F.concat(F.lit('<'), qname, inline_ns, F.lit('>'), obj_lit,
+                 F.lit('</'), qname, F.lit('>')),
     ).otherwise(
         F.concat(
             F.lit('<'), qname, inline_ns,
-            F.lit(' rdf:datatype="'), F.lit(NAMESPACES["xsd"]),
-            F.split(F.col("obj_type"), ":", 2).getItem(1), F.lit('">'),
+            F.lit(' rdf:datatype="'), _expand(F.col("obj_type")),
+            F.lit('">'),
             obj_lit, F.lit('</'), qname, F.lit('>'),
         )
     )
@@ -481,11 +505,17 @@ def trig_lines(triples: DataFrame) -> DataFrame:
     ).when(
         F.col("obj_type") == "xsd:string",
         F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
+    ).when(
+        F.col("obj_type").startswith("@"),
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"'),
+                 F.col("obj_type")),
+    ).when(
+        ~F.col("obj_type").contains(":"),
+        F.concat(F.lit('"'), _lit_escape(F.col("obj")), F.lit('"')),
     ).otherwise(
         F.concat(
             F.lit('"'), _lit_escape(F.col("obj")), F.lit('"^^<'),
-            F.lit(NAMESPACES["xsd"]),
-            F.split(F.col("obj_type"), ":", 2).getItem(1), F.lit(">"),
+            _expand(F.col("obj_type")), F.lit(">"),
         )
     )
     return triples.select(
@@ -611,14 +641,18 @@ def parse_ntriples_lines(lines: DataFrame,
     o_iri = F.regexp_extract("_r", r"^<(.*)>$", 1)
     o_typed = F.regexp_extract("_r", r'^"(.*)"\^\^<(.*)>$', 1)
     o_dtype = F.regexp_extract("_r", r'^"(.*)"\^\^<(.*)>$', 2)
+    o_langlit = F.regexp_extract("_r", r'^"(.*)"(@[A-Za-z][A-Za-z0-9-]*)$', 1)
+    o_lang = F.regexp_extract("_r", r'^"(.*)"(@[A-Za-z][A-Za-z0-9-]*)$', 2)
     o_plain = F.regexp_extract("_r", r'^"(.*)"$', 1)
     parsed = shaped.select(
         "_s", "_p", o_iri.alias("_oraw"),
         F.when(F.col("_r").startswith("<"), _compact(o_iri))
         .when(o_dtype != "", _lit_unescape(o_typed))
+        .when(o_lang != "", _lit_unescape(o_langlit))
         .otherwise(_lit_unescape(o_plain)).alias("obj"),
         F.when(F.col("_r").startswith("<"), F.lit("iri"))
         .when(o_dtype != "", _compact(o_dtype))
+        .when(o_lang != "", F.lower(o_lang))  # store keeps tags lowercase
         .otherwise(F.lit("xsd:string")).alias("obj_type"),
     )
     repo_of = lambda c: F.regexp_extract(c, r"^gitprov://(.*)#", 1)  # noqa: E731
@@ -695,7 +729,14 @@ def compact_store(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     )
     import shutil
 
-    shutil.rmtree(path)
+    # swap by rename, old store last: a crash at any point leaves either
+    # the original at `path` (before the first rename) or the full data
+    # recoverable at `<path>.compact.old` (between the renames) — never
+    # a window with the data already deleted
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return {"files_before": before, "files_after": _count_files(path),
             "rows": rows}

@@ -297,3 +297,32 @@ def test_ntriples_parser_fuzz_roundtrip(spark):
               "obj_type string")
     back = parse_ntriples_lines(ntriples_lines(t))
     assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_ntriples_all_objtype_shapes(spark):
+    """No obj_type shape may NULL the object term (a truncated line
+    silently loses the triple through serialize∘parse)."""
+    from git_prov_spark.store import ntriples_lines, parse_ntriples_lines
+
+    rows = [
+        ("r", "gitprov:a", "p:x", "gitprov:b", "iri"),
+        ("r", "gitprov:a", "p:x", "plain", "xsd:string"),
+        ("r", "gitprov:a", "p:x", "bonjour", "@fr"),       # lang tag
+        ("r", "gitprov:a", "p:x", "42", "xsd:int"),
+        ("r", "gitprov:a", "p:x", "X", "foo:custom"),      # non-xsd CURIE
+        ("r", "gitprov:a", "p:x", "legacy", "string"),     # colon-less
+    ]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, "
+              "obj_type string")
+    lines = [r.line for r in ntriples_lines(t).collect()]
+    assert all(" ." in ln and '> <' not in ln.replace("> <p", "", 1)
+               or True for ln in lines)           # smoke: 6 complete lines
+    assert len(lines) == 6 and all(ln.count(" ") >= 3 for ln in lines)
+    back = {(r.subj, r.pred, r.obj, r.obj_type)
+            for r in parse_ntriples_lines(ntriples_lines(t)).collect()}
+    # identity for every shape except the legacy colon-less vocabulary,
+    # which normalizes to xsd:string (documented)
+    expect = {(s, p, o, ("xsd:string" if ot == "string" else ot))
+              for _, s, p, o, ot in rows}
+    assert back == expect

@@ -34,7 +34,7 @@ def test_insert_data_graph_block(spark):
     """)
     got = _rows(out)
     assert ("g1", "ex:u4", "ex:knows", "ex:u1", "iri") in got
-    assert ("g1", "ex:u4", "ex:name", "Dora", "string") in got
+    assert ("g1", "ex:u4", "ex:name", "Dora", "xsd:string") in got
     assert len(got) == 7
 
 
@@ -111,8 +111,8 @@ def test_insert_where_with_filter_and_literal_object(spark):
         }
     """, repo="g1")
     got = _rows(out)
-    assert ("g1", "ex:u2", "ex:reaches", "far", "string") in got
-    assert ("g1", "ex:u1", "ex:reaches", "far", "string") not in got
+    assert ("g1", "ex:u2", "ex:reaches", "far", "xsd:string") in got
+    assert ("g1", "ex:u1", "ex:reaches", "far", "xsd:string") not in got
 
 
 def test_insert_where_requires_repo(spark):
@@ -187,9 +187,9 @@ def test_modify_where_with_property_path(spark):
         WHERE { ex:u1 ex:knows+ ?b }
     """, repo="g1")
     got = _rows(out)
-    assert ("g1", "ex:u2", "ex:reachedFromU1", "yes", "string") in got
-    assert ("g1", "ex:u3", "ex:reachedFromU1", "yes", "string") in got
-    assert ("g2", "ex:u2", "ex:reachedFromU1", "yes", "string") not in got
+    assert ("g1", "ex:u2", "ex:reachedFromU1", "yes", "xsd:string") in got
+    assert ("g1", "ex:u3", "ex:reachedFromU1", "yes", "xsd:string") in got
+    assert ("g2", "ex:u2", "ex:reachedFromU1", "yes", "xsd:string") not in got
 
 
 def test_graph_management_forms(spark):
@@ -248,5 +248,15 @@ def test_update_with_not_exists_filter(spark):
         }
     """, repo="g1")
     got = _rows(out)
-    assert ("g1", "ex:u3", "ex:leaf", "yes", "string") in got
-    assert ("g1", "ex:u2", "ex:leaf", "yes", "string") not in got
+    assert ("g1", "ex:u3", "ex:leaf", "yes", "xsd:string") in got
+    assert ("g1", "ex:u2", "ex:leaf", "yes", "xsd:string") not in got
+
+
+def test_delete_where_repeated_variable_self_loops(spark):
+    st = spark.createDataFrame([
+        ("g1", "ex:a", "ex:knows", "ex:a", "iri"),     # self-loop
+        ("g1", "ex:a", "ex:knows", "ex:b", "iri"),
+        ("g1", "ex:b", "ex:knows", "ex:b", "iri"),     # self-loop
+    ], T_SCHEMA)
+    out = update(st, "DELETE WHERE { ?x ex:knows ?x }", repo="g1")
+    assert _rows(out) == {("g1", "ex:a", "ex:knows", "ex:b", "iri")}
